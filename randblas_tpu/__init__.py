@@ -1,0 +1,37 @@
+"""randblas_tpu: a TPU-native sketching framework for randomized NLA.
+
+A ground-up JAX/Pallas rebuild of the capabilities of RandBLAS (the
+BALLISTIC project's C++ sketching library): BLAS-like sketching of dense
+and sparse data with dense (Gaussian/uniform) and sparse-sign operators
+whose entries are defined implicitly by counter-based RNGs, so operators
+can be regenerated anywhere — any submatrix, any device, any mesh shape —
+bit-identically and without communication.
+
+Compute path: jit/XLA + Pallas TPU kernels. Parallel path: jax.sharding
+meshes (the counter-addressable fill makes multi-chip generation
+embarrassingly parallel; only contractions reduce over ICI).
+"""
+
+__version__ = "0.1.0"
+
+from .rng import RNGState, default_state
+from .base import MajorAxis, Layout, Op, Side
+from .dense import (
+    DenseDistName, DenseDist, DenseSkOp, fill_dense, fill_dense_submat,
+    isometry_scale_factor,
+)
+from .sparse import (
+    SparseDist, SparseSkOp, fill_sparse, repeated_fisher_yates,
+)
+from .skge import sketch_general, sketch
+from .skve import sketch_vector
+from .sksy import sketch_symmetric
+
+__all__ = [
+    "RNGState", "default_state",
+    "MajorAxis", "Layout", "Op", "Side",
+    "DenseDistName", "DenseDist", "DenseSkOp",
+    "fill_dense", "fill_dense_submat", "isometry_scale_factor",
+    "SparseDist", "SparseSkOp", "fill_sparse", "repeated_fisher_yates",
+    "sketch_general", "sketch", "sketch_vector", "sketch_symmetric",
+]

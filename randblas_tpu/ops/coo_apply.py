@@ -1,0 +1,68 @@
+"""COO x dense products via gather + segment-sum.
+
+This is the TPU answer to the reference's CPU saxpy loops
+(coo_spmm_impl.hh:80-162, csc_spmm_impl.hh:44-153, csr_spmm_impl.hh:46-156):
+instead of looping nonzeros with scalar axpys, gather the needed rows of the
+dense operand, scale by the nonzero values, and reduce with an XLA
+segment-sum (one fused scatter-add). Submatrix selection is handled by
+masking — nnz stays static under jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def coo_left_apply(
+    rows: jax.Array,
+    cols: jax.Array,
+    vals: jax.Array,
+    b: jax.Array,          # (m, n) dense operand, already op()-resolved
+    d: int,
+    m: int,
+    ro: int = 0,
+    co: int = 0,
+    alpha=1.0,
+) -> jax.Array:
+    """alpha * submat(Asp)[ro:ro+d, co:co+m] @ b, returned as (d, n).
+
+    Entries of the COO triplets outside the submatrix window are masked to
+    zero (shape-static analogue of set_filtered_coo, coo_spmm_impl.hh:46-75).
+    """
+    r = rows.astype(jnp.int32) - jnp.int32(ro)
+    c = cols.astype(jnp.int32) - jnp.int32(co)
+    mask = (r >= 0) & (r < d) & (c >= 0) & (c < m)
+    w = jnp.where(mask, vals, jnp.zeros((), dtype=vals.dtype))
+    r_safe = jnp.where(mask, r, 0)
+    c_safe = jnp.where(mask, c, 0)
+    contrib = w[:, None] * b[c_safe]          # (nnz, n) gather + scale
+    out = jax.ops.segment_sum(contrib, r_safe, num_segments=d)
+    alpha = jnp.asarray(alpha, dtype=b.dtype)
+    return alpha * out.astype(b.dtype)
+
+
+def coo_densify(
+    rows: jax.Array,
+    cols: jax.Array,
+    vals: jax.Array,
+    n_rows: int,
+    n_cols: int,
+    ro: int = 0,
+    co: int = 0,
+    dtype=None,
+) -> jax.Array:
+    """Dense (n_rows, n_cols) block of the COO matrix starting at (ro, co).
+
+    Used by the one-hot/MXU path for short sketch dimensions and by test
+    oracles (counterpart of coo_to_dense, coo_matrix.hh:350-380).
+    """
+    dtype = vals.dtype if dtype is None else dtype
+    r = rows.astype(jnp.int32) - jnp.int32(ro)
+    c = cols.astype(jnp.int32) - jnp.int32(co)
+    mask = (r >= 0) & (r < n_rows) & (c >= 0) & (c < n_cols)
+    w = jnp.where(mask, vals, jnp.zeros((), dtype=vals.dtype)).astype(dtype)
+    r_safe = jnp.where(mask, r, 0)
+    c_safe = jnp.where(mask, c, 0)
+    dense = jnp.zeros((n_rows, n_cols), dtype=dtype)
+    return dense.at[r_safe, c_safe].add(w)

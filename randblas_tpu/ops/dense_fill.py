@@ -1,0 +1,117 @@
+"""Counter-addressed dense fill: the vectorized core of implicit operators.
+
+TPU-native counterpart of ``fill_dense_submat_impl`` (dense_skops.hh:97-170).
+The reference walks rows with OpenMP and consumes one CBRNG block at a time;
+here every (row, block) pair's counter is computed independently from its
+position, so the whole submatrix materializes as one batched generator call —
+XLA fuses the counter math, the generator rounds, and the float transform
+into a single elementwise pipeline. Thread-count invariance becomes
+*mesh-shape invariance* for free: a position's value depends only on
+(seed, position), never on which device computes it.
+
+Position -> counter mapping (identical to the reference so streams match):
+  - The implicit parent matrix is imagined row-major with ``n_cols_parent``
+    columns; each row is padded so the padded width is a multiple of the
+    counter width W (pad = -n_cols_parent mod W).
+  - flat padded index of submatrix start: ptr_padded = ptr + (ptr //
+    n_cols_parent) * pad.
+  - element (r, c) of the submatrix lives at counter
+    seed.counter + ptr_padded // W + r * ((n_cols_parent + pad) // W)
+    + (first_block_start + c) // W, lane (first_block_start + c) mod W,
+    where first_block_start = ptr_padded mod W.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..rng.bits import ctr_add64, mul64_u32, add64
+from ..rng.state import RNGState
+from ..rng.transforms import boxmul_block, uneg11_block
+
+
+def fill_geometry(n_cols_parent: int, n_scols: int, ptr: int, ctr_size: int):
+    """Static counter-addressing geometry (all python ints).
+
+    Returns (ctr_mat_start, first_block_start, ctr_stride, nblk, pad).
+    """
+    pad = (-n_cols_parent) % ctr_size
+    ptr_padded = ptr + (ptr // n_cols_parent) * pad
+    ctr_mat_start = ptr_padded // ctr_size
+    first_block_start = ptr_padded % ctr_size
+    ctr_stride = (n_cols_parent + pad) // ctr_size
+    nblk = (first_block_start + n_scols - 1) // ctr_size + 1
+    return ctr_mat_start, first_block_start, ctr_stride, nblk, pad
+
+
+def fill_rowmajor_bits(
+    n_cols_parent: int,
+    n_srows: int,
+    n_scols: int,
+    ptr: int,
+    state: RNGState,
+):
+    """Raw uint32 stream for a row-major submatrix view of the implicit
+    parent. Returns uint32[n_srows, nblk, W] blocks plus the lane offset
+    (first_block_start) — callers transform then slice.
+    """
+    ctr_size = state.len_c
+    ctr_mat_start, fbs, ctr_stride, nblk, _ = fill_geometry(
+        n_cols_parent, n_scols, ptr, ctr_size)
+
+    base = state.incr(ctr_mat_start)
+
+    rows = jnp.arange(n_srows, dtype=jnp.uint32)
+    # 64-bit row offsets in u32 limbs: row * ctr_stride can exceed 2^32 for
+    # very large operators, so carry the high word through.
+    stride_lo = jnp.uint32(ctr_stride & 0xFFFFFFFF)
+    stride_hi_const = (ctr_stride >> 32) & 0xFFFFFFFF
+    row_lo, row_hi = mul64_u32(rows, stride_lo)
+    if stride_hi_const:
+        row_hi = row_hi + rows * jnp.uint32(stride_hi_const)
+    blk = jnp.arange(nblk, dtype=jnp.uint32)
+    off_lo, off_hi = add64(row_lo[:, None], row_hi[:, None],
+                           blk[None, :], jnp.uint32(0))
+
+    counters = ctr_add64(base.counter, off_lo, off_hi)  # (rows, nblk, W)
+    bits = base.generate(counters, base.key)
+    return bits, fbs
+
+
+def fill_rowmajor(
+    n_cols_parent: int,
+    n_srows: int,
+    n_scols: int,
+    ptr: int,
+    state: RNGState,
+    transform: str,
+):
+    """float32[n_srows, n_scols] submatrix of the implicit parent matrix.
+
+    transform: 'boxmul' (iid standard normal) or 'uneg11' (iid U(-1,1)).
+    Exactly reproduces the value-to-position mapping of
+    fill_dense_submat_impl (dense_skops.hh:97-170).
+    """
+    bits, fbs = fill_rowmajor_bits(n_cols_parent, n_srows, n_scols, ptr,
+                                   state)
+    if transform == "boxmul":
+        vals = boxmul_block(bits)
+    elif transform == "uneg11":
+        vals = uneg11_block(bits)
+    else:
+        raise ValueError(f"unknown transform {transform!r}")
+    n_rows_, nblk, w = vals.shape
+    flat = vals.reshape(n_rows_, nblk * w)
+    return flat[:, fbs:fbs + n_scols]
+
+
+def fill_next_state(
+    n_cols_parent: int, n_srows: int, n_scols: int, ptr: int,
+    state: RNGState,
+) -> RNGState:
+    """State returned by a submatrix fill: seed advanced past the last row's
+    first counter (dense_skops.hh:166-169). Pure counter arithmetic."""
+    ctr_size = state.len_c
+    ctr_mat_start, _, ctr_stride, _, _ = fill_geometry(
+        n_cols_parent, n_scols, ptr, ctr_size)
+    return state.incr(ctr_mat_start).incr(n_srows * ctr_stride)

@@ -1,0 +1,148 @@
+"""RNGState: the serializable snapshot of a counter-based RNG stream.
+
+TPU-native counterpart of ``RandBLAS::RNGState<RNG>`` (base.hh:161-251).
+A state is a tiny pytree of two uint32 arrays (counter, key) plus the
+generator name as static metadata, so it can be:
+
+- passed through jit / pjit / shard_map boundaries,
+- stored in a checkpoint (it IS the complete resumable state of a sketch
+  stream — the reference has no file-based checkpointing, its logical
+  checkpoint is exactly this object, see SURVEY.md §5),
+- advanced by pure counter arithmetic (``incr``) with no RNG calls.
+
+The counter is read as a little-endian base-2^32 integer, matching the
+Random123 ``ctr.incr`` carry semantics pinned in the reference's
+test/test_basic_rng/test_r123.cc:686-766.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import philox, threefry
+from .bits import add64_split, ctr_add64
+
+# generator name -> (ctr_words, key_words, fn, rounds)
+_GENERATORS = {
+    "philox4x32": (4, 2, philox.philox4x32, 10),
+    "philox2x32": (2, 1, philox.philox2x32, 10),
+    "threefry4x32": (4, 4, threefry.threefry4x32, 20),
+    "threefry2x32": (2, 2, threefry.threefry2x32, 20),
+}
+
+DEFAULT_RNG = "philox4x32"
+
+
+def generator_info(name: str):
+    try:
+        return _GENERATORS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown counter-based RNG {name!r}; "
+            f"supported: {sorted(_GENERATORS)}"
+        ) from None
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RNGState:
+    """Counter + key snapshot of a counter-based RNG (default Philox4x32).
+
+    Construct from a seed key with ``RNGState(key=...)`` helpers below, or
+    directly from arrays. Immutable and hashable-by-identity like any pytree.
+    """
+
+    counter: jax.Array  # uint32[len_c]
+    key: jax.Array      # uint32[len_k]
+    rng: str = dataclasses.field(default=DEFAULT_RNG, metadata={"static": True})
+
+    # -- constructors ------------------------------------------------------
+
+    @staticmethod
+    def from_key(key_scalar: int = 0, rng: str = DEFAULT_RNG) -> "RNGState":
+        """Counter all-zero; key[0] = key_scalar, rest zero.
+
+        Mirrors ``RNGState(key_uint k)`` (base.hh:205).
+        """
+        len_c, len_k, _, _ = generator_info(rng)
+        counter = jnp.zeros((len_c,), dtype=jnp.uint32)
+        key = jnp.zeros((len_k,), dtype=jnp.uint32).at[0].set(
+            jnp.uint32(key_scalar & 0xFFFFFFFF))
+        return RNGState(counter, key, rng)
+
+    @staticmethod
+    def from_arrays(counter, key, rng: str = DEFAULT_RNG) -> "RNGState":
+        len_c, len_k, _, _ = generator_info(rng)
+        counter = jnp.asarray(counter, dtype=jnp.uint32)
+        key = jnp.asarray(key, dtype=jnp.uint32)
+        if counter.shape != (len_c,):
+            raise ValueError(f"counter must have shape ({len_c},) for {rng}")
+        if key.shape != (len_k,):
+            raise ValueError(f"key must have shape ({len_k},) for {rng}")
+        return RNGState(counter, key, rng)
+
+    # -- info --------------------------------------------------------------
+
+    @property
+    def len_c(self) -> int:
+        return generator_info(self.rng)[0]
+
+    @property
+    def len_k(self) -> int:
+        return generator_info(self.rng)[1]
+
+    @property
+    def generate(self) -> Callable:
+        """The raw block generator: (ctr[...,W], key) -> uint32[...,W]."""
+        _, _, fn, rounds = generator_info(self.rng)
+        return lambda ctr, key: fn(ctr, key, rounds)
+
+    # -- counter arithmetic --------------------------------------------------
+
+    def incr(self, amount=1) -> "RNGState":
+        """Advance the counter by ``amount`` (a python int < 2**64, or a
+        traced uint32 scalar). Pure counter arithmetic: no RNG invocations.
+        Counterpart of Random123 ``ctr.incr(n)``.
+        """
+        if isinstance(amount, (int, np.integer)):
+            lo, hi = add64_split(amount)
+        else:
+            lo, hi = amount, 0
+        return RNGState(ctr_add64(self.counter, lo, hi), self.key, self.rng)
+
+    def incr_key(self, amount=1) -> "RNGState":
+        """Advance the *key* array (same little-endian semantics).
+
+        Counterpart of ``state.key.incr(step)`` (base.hh:185-188), used to
+        derive statistically-independent streams.
+        """
+        if isinstance(amount, (int, np.integer)):
+            lo, hi = add64_split(amount)
+        else:
+            lo, hi = amount, 0
+        if self.len_k == 1:
+            new_key = self.key.at[0].add(jnp.uint32(lo))
+        else:
+            new_key = ctr_add64(self.key, lo, hi)
+        return RNGState(self.counter, new_key, self.rng)
+
+    # -- convenience ---------------------------------------------------------
+
+    def counter_as_int(self) -> int:
+        """Host-side read of the counter as one big integer (for tests)."""
+        words = np.asarray(jax.device_get(self.counter), dtype=np.uint64)
+        return int(sum(int(w) << (32 * i) for i, w in enumerate(words)))
+
+    def __repr__(self) -> str:  # mirrors operator<< (base.hh:234-251)
+        c = np.asarray(jax.device_get(self.counter))
+        k = np.asarray(jax.device_get(self.key))
+        return f"RNGState<{self.rng}>(counter={c.tolist()}, key={k.tolist()})"
+
+
+def default_state(key: int = 0, rng: str = DEFAULT_RNG) -> RNGState:
+    return RNGState.from_key(key, rng)

@@ -1,0 +1,171 @@
+"""sketch_general: the primary sketching entry point.
+
+TPU-native counterpart of RandBLAS/skge.hh (sketch_general overload set,
+lskge3/rskge3 :174-364, lskges/rskges :486-641). Functional semantics:
+
+    left:  B_new = alpha * op_s(submat(S)) @ op_a(A) + beta * B
+    right: B_new = alpha * op_a(A) @ op_s(submat(S)) + beta * B
+
+where A and B are ordinary jnp arrays (row-major, shape == math shape) and
+S is a DenseSkOp or SparseSkOp. The BLAS-style (layout, ld, flat-buffer)
+surface lives in randblas_tpu.compat for porting the reference test matrix.
+
+Dense operators dispatch to a GEMM whose left operand is generated from
+counters (lazily materialized block, or the fused Pallas path that never
+touches HBM); sparse operators dispatch to gather/segment-sum COO apply.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from .base import Op, Side, dims_before_op, require
+from .dense import DenseSkOp
+from .ops.coo_apply import coo_left_apply
+from .sparse import SparseSkOp
+
+SkOp = Union[DenseSkOp, SparseSkOp]
+
+
+def _as_op(op) -> Op:
+    if isinstance(op, Op):
+        return op
+    if isinstance(op, str):
+        s = op.strip().upper()
+        if s in ("N", "NOTRANS"):
+            return Op.NoTrans
+        if s in ("T", "TRANS"):
+            return Op.Trans
+    raise ValueError(f"invalid op: {op!r}")
+
+
+def _as_side(side) -> Side:
+    if isinstance(side, Side):
+        return side
+    s = str(side).strip().lower()
+    if s in ("l", "left"):
+        return Side.Left
+    if s in ("r", "right"):
+        return Side.Right
+    raise ValueError(f"invalid side: {side!r}")
+
+
+def _dense_block(S: DenseSkOp, rows_s: int, cols_s: int, ro_s: int,
+                 co_s: int, op_s: Op, dtype) -> jax.Array:
+    """op_s(submat(S)) as a dense array (lazy counter-addressed fill)."""
+    blk = S.submat(rows_s, cols_s, ro_s, co_s).astype(dtype)
+    return blk.T if op_s == Op.Trans else blk
+
+
+def _matmul(a, b, dtype):
+    return jnp.matmul(a, b, preferred_element_type=dtype)
+
+
+def _sparse_left_apply(S: SparseSkOp, d: int, m: int, ro_s: int, co_s: int,
+                       op_s: Op, b_mat: jax.Array, alpha) -> jax.Array:
+    """alpha * op_s(submat(S)) @ b_mat for a sparse-sign operator.
+
+    Counterpart of lskges -> left_spmm (skge.hh:486-510,
+    spmm_dispatch.hh:49-160): a transposed operator is handled with a
+    zero-copy swap of the COO index roles (+ swapped offsets), exactly like
+    the reference's transposed COO view (spmm_dispatch.hh:74-76).
+    """
+    s = S.filled()
+    rows, cols = s.rows, s.cols
+    if op_s == Op.Trans:
+        rows, cols = cols, rows
+        ro_s, co_s = co_s, ro_s
+    return coo_left_apply(rows, cols, s.vals.astype(b_mat.dtype), b_mat,
+                          d, m, ro_s, co_s, alpha)
+
+
+def sketch_general(
+    S: SkOp,
+    A: jax.Array,
+    *,
+    side="left",
+    op_s="N",
+    op_a="N",
+    alpha=1.0,
+    beta=0.0,
+    out: Optional[jax.Array] = None,
+    d: Optional[int] = None,
+    ro_s: int = 0,
+    co_s: int = 0,
+) -> jax.Array:
+    """Sketch a general dense matrix A from the left or right.
+
+    Args:
+      S: sketching operator (DenseSkOp or SparseSkOp).
+      A: data matrix, shape = its stored (math) shape; op_a transposes.
+      side: 'left'  -> B = alpha op_s(submat(S)) op_a(A) + beta B  (d x n)
+            'right' -> B = alpha op_a(A) op_s(submat(S)) + beta B  (n x d)
+      d: sketch dimension (rows of B for left / cols for right). Defaults to
+         the full-operator size implied by op_s(S); required when out is
+         None and a proper submatrix of S is intended.
+      ro_s, co_s: submatrix offsets into S (counter-addressed; no
+         materialization of the rest of S).
+      out: existing B to accumulate into (functional: a new array is
+         returned). If None and beta != 0, beta is ignored-with-error.
+
+    Returns B_new.
+    """
+    side = _as_side(side)
+    op_s = _as_op(op_s)
+    op_a = _as_op(op_a)
+    A = jnp.asarray(A)
+    require(A.ndim == 2, "A must be 2-D")
+    dtype = A.dtype
+
+    if side == Side.Left:
+        # op_a(A) is (m, n)
+        m, n = (A.shape if op_a == Op.NoTrans else A.shape[::-1])
+        if d is None:
+            d = out.shape[0] if out is not None else (
+                S.n_rows if op_s == Op.NoTrans else S.n_cols)
+        rows_s, cols_s = dims_before_op(d, m, op_s)
+        require(S.n_rows >= rows_s + ro_s, "S row range out of bounds")
+        require(S.n_cols >= cols_s + co_s, "S column range out of bounds")
+        a_mat = A if op_a == Op.NoTrans else A.T
+        if isinstance(S, SparseSkOp):
+            prod = _sparse_left_apply(S, d, m, ro_s, co_s, op_s, a_mat,
+                                      alpha)
+        else:
+            s_blk = _dense_block(S, rows_s, cols_s, ro_s, co_s, op_s, dtype)
+            prod = jnp.asarray(alpha, dtype) * _matmul(s_blk, a_mat, dtype)
+        expected_shape = (d, n)
+    else:
+        # op_a(A) is (n, d') with op_s(S) (d', d): B = op_a(A) @ op_s(S)
+        n, m = (A.shape if op_a == Op.NoTrans else A.shape[::-1])
+        if d is None:
+            d = out.shape[1] if out is not None else (
+                S.n_cols if op_s == Op.NoTrans else S.n_rows)
+        rows_s, cols_s = dims_before_op(m, d, op_s)
+        require(S.n_rows >= rows_s + ro_s, "S row range out of bounds")
+        require(S.n_cols >= cols_s + co_s, "S column range out of bounds")
+        a_mat = A if op_a == Op.NoTrans else A.T
+        if isinstance(S, SparseSkOp):
+            # (A @ op_s(S)) = (op_s(S)^T @ A^T)^T; flip the op to fold the
+            # transpose into the COO view (right_spmm reduction,
+            # spmm_dispatch.hh:163-200).
+            flipped = Op.NoTrans if op_s == Op.Trans else Op.Trans
+            prod = _sparse_left_apply(S, d, m, ro_s, co_s, flipped, a_mat.T,
+                                      alpha).T
+        else:
+            s_blk = _dense_block(S, rows_s, cols_s, ro_s, co_s, op_s, dtype)
+            prod = jnp.asarray(alpha, dtype) * _matmul(a_mat, s_blk, dtype)
+        expected_shape = (n, d)
+
+    if out is not None:
+        require(tuple(out.shape) == expected_shape,
+                f"out has shape {out.shape}, expected {expected_shape}")
+        return prod + jnp.asarray(beta, dtype) * jnp.asarray(out, dtype)
+    return prod
+
+
+def sketch(S: SkOp, A: jax.Array, *, side="left") -> jax.Array:
+    """Convenience wrapper: plain S @ A (left) or A @ S (right)."""
+    return sketch_general(S, A, side=side)
