@@ -25,7 +25,16 @@ from .sparse import (
 )
 from .skge import sketch_general, sketch
 from .skve import sketch_vector
-from .sksy import sketch_symmetric
+from .sksy import sketch_symmetric, require_symmetric
+from .sksp import sketch_sparse
+from .sparse_data import (
+    COOMatrix, CSRMatrix, CSCMatrix, IndexBase, NonzeroSort,
+    left_spmm, right_spmm, spmm,
+)
+from .util import (
+    weights_to_cdf, sample_indices_iid, sample_indices_iid_uniform,
+    symmetrize, overwrite_triangle,
+)
 
 __all__ = [
     "RNGState", "default_state",
@@ -34,4 +43,9 @@ __all__ = [
     "fill_dense", "fill_dense_submat", "isometry_scale_factor",
     "SparseDist", "SparseSkOp", "fill_sparse", "repeated_fisher_yates",
     "sketch_general", "sketch", "sketch_vector", "sketch_symmetric",
+    "require_symmetric", "sketch_sparse",
+    "COOMatrix", "CSRMatrix", "CSCMatrix", "IndexBase", "NonzeroSort",
+    "left_spmm", "right_spmm", "spmm",
+    "weights_to_cdf", "sample_indices_iid", "sample_indices_iid_uniform",
+    "symmetrize", "overwrite_triangle",
 ]

@@ -1,0 +1,103 @@
+"""Utilities: CDF sampling, symmetry helpers.
+
+TPU-native counterpart of RandBLAS/util.hh. The buffer-manipulation helpers
+(omatcopy/flip_layout/transpose_square) have no role on jnp arrays; the
+statistically meaningful utilities are ported with identical stream
+semantics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .base import require
+from .rng.state import RNGState
+from .rng.transforms import uneg11_block
+
+
+def weights_to_cdf(w, error_if_below: float = None):
+    """Nonnegative weights -> normalized cumulative distribution
+    (util.hh:258-270). Jittable except for the negativity check, which runs
+    host-side when the input is concrete."""
+    w = jnp.asarray(w)
+    n = w.shape[0]
+    eps = jnp.finfo(w.dtype).eps
+    floor = -eps if error_if_below is None else error_if_below
+    try:
+        import numpy as np
+        wn = np.asarray(w)
+        require(bool((wn >= floor).all()),
+                "weights must be >= the error threshold")
+    except jax.errors.TracerArrayConversionError:
+        pass
+    w = jnp.maximum(w, 0.0)
+    cdf = jnp.cumsum(w)
+    total = cdf[-1]
+    return cdf / total
+
+
+def _uniform_stream(state: RNGState, k: int):
+    """k uneg11 floats consuming counters exactly like the reference's
+    sample_indices_iid loop (util.hh:285-306).
+
+    Quirk reproduced faithfully: the reference generates a block at the
+    initial counter before its loop, but its refresh condition
+    ``(i+1) % len_c == 1`` fires already at i=0, so that first block is
+    *discarded* — sample i reads block (1 + i // len_c), lane (i % len_c),
+    and the returned state is advanced by ceil(k / len_c).
+    """
+    len_c = state.len_c
+    n_blocks = -(-k // len_c)  # ceil
+    offsets = jnp.arange(1, n_blocks + 1, dtype=jnp.uint32)
+    from .rng.bits import ctr_add64
+    counters = ctr_add64(state.counter, offsets, jnp.uint32(0))
+    blocks = state.generate(counters, state.key)       # (n_blocks, len_c)
+    vals = uneg11_block(blocks).reshape(-1)[:k]
+    next_state = state.incr(n_blocks)
+    return vals, next_state
+
+
+def sample_indices_iid(cdf, k: int, state: RNGState):
+    """k iid samples from the distribution over {0..n-1} given by `cdf`
+    (inverse-CDF via searchsorted; util.hh:285-306).
+
+    Returns (samples int32[k], next_state)."""
+    cdf = jnp.asarray(cdf)
+    u, next_state = _uniform_stream(state, k)
+    u01 = (u.astype(cdf.dtype) + 1.0) / 2.0
+    samples = jnp.searchsorted(cdf, u01, side="left")
+    return samples.astype(jnp.int32), next_state
+
+
+def sample_indices_iid_uniform(n: int, k: int, state: RNGState):
+    """k iid samples uniform over {0..n-1} (util.hh:312-334)."""
+    u, next_state = _uniform_stream(state, k)
+    u01 = (u.astype(jnp.float64 if jax.config.jax_enable_x64
+                    else jnp.float32) + 1.0) / 2.0
+    samples = jnp.floor(n * u01).astype(jnp.int32)
+    return jnp.clip(samples, 0, n - 1), next_state
+
+
+def symmetrize(a, uplo: str = "upper"):
+    """Copy one triangle onto the other (util.hh:119-140), functional."""
+    a = jnp.asarray(a)
+    require(a.ndim == 2 and a.shape[0] == a.shape[1], "a must be square")
+    if uplo.lower().startswith("u"):
+        upper = jnp.triu(a)
+        return upper + jnp.triu(a, 1).T
+    lower = jnp.tril(a)
+    return lower + jnp.tril(a, -1).T
+
+
+def overwrite_triangle(a, uplo: str, strict_offset: int = 1, val=0.0):
+    """Set a triangle to `val` (util.hh:142-163), functional."""
+    a = jnp.asarray(a)
+    n = a.shape[0]
+    i = jnp.arange(n)[:, None]
+    j = jnp.arange(a.shape[1])[None, :]
+    if uplo.lower().startswith("u"):
+        mask = j >= i + strict_offset
+    else:
+        mask = i >= j + strict_offset
+    return jnp.where(mask, jnp.asarray(val, a.dtype), a)
