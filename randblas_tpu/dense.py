@@ -157,6 +157,42 @@ def fill_dense_submat(
     return vals
 
 
+def fill_dense_submat_traced(
+    dist: DenseDist,
+    state: RNGState,
+    n_rows: int,
+    n_cols: int,
+    ro_s,
+    co_s,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """fill_dense_submat with *traced* offsets (SPMD shards).
+
+    Same values as fill_dense_submat at the same offsets. Alignment
+    contract (uncheckable on traced values): the offset along the
+    distribution's major axis must be a multiple of the RNG counter width
+    (4 for Philox4x32) — natural-minor-axis offsets are unconstrained.
+    Used by randblas_tpu.parallel to generate per-device tiles of one
+    global operator with zero communication.
+    """
+    from .ops.dense_fill import fill_rowmajor_traced_offset
+    require(dist.family != DenseDistName.BlackBox,
+            "fill_dense cannot be called with the BlackBox family")
+    natural = dist_to_layout(dist)
+    ma_len = major_axis_length(dist)
+    transform = _TRANSFORM[dist.family]
+    if natural == Layout.ColMajor:
+        vals = fill_rowmajor_traced_offset(
+            ma_len, n_cols, n_rows, co_s, ro_s, state, transform).T
+    else:
+        vals = fill_rowmajor_traced_offset(
+            ma_len, n_rows, n_cols, ro_s, co_s, state, transform)
+    vals = vals.astype(dtype)
+    if dist.family == DenseDistName.Uniform:
+        vals = vals * jnp.asarray(math.sqrt(3.0), dtype=dtype)
+    return vals
+
+
 def fill_dense(dist: DenseDist, state: RNGState, dtype=jnp.float32):
     """Full sample of `dist`: returns (array, next_state) where next_state
     reflects the counters actually consumed (dense_skops.hh:565-568)."""

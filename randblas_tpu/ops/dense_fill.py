@@ -105,6 +105,44 @@ def fill_rowmajor(
     return flat[:, fbs:fbs + n_scols]
 
 
+def fill_rowmajor_traced_offset(
+    n_cols_parent: int,
+    n_srows: int,
+    n_scols: int,
+    row_off,
+    col_off,
+    state: RNGState,
+    transform: str,
+):
+    """fill_rowmajor with *traced* submatrix offsets, for SPMD shards.
+
+    The same (row, col) -> counter mapping, but the block position is a
+    traced value (e.g. derived from jax.lax.axis_index inside shard_map),
+    so every mesh shard generates its tile of the one global operator —
+    bit-identical to the single-device fill. This is the reference's
+    thread-count-invariance property promoted to mesh-shape invariance.
+
+    Constraint: ``col_off`` must be a multiple of the counter width W
+    (shards aligned to counter blocks — every natural-layout *row* is
+    already counter-aligned thanks to the padding, so ``row_off`` is
+    unconstrained). Callers are expected to size shards accordingly;
+    this cannot be checked on traced values.
+    """
+    ctr_size = state.len_c
+    _, _, ctr_stride, _, _ = fill_geometry(n_cols_parent, n_scols, 0,
+                                           ctr_size)
+    row_off = jnp.asarray(row_off, dtype=jnp.uint32)
+    col_off = jnp.asarray(col_off, dtype=jnp.uint32)
+    lo, hi = mul64_u32(row_off, jnp.uint32(ctr_stride & 0xFFFFFFFF))
+    stride_hi = (ctr_stride >> 32) & 0xFFFFFFFF
+    if stride_hi:
+        hi = hi + row_off * jnp.uint32(stride_hi)
+    lo, hi = add64(lo, hi, col_off // jnp.uint32(ctr_size), jnp.uint32(0))
+    base = RNGState(ctr_add64(state.counter, lo, hi), state.key, state.rng)
+    return fill_rowmajor(n_cols_parent, n_srows, n_scols, 0, base,
+                         transform)
+
+
 def fill_next_state(
     n_cols_parent: int, n_srows: int, n_scols: int, ptr: int,
     state: RNGState,

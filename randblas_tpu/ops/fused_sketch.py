@@ -1,0 +1,268 @@
+"""Fused RNG-in-GEMM sketch: the flagship Pallas TPU kernel.
+
+Computes B = alpha * S @ A where S is an *implicit* d x m Gaussian/uniform
+operator: S tiles are generated from Philox counters directly in VMEM and
+fed to the MXU — the operator never exists in HBM (the TPU-native answer
+to the reference's lazy lskge3 path, skge.hh:174-215 + dense_skops.hh fill;
+see SURVEY.md §3.1 "fold HOT LOOP #1 into HOT LOOP #2").
+
+Kernel structure (grid = (n_k, n_j), k OUTER):
+  - at j == 0, generate the k-th operator panel S[:, k*TK:(k+1)*TK] into a
+    VMEM scratch — each operator element is generated exactly once per
+    sketch, regardless of n;
+  - every (k, j) step runs one MXU contraction S_panel @ A_blk and
+    accumulates into the (d, TN) output block in place (initialized at
+    k == 0).
+
+Constraints for this kernel (the wrapper falls back to the staged XLA path
+otherwise): natural-RowMajor operator (wide + Long or tall + Short),
+whole-operator sketch starting at counter 0 of the seed (ro_s == co_s == 0),
+m % TK == 0, n % TN == 0, TK % counter-width == 0.
+
+Stream identity: values match fill_dense_submat bit-for-bit at the uint32
+level; float values go through the same formulas evaluated by the Mosaic
+compiler (see rng/transforms.py for the cross-compiler tolerance note).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..rng.bits import mul32_wide
+from ..rng.philox import philox4x32_words
+from ..rng.transforms import boxmul_pair_i32, uneg11_i32
+
+_SQRT3 = math.sqrt(3.0)
+
+
+def _gen_panel_words(seed_ref, d: int, tk: int, ctr_stride: int,
+                     k_blocks, gaussian: bool):
+    """Generate the (d, tk) operator panel whose first column lives at
+    counter offset ``k_blocks`` blocks from the seed.
+
+    Counter mapping (fill_geometry with ptr = 0, aligned columns):
+      element (i, c) of the panel -> counter = seed + i * ctr_stride +
+      k_blocks + c // 4, lane c % 4.
+    All math on separate u32 word arrays of shape (d, tk // 4).
+    """
+    nb = tk // 4
+    i_ids = jax.lax.broadcasted_iota(jnp.uint32, (d, nb), 0)
+    b_ids = jax.lax.broadcasted_iota(jnp.uint32, (d, nb), 1)
+
+    stride_lo = jnp.uint32(ctr_stride & 0xFFFFFFFF)
+    off_hi, off_lo = mul32_wide(i_ids, stride_lo)
+    stride_hi = (ctr_stride >> 32) & 0xFFFFFFFF
+    if stride_hi:
+        off_hi = off_hi + i_ids * jnp.uint32(stride_hi)
+    # + k_blocks (traced scalar) + b
+    kb = jnp.asarray(k_blocks, dtype=jnp.uint32)
+    t = off_lo + kb
+    off_hi = off_hi + (t < kb).astype(jnp.uint32)
+    off_lo = t + b_ids
+    off_hi = off_hi + (off_lo < b_ids).astype(jnp.uint32)
+
+    s0 = seed_ref[0, 0]
+    s1 = seed_ref[0, 1]
+    s2 = seed_ref[0, 2]
+    s3 = seed_ref[0, 3]
+    k0 = seed_ref[0, 4]
+    k1 = seed_ref[0, 5]
+
+    c0 = s0 + off_lo
+    carry = (c0 < off_lo).astype(jnp.uint32)
+    t1 = s1 + off_hi
+    ca = (t1 < off_hi).astype(jnp.uint32)
+    c1 = t1 + carry
+    cb = (c1 < carry).astype(jnp.uint32)
+    carry1 = ca | cb
+    c2 = s2 + carry1
+    carry2 = (c2 < carry1).astype(jnp.uint32)
+    c3 = s3 + carry2
+
+    r0, r1, r2, r3 = philox4x32_words(c0, c1, c2, c3, k0, k1, 10)
+    s0 = pltpu.bitcast(r0, jnp.int32)
+    s1 = pltpu.bitcast(r1, jnp.int32)
+    s2 = pltpu.bitcast(r2, jnp.int32)
+    s3 = pltpu.bitcast(r3, jnp.int32)
+    if gaussian:
+        v0, v1 = boxmul_pair_i32(s0, s1)
+        v2, v3 = boxmul_pair_i32(s2, s3)
+    else:
+        sqrt3 = jnp.float32(_SQRT3)
+        v0 = uneg11_i32(s0) * sqrt3
+        v1 = uneg11_i32(s1) * sqrt3
+        v2 = uneg11_i32(s2) * sqrt3
+        v3 = uneg11_i32(s3) * sqrt3
+    return v0, v1, v2, v3
+
+
+def _kernel(seed_ref, a0, a1, a2, a3, out_ref, s_panel, *, d, tk,
+            ctr_stride, gaussian, alpha):
+    """Grid (n_k, n_j), k outer. s_panel: VMEM (4, d, tk//4) — operator
+    panel split by Philox lane. Lane l of counter block b is operator
+    column 4b + l; the matching data rows arrive pre-split as a0..a3
+    (lane-l blocks of A viewed as (m//4, 4, n)), so no in-kernel lane
+    interleave (Mosaic has no cheap 4-way minor-dim shuffle) — instead the
+    contraction is four MXU dots, one per lane.
+    """
+    k = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        k_blocks = k.astype(jnp.uint32) * jnp.uint32(tk // 4)
+        v0, v1, v2, v3 = _gen_panel_words(seed_ref, d, tk, ctr_stride,
+                                          k_blocks, gaussian)
+        s_panel[0] = v0
+        s_panel[1] = v1
+        s_panel[2] = v2
+        s_panel[3] = v3
+
+    # bf16 inputs, f32 accumulation: the same effective precision XLA picks
+    # for f32 GEMMs under --xla_allow_excess_precision (the roofline we
+    # compare against); one MXU pass instead of three.
+    contrib = jnp.dot(s_panel[0].astype(jnp.bfloat16),
+                      a0[:].astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    contrib += jnp.dot(s_panel[1].astype(jnp.bfloat16),
+                       a1[:].astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    contrib += jnp.dot(s_panel[2].astype(jnp.bfloat16),
+                       a2[:].astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    contrib += jnp.dot(s_panel[3].astype(jnp.bfloat16),
+                       a3[:].astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    if alpha != 1.0:
+        contrib = jnp.float32(alpha) * contrib
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(k != 0)
+    def _():
+        out_ref[:] = out_ref[:] + contrib
+
+
+def _pick_tiles(d: int, m: int, n: int):
+    """Pick (TK, TN) under a ~12MB VMEM budget.
+
+    Budget: S-panel scratch (d*TK*4) ~4MB; A blocks (TK*TN*4) and out
+    blocks (d*TN*4) are double-buffered by the pipeline.
+    """
+    def largest_divisor_leq(x, start, mult):
+        t = min(start, x)
+        t -= t % mult
+        while t > mult and (x % t or t % mult):
+            t -= mult
+        return max(t, mult)
+
+    # S-panel scratch = d*TK*4 bytes; cap at ~4MB.
+    tk_budget = max(256, ((4 * 1024 * 1024) // (4 * d)) // 4 * 4)
+    tk = largest_divisor_leq(m, min(tk_budget, 4096), 4)
+    tn = largest_divisor_leq(n, 512, 128) if n >= 128 else n
+    return tk, tn
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "d", "m", "gaussian", "alpha", "tk", "tn", "ctr_stride"))
+def _fused_call(seed_words, A, *, d, m, gaussian, alpha, tk, tn,
+                ctr_stride):
+    n = A.shape[1]
+    n_k = m // tk
+    n_j = n // tn
+    nb = tk // 4
+    # free row-major view: row of a4 packs the 4 lanes' data rows side by
+    # side — a4[b, l*n + c] == A[4b + l, c]; lane l's (nb, tn) block is a
+    # 2-D aligned slab.
+    a4 = A.reshape(m // 4, 4 * n)
+    kernel = functools.partial(_kernel, d=d, tk=tk, ctr_stride=ctr_stride,
+                               gaussian=gaussian, alpha=alpha)
+    flops = 2 * d * m * n
+
+    def lane_spec(lane):
+        col_blocks = n // tn
+        return pl.BlockSpec(
+            (nb, tn),
+            lambda k, j, _l=lane, _cb=col_blocks: (k, _l * _cb + j),
+            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_k, n_j),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda k, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            lane_spec(0), lane_spec(1), lane_spec(2), lane_spec(3),
+        ],
+        out_specs=pl.BlockSpec((d, tn), lambda k, j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((4, d, nb), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=m * n * 4 + d * n * 4,
+            transcendentals=d * m if gaussian else 0,
+        ),
+    )(seed_words, a4, a4, a4, a4)
+
+
+def fused_sketch_supported(dist, n_rows: int, n_cols: int, ro_s: int,
+                           co_s: int, op_s, dtype,
+                           n_data_cols: int = 128) -> bool:
+    """Static eligibility check for the fused kernel path."""
+    from ..base import Layout, Op
+    from ..dense import DenseDistName, dist_to_layout
+    if dtype != jnp.float32:
+        return False
+    if dist.family not in (DenseDistName.Gaussian, DenseDistName.Uniform):
+        return False
+    if ro_s != 0 or co_s != 0 or op_s != Op.NoTrans:
+        return False
+    if (n_rows, n_cols) != (dist.n_rows, dist.n_cols):
+        return False
+    if dist_to_layout(dist) != Layout.RowMajor:
+        return False
+    d, m = dist.n_rows, dist.n_cols
+    if m % 4 or d % 8:
+        return False
+    tk, tn = _pick_tiles(d, m, n_data_cols)
+    if m % tk or n_data_cols % tn:
+        return False
+    return True
+
+
+def fused_sketch(S, A, alpha=1.0):
+    """B = alpha * S @ A with the operator generated inside the kernel.
+
+    S: a lazy DenseSkOp satisfying fused_sketch_supported; A: (m, n) f32.
+    """
+    from ..dense import DenseDistName, major_axis_length
+
+    d, m = S.dist.n_rows, S.dist.n_cols
+    A = jnp.asarray(A, dtype=jnp.float32)
+    ma_len = major_axis_length(S.dist)
+    assert ma_len == m, "fused kernel requires natural-RowMajor operators"
+    ctr_size = 4
+    pad = (-m) % ctr_size
+    ctr_stride = (m + pad) // ctr_size
+    tk, tn = _pick_tiles(d, m, A.shape[1])
+    seed_words = jnp.concatenate([
+        S.seed_state.counter,
+        S.seed_state.key,
+        jnp.zeros((2,), jnp.uint32),
+    ]).reshape(1, 8)
+    gaussian = S.dist.family == DenseDistName.Gaussian
+    return _fused_call(seed_words, A, d=d, m=m, gaussian=gaussian,
+                       alpha=float(alpha), tk=tk, tn=tn,
+                       ctr_stride=ctr_stride)

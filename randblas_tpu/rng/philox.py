@@ -19,11 +19,37 @@ import jax.numpy as jnp
 from .bits import mul32_wide
 
 # Philox multipliers / Weyl constants (public algorithm constants).
-PHILOX_M4x32_0 = jnp.uint32(0xD2511F53)
-PHILOX_M4x32_1 = jnp.uint32(0xCD9E8D57)
-PHILOX_M2x32_0 = jnp.uint32(0xD256D193)
-PHILOX_W32_0 = jnp.uint32(0x9E3779B9)
-PHILOX_W32_1 = jnp.uint32(0xBB67AE85)
+# Kept as python ints: jnp scalars are materialized *inside* each traced
+# function so Pallas kernels don't see captured constants.
+PHILOX_M4x32_0 = 0xD2511F53
+PHILOX_M4x32_1 = 0xCD9E8D57
+PHILOX_M2x32_0 = 0xD256D193
+PHILOX_W32_0 = 0x9E3779B9
+PHILOX_W32_1 = 0xBB67AE85
+
+
+def philox4x32_words(x0, x1, x2, x3, k0, k1, rounds: int = 10):
+    """Philox-4x32 on separate uint32 word arrays (no stacking).
+
+    This word-wise form is shared by the batched JAX path and Pallas
+    kernels, where keeping the four counter words as independent 2-D
+    arrays avoids minor-dim relayouts on TPU.
+    """
+    m0 = jnp.uint32(PHILOX_M4x32_0)
+    m1 = jnp.uint32(PHILOX_M4x32_1)
+    w0 = jnp.uint32(PHILOX_W32_0)
+    w1 = jnp.uint32(PHILOX_W32_1)
+    for r in range(rounds):
+        if r > 0:
+            k0 = k0 + w0
+            k1 = k1 + w1
+        hi0, lo0 = mul32_wide(m0, x0)
+        hi1, lo1 = mul32_wide(m1, x2)
+        x0 = hi1 ^ x1 ^ k0
+        x1 = lo1
+        x2 = hi0 ^ x3 ^ k1
+        x3 = lo0
+    return x0, x1, x2, x3
 
 
 def philox4x32(ctr, key, rounds: int = 10):
@@ -34,19 +60,9 @@ def philox4x32(ctr, key, rounds: int = 10):
     """
     ctr = jnp.asarray(ctr, dtype=jnp.uint32)
     key = jnp.asarray(key, dtype=jnp.uint32)
-    x0, x1, x2, x3 = ctr[..., 0], ctr[..., 1], ctr[..., 2], ctr[..., 3]
-    k0, k1 = key[..., 0], key[..., 1]
-    for r in range(rounds):
-        if r > 0:
-            k0 = k0 + PHILOX_W32_0
-            k1 = k1 + PHILOX_W32_1
-        hi0, lo0 = mul32_wide(PHILOX_M4x32_0, x0)
-        hi1, lo1 = mul32_wide(PHILOX_M4x32_1, x2)
-        x0 = hi1 ^ x1 ^ k0
-        x1 = lo1
-        x2 = hi0 ^ x3 ^ k1
-        x3 = lo0
-    return jnp.stack([x0, x1, x2, x3], axis=-1)
+    out = philox4x32_words(ctr[..., 0], ctr[..., 1], ctr[..., 2],
+                           ctr[..., 3], key[..., 0], key[..., 1], rounds)
+    return jnp.stack(out, axis=-1)
 
 
 def philox2x32(ctr, key, rounds: int = 10):
@@ -55,10 +71,12 @@ def philox2x32(ctr, key, rounds: int = 10):
     key = jnp.asarray(key, dtype=jnp.uint32)
     x0, x1 = ctr[..., 0], ctr[..., 1]
     k0 = key[..., 0]
+    w0 = jnp.uint32(PHILOX_W32_0)
+    m0 = jnp.uint32(PHILOX_M2x32_0)
     for r in range(rounds):
         if r > 0:
-            k0 = k0 + PHILOX_W32_0
-        hi, lo = mul32_wide(PHILOX_M2x32_0, x0)
+            k0 = k0 + w0
+        hi, lo = mul32_wide(m0, x0)
         x0 = hi ^ k0 ^ x1
         x1 = lo
     return jnp.stack([x0, x1], axis=-1)

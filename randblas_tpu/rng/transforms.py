@@ -24,12 +24,14 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-# float32 constants, exactly representable.
-_U01_FACTOR = jnp.float32(2.0 ** -32)
-_U01_HALF = jnp.float32(2.0 ** -33)
-_UNEG11_FACTOR = jnp.float32(2.0 ** -31)
-_UNEG11_HALF = jnp.float32(2.0 ** -32)
-_PI_F32 = jnp.float32(3.1415926535897932)
+# float32 constants, exactly representable. Python floats (not jnp scalars)
+# so that traced functions materialize them inside the trace — required for
+# Pallas kernels, which reject captured constants.
+_U01_FACTOR = 2.0 ** -32
+_U01_HALF = 2.0 ** -33
+_UNEG11_FACTOR = 2.0 ** -31
+_UNEG11_HALF = 2.0 ** -32
+_PI = 3.1415926535897932
 
 
 def u01(bits):
@@ -38,7 +40,8 @@ def u01(bits):
     Matches r123::u01<float, uint32_t> (Random123 uniform.hpp).
     """
     bits = jnp.asarray(bits, dtype=jnp.uint32)
-    return bits.astype(jnp.float32) * _U01_FACTOR + _U01_HALF
+    return (bits.astype(jnp.float32) * jnp.float32(_U01_FACTOR)
+            + jnp.float32(_U01_HALF))
 
 
 def uneg11(bits):
@@ -49,7 +52,34 @@ def uneg11(bits):
     """
     bits = jnp.asarray(bits, dtype=jnp.uint32)
     signed = bits.astype(jnp.int32)  # two's-complement reinterpretation
-    return signed.astype(jnp.float32) * _UNEG11_FACTOR + _UNEG11_HALF
+    return (signed.astype(jnp.float32) * jnp.float32(_UNEG11_FACTOR)
+            + jnp.float32(_UNEG11_HALF))
+
+
+def uneg11_i32(signed):
+    """uneg11 on an already-signed int32 view of the word (for Pallas,
+    where uint32->float casts are unsupported; int32->float is native)."""
+    return (signed.astype(jnp.float32) * jnp.float32(_UNEG11_FACTOR)
+            + jnp.float32(_UNEG11_HALF))
+
+
+def u01_i32(signed):
+    """u01 on a signed int32 view: u = s + 2^32*[s<0], so
+    u*2^-32 + 2^-33 = s*2^-32 + 2^-33 + [s<0].
+
+    Rounding can differ from the direct unsigned conversion by ~1 ulp
+    (double rounding) — covered by the documented float tolerance.
+    """
+    base = (signed.astype(jnp.float32) * jnp.float32(_U01_FACTOR)
+            + jnp.float32(_U01_HALF))
+    return base + jnp.where(signed < 0, jnp.float32(1.0), jnp.float32(0.0))
+
+
+def boxmul_pair_i32(s_even, s_odd):
+    """Box-Muller on signed int32 word views (Pallas-safe)."""
+    ang = jnp.float32(_PI) * uneg11_i32(s_even)
+    r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u01_i32(s_odd)))
+    return jnp.sin(ang) * r, jnp.cos(ang) * r
 
 
 def boxmul_pair(u_even, u_odd):
@@ -59,7 +89,7 @@ def boxmul_pair(u_even, u_odd):
         x = sin(pi * uneg11(u0)) * r,  y = cos(pi * uneg11(u0)) * r,
         r = sqrt(-2 ln u01(u1)).
     """
-    ang = _PI_F32 * uneg11(u_even)
+    ang = jnp.float32(_PI) * uneg11(u_even)
     r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u01(u_odd)))
     return jnp.sin(ang) * r, jnp.cos(ang) * r
 

@@ -1,0 +1,86 @@
+"""Multi-device sketching tests on the 8-device virtual CPU mesh.
+
+The key property (mesh-shape invariance, the multi-chip generalization of
+the reference's thread-count-invariance test, test_denseskop.cc:300-341):
+the same seed produces bitwise-identical sketches on 1x1, 1x8, 2x4, 8x1
+meshes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from randblas_tpu import DenseDist, DenseSkOp, RNGState, SparseDist, \
+    SparseSkOp, sketch_general
+from randblas_tpu.parallel import distributed_sketch, make_sketch_mesh
+from randblas_tpu.parallel.distributed import distributed_sparse_sketch
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+D, M, N = 16, 64, 8
+
+
+def _setup(key=5):
+    S = DenseSkOp(DenseDist(D, M), RNGState.from_key(key))
+    A = jnp.asarray(
+        np.random.default_rng(0).normal(size=(M, N)).astype(np.float32))
+    return S, A
+
+
+@pytest.mark.parametrize("model,data", [(1, 8), (2, 4), (4, 2), (8, 1),
+                                        (1, 1)])
+def test_mesh_shape_invariance(model, data):
+    S, A = _setup()
+    devices = jax.devices()[:model * data]
+    mesh = make_sketch_mesh(model, data, devices)
+    got = np.asarray(distributed_sketch(S, A, mesh))
+    want = np.asarray(sketch_general(S, A))
+    # generation is bitwise invariant (see the identity test below); the
+    # psum contraction reassociates the f32 sum across shards, so the
+    # product matches to reduction-order tolerance only.
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_single_vs_multi_bitwise_generation():
+    """Generation itself (no contraction) is bitwise identical across the
+    mesh: check by sketching against identity."""
+    S = DenseSkOp(DenseDist(D, M), RNGState.from_key(9))
+    eye = jnp.eye(M, dtype=jnp.float32)
+    mesh = make_sketch_mesh(2, 4)
+    got = np.asarray(distributed_sketch(S, eye, mesh))
+    want = np.asarray(S.materialize())
+    np.testing.assert_array_equal(got, want)
+
+
+def test_output_sharding():
+    S, A = _setup()
+    mesh = make_sketch_mesh(2, 4)
+    out = distributed_sketch(S, A, mesh)
+    assert out.shape == (D, N)
+    # d axis sharded over 'model'
+    shard_shapes = {tuple(s.data.shape) for s in out.addressable_shards}
+    assert shard_shapes == {(D // 2, N)}
+
+
+def test_distributed_sparse():
+    Ss = SparseSkOp(SparseDist(D, M, vec_nnz=4), RNGState.from_key(3))
+    A = jnp.asarray(
+        np.random.default_rng(1).normal(size=(M, N)).astype(np.float32))
+    mesh = make_sketch_mesh(1, 8)
+    got = np.asarray(distributed_sparse_sketch(Ss, A, mesh))
+    want = np.asarray(sketch_general(Ss, A))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_jit_distributed():
+    S, A = _setup()
+    mesh = make_sketch_mesh(2, 4)
+
+    import functools
+
+    f = jax.jit(functools.partial(distributed_sketch, mesh=mesh))
+    got = np.asarray(f(S, A))
+    want = np.asarray(sketch_general(S, A))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
