@@ -1,0 +1,95 @@
+"""Headline benchmark: fused dense Gaussian sketch vs the fp32 GEMM
+roofline on one TPU chip (BASELINE.md north star: m=2^16, n=2^12, d=2^10).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": <sketch GFLOP/s>, "unit": "GFLOP/s",
+   "vs_baseline": <sketch GFLOP/s / GEMM-roofline GFLOP/s>}
+
+The roofline is jnp.matmul on the *pre-materialized* operator with the
+same precision settings — i.e. the fastest this sketch could possibly go
+if operator generation were free and HBM held the operator. vs_baseline
+is therefore the fraction of that ceiling the fused
+generate-inside-the-kernel path achieves.
+
+Timing uses on-device fori_loop differencing (bench_util.time_loop):
+block_until_ready does not reliably synchronize through the axon tunnel
+and identical dispatches can be served from a cache.
+"""
+
+import json
+import sys
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import randblas_tpu as rb
+    from randblas_tpu.bench_util import time_loop
+    from randblas_tpu.ops import fused_sketch as fs
+
+    d, m, n = 1024, 65536, 4096
+    flops = 2.0 * d * m * n
+
+    S = rb.DenseSkOp(rb.DenseDist(d, m), rb.RNGState.from_key(0))
+    seed_words = jnp.concatenate([
+        S.seed_state.counter, S.seed_state.key,
+        jnp.zeros((2,), jnp.uint32)]).reshape(1, 8)
+    ctr_stride = m // 4
+    A = jnp.asarray(
+        np.random.default_rng(0).normal(size=(m, n)).astype(np.float32))
+
+    # --- roofline: f32 GEMM on the pre-materialized operator -------------
+    Smat, _ = rb.fill_dense(S.dist, S.seed_state)
+
+    def body_gemm(i, carry, s, a):
+        x = s.at[0, 0].add(carry)  # data dependence; ~zero cost
+        out = jnp.matmul(x, a, preferred_element_type=jnp.float32)
+        return jnp.sum(out) * jnp.float32(1e-20)
+
+    t_roof = time_loop(body_gemm, Smat, A, iters_large=4)
+
+    # --- fused sketch ------------------------------------------------------
+    on_tpu = jax.devices()[0].platform == "tpu" or \
+        "TPU" in getattr(jax.devices()[0], "device_kind", "")
+    tk, tn = fs._pick_tiles(d, m, n)
+
+    if on_tpu:
+        def body_fused(i, carry, sw, a):
+            sw2 = sw.at[0, 4].add(i.astype(jnp.uint32)
+                                  + (carry * 1e-30).astype(jnp.uint32))
+            out = fs._fused_call(sw2, a, d=d, m=m, gaussian=True,
+                                 alpha=1.0, tk=tk, tn=tn,
+                                 ctr_stride=ctr_stride)
+            return jnp.sum(out) * jnp.float32(1e-20)
+
+        t_sketch = time_loop(body_fused, seed_words, A, iters_large=4)
+    else:
+        # CPU / no Pallas: time the lazy fill+GEMM path instead
+        dist = S.dist
+
+        def body_lazy(i, carry, a):
+            st = rb.RNGState.from_arrays(
+                jnp.zeros(4, jnp.uint32).at[0].set(
+                    (carry * 1e-30).astype(jnp.uint32)),
+                jnp.zeros(2, jnp.uint32))
+            s_mat = rb.fill_dense_submat(dist, st, d, m)
+            out = jnp.matmul(s_mat, a, preferred_element_type=jnp.float32)
+            return jnp.sum(out) * jnp.float32(1e-20)
+
+        t_sketch = time_loop(body_lazy, A, iters_large=3)
+
+    gflops = flops / t_sketch / 1e9
+    roof_gflops = flops / t_roof / 1e9
+    print(json.dumps({
+        "metric": "dense_gaussian_sketch_gflops_d1024_m65536_n4096_f32",
+        "value": round(gflops, 1),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(gflops / roof_gflops, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

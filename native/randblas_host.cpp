@@ -1,0 +1,191 @@
+// Native host-side engine: counter-based generation on CPU.
+//
+// An independent C++ implementation of the framework's sampling semantics
+// (Philox4x32-10 streams, counter-addressed dense fill, repeated
+// Fisher-Yates), compiled with OpenMP. Roles:
+//   1. fast host-side generation for data prep / test oracles (the JAX CPU
+//      path pays XLA dispatch overhead for small fills),
+//   2. an independent cross-check of the JAX/Pallas implementations: two
+//      implementations agreeing at the uint32 level pins the stream
+//      contract (tests/test_native.py).
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 dependency).
+// Build: make -C native  (produces librandblas_host.so)
+
+#include <cstdint>
+#include <cmath>
+#include <cstring>
+
+namespace {
+
+constexpr uint32_t M4_0 = 0xD2511F53u;
+constexpr uint32_t M4_1 = 0xCD9E8D57u;
+constexpr uint32_t W_0 = 0x9E3779B9u;
+constexpr uint32_t W_1 = 0xBB67AE85u;
+
+struct Ctr4 {
+    uint32_t v[4];
+};
+
+inline Ctr4 ctr_add64(const Ctr4 &c, uint64_t n) {
+    Ctr4 r = c;
+    uint64_t lo = (uint64_t)r.v[0] + (n & 0xFFFFFFFFull);
+    r.v[0] = (uint32_t)lo;
+    uint64_t c1 = (uint64_t)r.v[1] + (n >> 32) + (lo >> 32);
+    r.v[1] = (uint32_t)c1;
+    uint64_t c2 = (uint64_t)r.v[2] + (c1 >> 32);
+    r.v[2] = (uint32_t)c2;
+    r.v[3] += (uint32_t)(c2 >> 32);
+    return r;
+}
+
+inline void philox4x32_block(const Ctr4 &ctr, uint32_t k0, uint32_t k1,
+                             int rounds, uint32_t out[4]) {
+    uint32_t x0 = ctr.v[0], x1 = ctr.v[1], x2 = ctr.v[2], x3 = ctr.v[3];
+    for (int r = 0; r < rounds; ++r) {
+        if (r > 0) {
+            k0 += W_0;
+            k1 += W_1;
+        }
+        uint64_t p0 = (uint64_t)M4_0 * x0;
+        uint64_t p1 = (uint64_t)M4_1 * x2;
+        uint32_t hi0 = (uint32_t)(p0 >> 32), lo0 = (uint32_t)p0;
+        uint32_t hi1 = (uint32_t)(p1 >> 32), lo1 = (uint32_t)p1;
+        x0 = hi1 ^ x1 ^ k0;
+        x1 = lo1;
+        x2 = hi0 ^ x3 ^ k1;
+        x3 = lo0;
+    }
+    out[0] = x0;
+    out[1] = x1;
+    out[2] = x2;
+    out[3] = x3;
+}
+
+inline float u01f(uint32_t u) {
+    return (float)u * 0x1p-32f + 0x1p-33f;
+}
+
+inline float uneg11f(uint32_t u) {
+    return (float)(int32_t)u * 0x1p-31f + 0x1p-32f;
+}
+
+inline void boxmul(uint32_t u0, uint32_t u1, float *a, float *b) {
+    const float pi = 3.1415926535897932f;
+    float ang = pi * uneg11f(u0);
+    float r = std::sqrt(-2.0f * std::log(u01f(u1)));
+    *a = std::sin(ang) * r;
+    *b = std::cos(ang) * r;
+}
+
+inline void block_values(const Ctr4 &ctr, uint32_t k0, uint32_t k1,
+                         int gaussian, float out[4]) {
+    uint32_t rv[4];
+    philox4x32_block(ctr, k0, k1, 10, rv);
+    if (gaussian) {
+        boxmul(rv[0], rv[1], &out[0], &out[1]);
+        boxmul(rv[2], rv[3], &out[2], &out[3]);
+    } else {
+        for (int i = 0; i < 4; ++i)
+            out[i] = uneg11f(rv[i]);
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Raw Philox4x32 blocks for n counters laid out as uint32[n][4].
+void rbt_philox4x32(const uint32_t *ctrs, const uint32_t *key, int rounds,
+                    int64_t n, uint32_t *out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        Ctr4 c;
+        std::memcpy(c.v, ctrs + 4 * i, sizeof(c.v));
+        philox4x32_block(c, key[0], key[1], rounds, out + 4 * i);
+    }
+}
+
+// Counter-addressed row-major submatrix fill (float32).
+// Mirrors ops/dense_fill.fill_rowmajor: element (r, c) of the submatrix
+// reads lane (fbs + c) % 4 of counter base + ctr_mat_start +
+// r*stride + (fbs + c)/4. family: 1 = gaussian, 0 = uniform(-1,1)
+// (unscaled). Parallel over rows; output independent of thread count.
+void rbt_fill_rowmajor(int64_t n_cols_parent, int64_t n_srows,
+                       int64_t n_scols, int64_t ptr, const uint32_t *ctr,
+                       const uint32_t *key, int gaussian, float *out) {
+    const int64_t w = 4;
+    int64_t pad = (w - (n_cols_parent % w)) % w;
+    int64_t ptr_padded = ptr + (ptr / n_cols_parent) * pad;
+    int64_t ctr_mat_start = ptr_padded / w;
+    int64_t fbs = ptr_padded % w;
+    int64_t stride = (n_cols_parent + pad) / w;
+    int64_t nblk = (fbs + n_scols - 1) / w + 1;
+    Ctr4 seed;
+    std::memcpy(seed.v, ctr, sizeof(seed.v));
+    Ctr4 base = ctr_add64(seed, (uint64_t)ctr_mat_start);
+
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n_srows; ++r) {
+        Ctr4 row_ctr = ctr_add64(base, (uint64_t)r * (uint64_t)stride);
+        float vals[4];
+        int64_t written = 0;
+        for (int64_t b = 0; b < nblk && written < n_scols; ++b) {
+            block_values(ctr_add64(row_ctr, (uint64_t)b), key[0], key[1],
+                         gaussian, vals);
+            int64_t lane0 = (b == 0) ? fbs : 0;
+            for (int64_t l = lane0; l < 4 && written < n_scols; ++l)
+                out[r * n_scols + written++] = vals[l];
+        }
+    }
+}
+
+// Repeated Fisher-Yates without replacement: dim_minor vectors of vec_nnz
+// indices from {0..dim_major-1} plus +-1 values. idxs: int64[dim_minor *
+// vec_nnz], vals: float[dim_minor * vec_nnz]. Work vector restored between
+// vectors (submatrix reproducibility), parallel over vectors.
+void rbt_fisher_yates(const uint32_t *ctr, const uint32_t *key,
+                      int64_t vec_nnz, int64_t dim_major,
+                      int64_t dim_minor, int64_t *idxs, float *vals) {
+    Ctr4 seed;
+    std::memcpy(seed.v, ctr, sizeof(seed.v));
+
+#pragma omp parallel
+    {
+        // per-thread identity work vector (restored after each vector, so
+        // it can be reused across the vectors this thread owns)
+        int64_t *work = new int64_t[dim_major];
+        for (int64_t j = 0; j < dim_major; ++j)
+            work[j] = j;
+        int64_t *pivots = new int64_t[vec_nnz];
+
+#pragma omp for schedule(static)
+        for (int64_t i = 0; i < dim_minor; ++i) {
+            Ctr4 c = ctr_add64(seed, (uint64_t)i * (uint64_t)vec_nnz);
+            for (int64_t j = 0; j < vec_nnz; ++j) {
+                uint32_t rv[4];
+                philox4x32_block(c, key[0], key[1], 10, rv);
+                int64_t ell = j + (int64_t)(rv[0] % (uint32_t)(dim_major - j));
+                pivots[j] = ell;
+                int64_t swap = work[ell];
+                work[ell] = work[j];
+                work[j] = swap;
+                idxs[i * vec_nnz + j] = swap;
+                vals[i * vec_nnz + j] = (rv[1] % 2 == 0) ? 1.0f : -1.0f;
+                c = ctr_add64(c, 1);
+            }
+            // restore
+            for (int64_t j = vec_nnz; j > 0; --j) {
+                int64_t jj = j - 1;
+                int64_t swap = idxs[i * vec_nnz + jj];
+                int64_t ell = pivots[jj];
+                work[jj] = work[ell];
+                work[ell] = swap;
+            }
+        }
+        delete[] work;
+        delete[] pivots;
+    }
+}
+
+}  // extern "C"

@@ -1,0 +1,76 @@
+"""QB decomposition / randomized rangefinder with power iteration.
+
+TPU-native counterpart of the reference's sparse-low-rank-approx examples
+(svd_rank1_plus_noise.cc:217-300, qrcp_matrixmarket.cc:220-283): sketch the
+range of A with an implicit Gaussian operator, stabilize with QR between
+power-iteration passes, then compress. Works for dense (jnp array) and
+sparse (COO/CSR/CSC) data.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..base import require
+from ..dense import DenseDist, DenseSkOp
+from ..rng.state import RNGState
+from ..skge import sketch_general
+from ..sparse_data.spmm import left_spmm
+
+
+def _is_sparse(a) -> bool:
+    from ..sparse_data.coo import COOMatrix
+    from ..sparse_data.csc import CSCMatrix
+    from ..sparse_data.csr import CSRMatrix
+    return isinstance(a, (COOMatrix, CSRMatrix, CSCMatrix))
+
+
+def _apply(a, x):
+    """a @ x for dense or sparse a."""
+    if _is_sparse(a):
+        return left_spmm(a, x)
+    return jnp.matmul(a, x, preferred_element_type=x.dtype)
+
+
+def _apply_t(a, x):
+    """a.T @ x for dense or sparse a."""
+    if _is_sparse(a):
+        return left_spmm(a, x, op_a="T")
+    return jnp.matmul(a.T, x, preferred_element_type=x.dtype)
+
+
+def rangefinder(a, k: int, state: RNGState, power_iters: int = 2,
+                dtype=jnp.float32) -> jax.Array:
+    """Orthonormal Q (m x k) approximating range(A) via sketch + power
+    iteration with QR re-orthonormalization each pass."""
+    n_rows, n_cols = a.shape
+    require(k <= min(n_rows, n_cols), "rank must be <= min dim")
+    S = DenseSkOp(DenseDist(n_cols, k), state, dtype=dtype)
+    y = _apply(a, S.materialize())          # (m, k)
+    q, _ = jnp.linalg.qr(y)
+    for _ in range(power_iters):
+        z = _apply_t(a, q)
+        w, _ = jnp.linalg.qr(z)
+        y = _apply(a, w)
+        q, _ = jnp.linalg.qr(y)
+    return q
+
+
+def qb_decompose(a, k: int, state: RNGState, power_iters: int = 2,
+                 dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+    """A ~= Q @ B with Q (m x k) orthonormal, B = Q^T A (k x n)."""
+    q = rangefinder(a, k, state, power_iters, dtype)
+    b = _apply_t(a, q).T if _is_sparse(a) else jnp.matmul(
+        q.T, a, preferred_element_type=dtype)
+    return q, b
+
+
+def qb_to_svd(q: jax.Array, b: jax.Array):
+    """SVD of A from its QB factorization (svd_rank1_plus_noise.cc:264-300):
+    svd(B) on the small k x n factor, then U = Q Ub."""
+    ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    u = jnp.matmul(q, ub)
+    return u, s, vt

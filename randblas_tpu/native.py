@@ -1,0 +1,95 @@
+"""ctypes bindings for the native host engine (native/randblas_host.cpp).
+
+The native library is optional: ``available()`` gates every entry point,
+and the pure-JAX paths are always present. Build with ``make -C native``;
+this module also attempts an automatic one-time build if a compiler is
+present and the .so is missing.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SO_PATH = os.path.join(_REPO_ROOT, "native", "librandblas_host.so")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_SO_PATH):
+        try:
+            subprocess.run(["make", "-C",
+                            os.path.join(_REPO_ROOT, "native")],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.rbt_philox4x32.argtypes = [u32p, u32p, ctypes.c_int,
+                                   ctypes.c_int64, u32p]
+    lib.rbt_fill_rowmajor.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        u32p, u32p, ctypes.c_int, f32p]
+    lib.rbt_fisher_yates.argtypes = [
+        u32p, u32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i64p, f32p]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def philox4x32(ctrs: np.ndarray, key: np.ndarray,
+               rounds: int = 10) -> np.ndarray:
+    """Raw Philox blocks for uint32 counters of shape (n, 4)."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    ctrs = np.ascontiguousarray(ctrs, dtype=np.uint32).reshape(-1, 4)
+    key = np.ascontiguousarray(key, dtype=np.uint32)
+    out = np.empty_like(ctrs)
+    lib.rbt_philox4x32(ctrs, key, rounds, ctrs.shape[0], out)
+    return out
+
+
+def fill_rowmajor(n_cols_parent: int, n_srows: int, n_scols: int,
+                  ptr: int, ctr: np.ndarray, key: np.ndarray,
+                  gaussian: bool) -> np.ndarray:
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    ctr = np.ascontiguousarray(ctr, dtype=np.uint32)
+    key = np.ascontiguousarray(key, dtype=np.uint32)
+    out = np.empty((n_srows, n_scols), dtype=np.float32)
+    lib.rbt_fill_rowmajor(n_cols_parent, n_srows, n_scols, ptr, ctr, key,
+                          int(gaussian), out)
+    return out
+
+
+def fisher_yates(ctr: np.ndarray, key: np.ndarray, vec_nnz: int,
+                 dim_major: int, dim_minor: int):
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    ctr = np.ascontiguousarray(ctr, dtype=np.uint32)
+    key = np.ascontiguousarray(key, dtype=np.uint32)
+    idxs = np.empty((dim_minor, vec_nnz), dtype=np.int64)
+    vals = np.empty((dim_minor, vec_nnz), dtype=np.float32)
+    lib.rbt_fisher_yates(ctr, key, vec_nnz, dim_major, dim_minor,
+                         idxs.reshape(-1), vals.reshape(-1))
+    return idxs, vals

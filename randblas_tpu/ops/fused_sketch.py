@@ -119,25 +119,21 @@ def _kernel(seed_ref, a0, a1, a2, a3, out_ref, s_panel, *, d, tk,
         k_blocks = k.astype(jnp.uint32) * jnp.uint32(tk // 4)
         v0, v1, v2, v3 = _gen_panel_words(seed_ref, d, tk, ctr_stride,
                                           k_blocks, gaussian)
-        s_panel[0] = v0
-        s_panel[1] = v1
-        s_panel[2] = v2
-        s_panel[3] = v3
+        s_panel[0] = v0.astype(jnp.bfloat16)
+        s_panel[1] = v1.astype(jnp.bfloat16)
+        s_panel[2] = v2.astype(jnp.bfloat16)
+        s_panel[3] = v3.astype(jnp.bfloat16)
 
     # bf16 inputs, f32 accumulation: the same effective precision XLA picks
     # for f32 GEMMs under --xla_allow_excess_precision (the roofline we
     # compare against); one MXU pass instead of three.
-    contrib = jnp.dot(s_panel[0].astype(jnp.bfloat16),
-                      a0[:].astype(jnp.bfloat16),
+    contrib = jnp.dot(s_panel[0], a0[:],
                       preferred_element_type=jnp.float32)
-    contrib += jnp.dot(s_panel[1].astype(jnp.bfloat16),
-                       a1[:].astype(jnp.bfloat16),
+    contrib += jnp.dot(s_panel[1], a1[:],
                        preferred_element_type=jnp.float32)
-    contrib += jnp.dot(s_panel[2].astype(jnp.bfloat16),
-                       a2[:].astype(jnp.bfloat16),
+    contrib += jnp.dot(s_panel[2], a2[:],
                        preferred_element_type=jnp.float32)
-    contrib += jnp.dot(s_panel[3].astype(jnp.bfloat16),
-                       a3[:].astype(jnp.bfloat16),
+    contrib += jnp.dot(s_panel[3], a3[:],
                        preferred_element_type=jnp.float32)
     if alpha != 1.0:
         contrib = jnp.float32(alpha) * contrib
@@ -165,7 +161,7 @@ def _pick_tiles(d: int, m: int, n: int):
         return max(t, mult)
 
     # S-panel scratch = d*TK*4 bytes; cap at ~4MB.
-    tk_budget = max(256, ((4 * 1024 * 1024) // (4 * d)) // 4 * 4)
+    tk_budget = max(256, ((8 * 1024 * 1024) // (2 * d)) // 4 * 4)
     tk = largest_divisor_leq(m, min(tk_budget, 4096), 4)
     tn = largest_divisor_leq(n, 512, 128) if n >= 128 else n
     return tk, tn
@@ -182,7 +178,7 @@ def _fused_call(seed_words, A, *, d, m, gaussian, alpha, tk, tn,
     # free row-major view: row of a4 packs the 4 lanes' data rows side by
     # side — a4[b, l*n + c] == A[4b + l, c]; lane l's (nb, tn) block is a
     # 2-D aligned slab.
-    a4 = A.reshape(m // 4, 4 * n)
+    a4 = A.astype(jnp.bfloat16).reshape(m // 4, 4 * n)
     kernel = functools.partial(_kernel, d=d, tk=tk, ctr_stride=ctr_stride,
                                gaussian=gaussian, alpha=alpha)
     flops = 2 * d * m * n
@@ -205,7 +201,7 @@ def _fused_call(seed_words, A, *, d, m, gaussian, alpha, tk, tn,
         out_specs=pl.BlockSpec((d, tn), lambda k, j: (0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((4, d, nb), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((4, d, nb), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),

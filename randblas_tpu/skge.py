@@ -29,6 +29,19 @@ from .sparse import SparseSkOp
 
 SkOp = Union[DenseSkOp, SparseSkOp]
 
+# Fused-kernel dispatch policy: "auto" uses the Pallas RNG-in-GEMM kernel
+# on TPU whenever the call shape qualifies; True forces it (errors if
+# unsupported); False always materializes the operator block first.
+use_fused = "auto"
+
+
+def _tpu_backend() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu",) or \
+            "TPU" in getattr(jax.devices()[0], "device_kind", "")
+    except Exception:
+        return False
+
 
 def _as_op(op) -> Op:
     if isinstance(op, Op):
@@ -62,6 +75,21 @@ def _dense_block(S: DenseSkOp, rows_s: int, cols_s: int, ro_s: int,
 
 def _matmul(a, b, dtype):
     return jnp.matmul(a, b, preferred_element_type=dtype)
+
+
+def _fused_eligible(S: DenseSkOp, rows_s: int, cols_s: int, ro_s: int,
+                    co_s: int, op_s: Op, dtype, n: int) -> bool:
+    if use_fused is False:
+        return False
+    if S.materialized is not None:
+        return False
+    from .ops.fused_sketch import fused_sketch_supported
+    ok = fused_sketch_supported(S.dist, rows_s, cols_s, ro_s, co_s, op_s,
+                                dtype, n)
+    if use_fused is True:
+        require(ok, "fused sketch path forced but call is unsupported")
+        return True
+    return ok and _tpu_backend()
 
 
 def _sparse_left_apply(S: SparseSkOp, d: int, m: int, ro_s: int, co_s: int,
@@ -133,6 +161,9 @@ def sketch_general(
         if isinstance(S, SparseSkOp):
             prod = _sparse_left_apply(S, d, m, ro_s, co_s, op_s, a_mat,
                                       alpha)
+        elif _fused_eligible(S, rows_s, cols_s, ro_s, co_s, op_s, dtype, n):
+            from .ops.fused_sketch import fused_sketch
+            prod = fused_sketch(S, a_mat, alpha=float(alpha))
         else:
             s_blk = _dense_block(S, rows_s, cols_s, ro_s, co_s, op_s, dtype)
             prod = jnp.asarray(alpha, dtype) * _matmul(s_blk, a_mat, dtype)

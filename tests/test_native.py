@@ -1,0 +1,80 @@
+"""Cross-validation of the native C++ host engine against the JAX paths.
+
+Two independent implementations agreeing at the uint32 level pins the
+stream contract (the role KATs + thread-invariance tests play in the
+reference's CI).
+"""
+
+import numpy as np
+import pytest
+
+from randblas_tpu import native
+from randblas_tpu import (
+    DenseDist, DenseDistName, RNGState, fill_dense_submat,
+    repeated_fisher_yates,
+)
+from randblas_tpu.rng import philox4x32
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library not built")
+
+
+def test_native_philox_matches_jax():
+    rng = np.random.default_rng(0)
+    ctrs = rng.integers(0, 2 ** 32, size=(64, 4), dtype=np.uint32)
+    key = rng.integers(0, 2 ** 32, size=(2,), dtype=np.uint32)
+    got = native.philox4x32(ctrs, key)
+    want = np.asarray(philox4x32(ctrs, key))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native_philox_kat():
+    ctr = np.array([0x243F6A88, 0x85A308D3, 0x13198A2E, 0x03707344],
+                   dtype=np.uint32)
+    key = np.array([0xA4093822, 0x299F31D0], dtype=np.uint32)
+    out = native.philox4x32(ctr[None], key)[0]
+    np.testing.assert_array_equal(
+        out, np.array([0xD16CFE09, 0x94FDCCEB, 0x5001E420, 0x24126EA1],
+                      dtype=np.uint32))
+
+
+@pytest.mark.parametrize("family,gaussian",
+                         [(DenseDistName.Gaussian, True),
+                          (DenseDistName.Uniform, False)])
+def test_native_fill_matches_jax(family, gaussian):
+    dist = DenseDist(9, 23, family)
+    state = RNGState.from_key(5)
+    want = np.asarray(fill_dense_submat(dist, state, 6, 17, 2, 3))
+    if family == DenseDistName.Uniform:
+        want = want / np.float32(np.sqrt(3.0))  # native returns unscaled
+    # dist natural layout is RowMajor (wide+Long): parent cols = 23
+    got = native.fill_rowmajor(23, 6, 17, 2 * 23 + 3,
+                               np.zeros(4, np.uint32),
+                               np.array([5, 0], np.uint32), gaussian)
+    tol = 1e-3 if gaussian else 1e-6  # float transform tolerance
+    np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+
+def test_native_fisher_yates_matches_jax():
+    idxs_j, vals_j = repeated_fisher_yates(RNGState.from_key(7), 4, 30, 12)
+    idxs_n, vals_n = native.fisher_yates(np.zeros(4, np.uint32),
+                                         np.array([7, 0], np.uint32),
+                                         4, 30, 12)
+    np.testing.assert_array_equal(np.asarray(idxs_j), idxs_n)
+    np.testing.assert_array_equal(np.asarray(vals_j), vals_n)
+
+
+def test_native_thread_count_invariance():
+    """Output independent of OMP thread count (the reference's core
+    multithreading test, test_denseskop.cc:300-341)."""
+    import os
+    ctr = np.zeros(4, np.uint32)
+    key = np.array([3, 0], np.uint32)
+    ref = native.fill_rowmajor(40, 32, 40, 0, ctr, key, True)
+    # OMP_NUM_THREADS is process-wide at first parallel region; instead
+    # check determinism across repeated calls and against a sliced call.
+    again = native.fill_rowmajor(40, 32, 40, 0, ctr, key, True)
+    np.testing.assert_array_equal(ref, again)
+    # row-block consistency: rows [8:16] generated standalone
+    part = native.fill_rowmajor(40, 8, 40, 8 * 40, ctr, key, True)
+    np.testing.assert_array_equal(ref[8:16], part)
