@@ -49,7 +49,7 @@ def main():
         out = jnp.matmul(x, a, preferred_element_type=jnp.float32)
         return jnp.sum(out) * jnp.float32(1e-20)
 
-    t_roof = time_loop(body_gemm, Smat, A, iters_large=4)
+    t_roof = time_loop(body_gemm, Smat, A, iters_large=6)
 
     # --- fused sketch ------------------------------------------------------
     on_tpu = jax.devices()[0].platform == "tpu" or \
@@ -65,7 +65,7 @@ def main():
                                  ctr_stride=ctr_stride)
             return jnp.sum(out) * jnp.float32(1e-20)
 
-        t_sketch = time_loop(body_fused, seed_words, A, iters_large=4)
+        t_sketch = time_loop(body_fused, seed_words, A, iters_large=6)
     else:
         # CPU / no Pallas: time the lazy fill+GEMM path instead
         dist = S.dist

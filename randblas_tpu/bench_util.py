@@ -47,6 +47,6 @@ def time_loop(make_body, *operands, iters_small: int = 1,
         return time.perf_counter() - t0
 
     # distinct carry seeds defeat any same-dispatch result caching
-    t_small = min(timed(run_small, 1.0 + k) for k in range(2))
-    t_large = min(timed(run_large, 3.0 + k) for k in range(2))
+    t_small = min(timed(run_small, 1.0 + k) for k in range(3))
+    t_large = min(timed(run_large, 10.0 + k) for k in range(3))
     return max(t_large - t_small, 1e-9) / (iters_large - iters_small)

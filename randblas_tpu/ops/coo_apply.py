@@ -42,6 +42,68 @@ def coo_left_apply(
     return alpha * out.astype(b.dtype)
 
 
+def coo_left_apply_panels(
+    rows: jax.Array,
+    cols: jax.Array,
+    vals: jax.Array,
+    b: jax.Array,          # (m, n)
+    d: int,
+    m: int,
+    ro: int = 0,
+    co: int = 0,
+    alpha=1.0,
+    panel: int = 8192,
+) -> jax.Array:
+    """alpha * submat(Asp) @ b via densified operator *panels* + MXU GEMM.
+
+    For sketching-shaped operands (small d, large m, many output columns)
+    this beats gather/segment-sum by orders of magnitude: segment-sum moves
+    nnz*n elements through HBM, while densify-panels moves d*m (the panel
+    scatters) plus one GEMM — the MXU does the heavy lifting. Dispatch is
+    in coo_left_apply_auto.
+    """
+    r = rows.astype(jnp.int32) - jnp.int32(ro)
+    c = cols.astype(jnp.int32) - jnp.int32(co)
+    window = (r >= 0) & (r < d) & (c >= 0) & (c < m)
+    w_all = jnp.where(window, vals, jnp.zeros((), vals.dtype)).astype(
+        b.dtype)
+    panel = min(panel, m)
+    n_panels = -(-m // panel)
+    m_pad = n_panels * panel
+    n = b.shape[1]
+    b_pad = jnp.pad(b, ((0, m_pad - m), (0, 0))) if m_pad != m else b
+
+    def step(acc, p):
+        c0 = p * panel
+        in_panel = (c >= c0) & (c < c0 + panel)
+        w = jnp.where(in_panel, w_all, jnp.zeros((), b.dtype))
+        r_safe = jnp.where(in_panel & window, r, 0)
+        c_safe = jnp.where(in_panel & window, c - c0, 0)
+        s_panel = jnp.zeros((d, panel), dtype=b.dtype)
+        s_panel = s_panel.at[r_safe, c_safe].add(w)
+        b_panel = jax.lax.dynamic_slice(b_pad, (c0, 0), (panel, n))
+        acc = acc + jnp.matmul(s_panel, b_panel,
+                               preferred_element_type=b.dtype)
+        return acc, None
+
+    acc0 = jnp.zeros((d, n), dtype=b.dtype)
+    acc, _ = jax.lax.scan(step, acc0, jnp.arange(n_panels))
+    return jnp.asarray(alpha, b.dtype) * acc
+
+
+def coo_left_apply_auto(rows, cols, vals, b, d, m, ro=0, co=0, alpha=1.0
+                        ) -> jax.Array:
+    """Heuristic dispatch between gather/segment-sum (cheap for skinny b)
+    and densify-panels + GEMM (cheap for wide b)."""
+    nnz = rows.shape[0]
+    n = b.shape[1]
+    # segment-sum traffic ~ nnz*n; densify traffic ~ d*m + GEMM flops.
+    if nnz * n > 4 * d * m or (n >= 64 and nnz * n > (1 << 22)):
+        return coo_left_apply_panels(rows, cols, vals, b, d, m, ro, co,
+                                     alpha)
+    return coo_left_apply(rows, cols, vals, b, d, m, ro, co, alpha)
+
+
 def coo_densify(
     rows: jax.Array,
     cols: jax.Array,

@@ -102,38 +102,56 @@ def _gen_panel_words(seed_ref, d: int, tk: int, ctr_stride: int,
     return v0, v1, v2, v3
 
 
-def _kernel(seed_ref, a0, a1, a2, a3, out_ref, s_panel, *, d, tk,
+def _kernel(seed_ref, a0, a1, a2, a3, out_ref, s_panel, *, d, tk, n_k,
             ctr_stride, gaussian, alpha):
-    """Grid (n_k, n_j), k outer. s_panel: VMEM (4, d, tk//4) — operator
-    panel split by Philox lane. Lane l of counter block b is operator
-    column 4b + l; the matching data rows arrive pre-split as a0..a3
-    (lane-l blocks of A viewed as (m//4, 4, n)), so no in-kernel lane
-    interleave (Mosaic has no cheap 4-way minor-dim shuffle) — instead the
-    contraction is four MXU dots, one per lane.
+    """Grid (n_k, n_j), k OUTER: each operator panel is generated exactly
+    once per sketch and reused across the j sweep; the (d, tn) output block
+    accumulates in place (HBM revisits — cheaper than regenerating panels
+    per j for realistic n).
+
+    s_panel: VMEM (4, d, tk//4) f32 — the current panel split by
+    Philox lane (lane l of counter block b is operator column 4b + l; the
+    matching data rows arrive pre-split as a0..a3, lane slabs of A viewed
+    as (m//4, 4n), avoiding any in-kernel minor-dim interleave — the
+    contraction is four MXU dots, one per lane).
+
+    bf16 casts happen at dot time (the effective precision XLA picks for
+    f32 GEMMs under --xla_allow_excess_precision — the roofline GEMM);
+    casting A outside the kernel would cost a full extra HBM pass, and a
+    bf16 scratch costs an extra relayout (both measured slower).
+
+    Measured variants that LOST to this structure on v5e (keep for the
+    record): k-inner with VMEM-resident output (per-step full-width
+    accumulates dominate), double-buffered panels with dynamic slot
+    indexing (dynamic VMEM addressing in the dot operands), whole-A bf16
+    pre-cast (extra HBM pass), bf16 panel scratch (relayout).
     """
+    del n_k  # single-buffer structure needs no lookahead
     k = pl.program_id(0)
     j = pl.program_id(1)
+    nb = tk // 4
 
     @pl.when(j == 0)
     def _():
-        k_blocks = k.astype(jnp.uint32) * jnp.uint32(tk // 4)
+        k_blocks = k.astype(jnp.uint32) * jnp.uint32(nb)
         v0, v1, v2, v3 = _gen_panel_words(seed_ref, d, tk, ctr_stride,
                                           k_blocks, gaussian)
-        s_panel[0] = v0.astype(jnp.bfloat16)
-        s_panel[1] = v1.astype(jnp.bfloat16)
-        s_panel[2] = v2.astype(jnp.bfloat16)
-        s_panel[3] = v3.astype(jnp.bfloat16)
+        s_panel[0] = v0
+        s_panel[1] = v1
+        s_panel[2] = v2
+        s_panel[3] = v3
 
-    # bf16 inputs, f32 accumulation: the same effective precision XLA picks
-    # for f32 GEMMs under --xla_allow_excess_precision (the roofline we
-    # compare against); one MXU pass instead of three.
-    contrib = jnp.dot(s_panel[0], a0[:],
+    contrib = jnp.dot(s_panel[0].astype(jnp.bfloat16),
+                      a0[:].astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
-    contrib += jnp.dot(s_panel[1], a1[:],
+    contrib += jnp.dot(s_panel[1].astype(jnp.bfloat16),
+                       a1[:].astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
-    contrib += jnp.dot(s_panel[2], a2[:],
+    contrib += jnp.dot(s_panel[2].astype(jnp.bfloat16),
+                       a2[:].astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
-    contrib += jnp.dot(s_panel[3], a3[:],
+    contrib += jnp.dot(s_panel[3].astype(jnp.bfloat16),
+                       a3[:].astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
     if alpha != 1.0:
         contrib = jnp.float32(alpha) * contrib
@@ -148,10 +166,12 @@ def _kernel(seed_ref, a0, a1, a2, a3, out_ref, s_panel, *, d, tk,
 
 
 def _pick_tiles(d: int, m: int, n: int):
-    """Pick (TK, TN) under a ~12MB VMEM budget.
+    """Pick (TK, TN) for the j-outer/k-inner kernel.
 
-    Budget: S-panel scratch (d*TK*4) ~4MB; A blocks (TK*TN*4) and out
-    blocks (d*TN*4) are double-buffered by the pipeline.
+    TN as large as the VMEM accumulator affords (out tile d*TN*4 bytes,
+    target <= 16MB) — bigger TN means fewer operator regenerations (panels
+    regenerate once per j group). TK modest (panels are double-buffered:
+    2 * 4 * d * TK/4 * 2 bytes).
     """
     def largest_divisor_leq(x, start, mult):
         t = min(start, x)
@@ -160,17 +180,17 @@ def _pick_tiles(d: int, m: int, n: int):
             t -= mult
         return max(t, mult)
 
-    # S-panel scratch = d*TK*4 bytes; cap at ~4MB.
-    tk_budget = max(256, ((8 * 1024 * 1024) // (2 * d)) // 4 * 4)
+    # panel scratch = 2 * d * TK * 4 bytes; target <= 16MB
+    tk_budget = max(256, ((16 * 1024 * 1024) // (8 * d)) // 4 * 4)
     tk = largest_divisor_leq(m, min(tk_budget, 4096), 4)
     tn = largest_divisor_leq(n, 512, 128) if n >= 128 else n
     return tk, tn
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "d", "m", "gaussian", "alpha", "tk", "tn", "ctr_stride"))
+    "d", "m", "gaussian", "alpha", "tk", "tn", "ctr_stride", "interpret"))
 def _fused_call(seed_words, A, *, d, m, gaussian, alpha, tk, tn,
-                ctr_stride):
+                ctr_stride, interpret=False):
     n = A.shape[1]
     n_k = m // tk
     n_j = n // tn
@@ -178,8 +198,12 @@ def _fused_call(seed_words, A, *, d, m, gaussian, alpha, tk, tn,
     # free row-major view: row of a4 packs the 4 lanes' data rows side by
     # side — a4[b, l*n + c] == A[4b + l, c]; lane l's (nb, tn) block is a
     # 2-D aligned slab.
-    a4 = A.astype(jnp.bfloat16).reshape(m // 4, 4 * n)
-    kernel = functools.partial(_kernel, d=d, tk=tk, ctr_stride=ctr_stride,
+    # free row-major view: a4[b, l*n + c] == A[4b + l, c]; lane l's
+    # (nb, tn) block is a 2-D aligned slab. No dtype cast here — that
+    # would add a full HBM pass over A.
+    a4 = A.reshape(m // 4, 4 * n)
+    kernel = functools.partial(_kernel, d=d, tk=tk, n_k=n_k,
+                               ctr_stride=ctr_stride,
                                gaussian=gaussian, alpha=alpha)
     flops = 2 * d * m * n
 
@@ -193,6 +217,7 @@ def _fused_call(seed_words, A, *, d, m, gaussian, alpha, tk, tn,
     return pl.pallas_call(
         kernel,
         grid=(n_k, n_j),
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec((1, 8), lambda k, j: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -201,9 +226,9 @@ def _fused_call(seed_words, A, *, d, m, gaussian, alpha, tk, tn,
         out_specs=pl.BlockSpec((d, tn), lambda k, j: (0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((4, d, nb), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((4, d, nb), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -238,10 +263,11 @@ def fused_sketch_supported(dist, n_rows: int, n_cols: int, ro_s: int,
     return True
 
 
-def fused_sketch(S, A, alpha=1.0):
+def fused_sketch(S, A, alpha=1.0, interpret=False):
     """B = alpha * S @ A with the operator generated inside the kernel.
 
     S: a lazy DenseSkOp satisfying fused_sketch_supported; A: (m, n) f32.
+    interpret=True runs the Pallas interpreter (CPU CI coverage).
     """
     from ..dense import DenseDistName, major_axis_length
 
@@ -261,4 +287,4 @@ def fused_sketch(S, A, alpha=1.0):
     gaussian = S.dist.family == DenseDistName.Gaussian
     return _fused_call(seed_words, A, d=d, m=m, gaussian=gaussian,
                        alpha=float(alpha), tk=tk, tn=tn,
-                       ctr_stride=ctr_stride)
+                       ctr_stride=ctr_stride, interpret=interpret)

@@ -131,6 +131,25 @@ class RNGState:
             new_key = ctr_add64(self.key, lo, hi)
         return RNGState(self.counter, new_key, self.rng)
 
+    # -- checkpoint / resume ---------------------------------------------
+
+    def to_dict(self) -> dict:
+        """Plain-python snapshot: the COMPLETE resumable state of a sketch
+        stream (the reference's logical checkpoint, SURVEY.md §5). Stable
+        across versions; json/msgpack-safe."""
+        return {
+            "rng": self.rng,
+            "counter": [int(w) for w in np.asarray(
+                jax.device_get(self.counter))],
+            "key": [int(w) for w in np.asarray(jax.device_get(self.key))],
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "RNGState":
+        return RNGState.from_arrays(
+            np.asarray(d["counter"], dtype=np.uint32),
+            np.asarray(d["key"], dtype=np.uint32), d["rng"])
+
     # -- convenience ---------------------------------------------------------
 
     def counter_as_int(self) -> int:

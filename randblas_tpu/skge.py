@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from .base import Op, Side, dims_before_op, require
 from .dense import DenseSkOp
-from .ops.coo_apply import coo_left_apply
+from .ops.coo_apply import coo_left_apply_auto as coo_left_apply
 from .sparse import SparseSkOp
 
 SkOp = Union[DenseSkOp, SparseSkOp]

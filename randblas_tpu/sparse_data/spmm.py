@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..base import Op, require
-from ..ops.coo_apply import coo_left_apply
+from ..ops.coo_apply import coo_left_apply_auto as coo_left_apply
 from .conversions import to_coo
 
 

@@ -1,0 +1,65 @@
+"""Fused Pallas kernel: interpreter-mode coverage on CPU.
+
+The real kernel is exercised on TPU (see .claude/skills/verify); here the
+kernel logic (counter addressing inside tiles, lane-split contraction,
+accumulation) runs under the Pallas interpreter against the materialize
+oracle.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from randblas_tpu import DenseDist, DenseDistName, DenseSkOp, RNGState, Op
+from randblas_tpu.ops.fused_sketch import (
+    fused_sketch, fused_sketch_supported,
+)
+
+
+@pytest.mark.parametrize("family", [DenseDistName.Gaussian,
+                                    DenseDistName.Uniform])
+def test_fused_interpret_matches_materialize(family):
+    d, m, n = 16, 512, 128
+    S = DenseSkOp(DenseDist(d, m, family), RNGState.from_key(3))
+    A = jnp.asarray(
+        np.random.default_rng(0).normal(size=(m, n)).astype(np.float32))
+    got = np.asarray(fused_sketch(S, A, alpha=0.5, interpret=True))
+    want = 0.5 * np.asarray(S.materialize()) @ np.asarray(A)
+    # kernel contracts in bf16 x bf16 -> f32 (like XLA's f32 GEMM on TPU);
+    # the CPU oracle matmul is true f32, so compare at bf16 input accuracy
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
+
+
+def test_fused_multi_panel_accumulation():
+    # multiple k panels and j blocks
+    d, m, n = 8, 2048, 256
+    S = DenseSkOp(DenseDist(d, m), RNGState.from_key(9))
+    A = jnp.asarray(
+        np.random.default_rng(1).normal(size=(m, n)).astype(np.float32))
+    got = np.asarray(fused_sketch(S, A, interpret=True))
+    want = np.asarray(S.materialize()) @ np.asarray(A)
+    # bf16 contraction inside the kernel vs f32 oracle
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
+
+
+def test_supported_predicate():
+    g = DenseDist(64, 1024)
+    assert fused_sketch_supported(g, 64, 1024, 0, 0, Op.NoTrans,
+                                  jnp.float32, 256)
+    # submatrix -> no
+    assert not fused_sketch_supported(g, 32, 1024, 0, 0, Op.NoTrans,
+                                      jnp.float32, 256)
+    assert not fused_sketch_supported(g, 64, 1024, 4, 0, Op.NoTrans,
+                                      jnp.float32, 256)
+    # transposed -> no
+    assert not fused_sketch_supported(g, 1024, 64, 0, 0, Op.Trans,
+                                      jnp.float32, 256)
+    # f64 -> no
+    assert not fused_sketch_supported(g, 64, 1024, 0, 0, Op.NoTrans,
+                                      jnp.float64, 256)
+    # tall Long operator (natural ColMajor) -> no
+    tall = DenseDist(1024, 64)
+    assert not fused_sketch_supported(tall, 1024, 64, 0, 0, Op.NoTrans,
+                                      jnp.float32, 256)
