@@ -1,0 +1,147 @@
+"""The five BASELINE.json benchmark configs, one JSON line each.
+
+1. LSKGE3: dense Gaussian sketch S@A of a tall data matrix (TLS shape)
+2. RSKGE3 + submatrix views: A @ op(S) with a uniform DenseSkOp
+3. LSKGES: SASO sketch of dense data, vec_nnz=8
+4. Sketching sparse data: COO/CSR/CSC SpMM vs dense sketch operator
+5. sketch_symmetric + sketch_vector + QB rangefinder pipeline
+
+Run: python benchmarks/run_all.py [--small]
+(--small shrinks shapes for CPU smoke runs.)
+"""
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np                                             # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import randblas_tpu as rb
+    from randblas_tpu.bench_util import time_loop
+    from randblas_tpu.sparse_data import COOMatrix, left_spmm
+
+    small = "--small" in sys.argv
+    scale = 8 if small else 1
+
+    results = []
+
+    def report(name, seconds, flops=None, unit="s"):
+        rec = {"metric": name, "value": round(seconds, 6), "unit": "s"}
+        if flops:
+            rec["gflops"] = round(flops / seconds / 1e9, 1)
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # ---- config 1: LSKGE3 TLS shape ------------------------------------
+    m, n = 100_000 // scale, 2_000 // scale
+    d = 2 * (n + 1)
+    A = jnp.asarray(
+        np.random.default_rng(0).normal(size=(m, n)).astype(np.float32))
+    dist = rb.DenseDist(d, m)
+
+    def body1(i, carry, a):
+        st = rb.RNGState.from_arrays(
+            jnp.zeros(4, jnp.uint32).at[0].set(
+                (carry * 1e-30).astype(jnp.uint32) + i.astype(jnp.uint32)),
+            jnp.zeros(2, jnp.uint32))
+        S = rb.DenseSkOp(dist, st)
+        out = rb.sketch_general(S, a)
+        return jnp.sum(out) * jnp.float32(1e-20)
+
+    report("lskge3_tls_100kx2k_f32", time_loop(body1, A, iters_large=3),
+           flops=2.0 * d * m * n)
+
+    # ---- config 2: RSKGE3 + submatrix, uniform -------------------------
+    rows, mm, dd = 4_000 // scale, 8_192 // scale, 512 // scale
+    A2 = jnp.asarray(
+        np.random.default_rng(1).normal(size=(rows, mm)).astype(np.float32))
+    dist2 = rb.DenseDist(mm + 8, dd + 8, rb.DenseDistName.Uniform)
+
+    def body2(i, carry, a):
+        st = rb.RNGState.from_arrays(
+            jnp.zeros(4, jnp.uint32).at[0].set(
+                (carry * 1e-30).astype(jnp.uint32) + i.astype(jnp.uint32)),
+            jnp.zeros(2, jnp.uint32))
+        S = rb.DenseSkOp(dist2, st)
+        out = rb.sketch_general(S, a, side="right", d=dd, ro_s=8, co_s=8)
+        return jnp.sum(out) * jnp.float32(1e-20)
+
+    report("rskge3_submatrix_uniform", time_loop(body2, A2, iters_large=3),
+           flops=2.0 * rows * mm * dd)
+
+    # ---- config 3: LSKGES SASO vec_nnz=8 --------------------------------
+    m3, n3, d3 = 65_536 // scale, 2_048 // scale, 1_024 // scale
+    A3 = jnp.asarray(
+        np.random.default_rng(2).normal(size=(m3, n3)).astype(np.float32))
+    sdist = rb.SparseDist(d3, m3, vec_nnz=8)
+
+    def body3(i, carry, a):
+        st = rb.RNGState.from_arrays(
+            jnp.zeros(4, jnp.uint32).at[0].set(
+                (carry * 1e-30).astype(jnp.uint32) + i.astype(jnp.uint32)),
+            jnp.zeros(2, jnp.uint32))
+        S = rb.SparseSkOp(sdist, st)
+        out = rb.sketch_general(S, a)
+        return jnp.sum(out) * jnp.float32(1e-20)
+
+    report("lskges_saso_vecnnz8", time_loop(body3, A3, iters_large=3),
+           flops=2.0 * 8 * m3 * n3)
+
+    # ---- config 4: sparse data SpMM with a dense operator ---------------
+    m4, n4, d4 = 20_000 // scale, 10_000 // scale, 512 // scale
+    rng = np.random.default_rng(3)
+    nnz4 = (m4 * n4) // 200
+    rows4 = rng.integers(0, m4, nnz4)
+    cols4 = rng.integers(0, n4, nnz4)
+    vals4 = rng.normal(size=nnz4).astype(np.float32)
+    Asp = COOMatrix.from_arrays(m4, n4, rows4, cols4, vals4)
+    op_dist = rb.DenseDist(d4, m4)
+
+    def body4(i, carry, r, c, v):
+        st = rb.RNGState.from_arrays(
+            jnp.zeros(4, jnp.uint32).at[0].set(
+                (carry * 1e-30).astype(jnp.uint32) + i.astype(jnp.uint32)),
+            jnp.zeros(2, jnp.uint32))
+        S = rb.DenseSkOp(op_dist, st)
+        sp = COOMatrix(r, c, v, m4, n4)
+        out = rb.sketch_sparse(S, sp, side="left")
+        return jnp.sum(out) * jnp.float32(1e-20)
+
+    report("sketch_sparse_coo",
+           time_loop(body4, Asp.rows, Asp.cols, Asp.vals, iters_large=3),
+           flops=2.0 * d4 * nnz4)
+
+    # ---- config 5: wrappers + QB rangefinder pipeline -------------------
+    nq = 4_000 // scale
+    kq = 64
+    Aq_np = np.random.default_rng(4).normal(size=(nq, nq)).astype(
+        np.float32)
+    Aq_np = Aq_np + Aq_np.T
+    Aq = jnp.asarray(Aq_np)
+    sym_dist = rb.DenseDist(kq, nq)
+
+    def body5(i, carry, a):
+        st = rb.RNGState.from_arrays(
+            jnp.zeros(4, jnp.uint32).at[0].set(
+                (carry * 1e-30).astype(jnp.uint32) + i.astype(jnp.uint32)),
+            jnp.zeros(2, jnp.uint32))
+        S = rb.DenseSkOp(sym_dist, st)
+        B = rb.sketch_symmetric(S, a)                   # (k, n)
+        y = rb.sketch_vector(S, a[:, 0])                # (k,)
+        q, _ = jnp.linalg.qr(B.T)                       # rangefinder step
+        return (jnp.sum(q) + jnp.sum(y)) * jnp.float32(1e-20)
+
+    report("wrappers_qb_pipeline", time_loop(body5, Aq, iters_large=3))
+
+    print(json.dumps({"suite": "baseline_configs",
+                      "results": len(results)}))
+
+
+if __name__ == "__main__":
+    main()

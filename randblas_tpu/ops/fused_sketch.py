@@ -180,10 +180,16 @@ def _pick_tiles(d: int, m: int, n: int):
             t -= mult
         return max(t, mult)
 
-    # panel scratch = 2 * d * TK * 4 bytes; target <= 16MB
-    tk_budget = max(256, ((16 * 1024 * 1024) // (8 * d)) // 4 * 4)
-    tk = largest_divisor_leq(m, min(tk_budget, 4096), 4)
-    tn = largest_divisor_leq(n, 512, 128) if n >= 128 else n
+    # TN as large as the VMEM accumulator affords (out tile d*TN*4 <=
+    # ~16MB): with the out block resident across the whole k sweep, out
+    # traffic vanishes and each panel is generated exactly once per j
+    # group. Measured on v5e at (d=1024, m=65536, n=4096): TK=512/TN=4096
+    # reaches 0.95 of the materialized-GEMM roofline, vs 0.64 for
+    # TK=2048/TN=512.
+    tn_budget = max(128, ((16 * 1024 * 1024) // (4 * d)) // 128 * 128)
+    tn = largest_divisor_leq(n, min(tn_budget, 8192), 128) \
+        if n >= 128 else n
+    tk = largest_divisor_leq(m, 512, 4)
     return tk, tn
 
 
