@@ -91,6 +91,34 @@ def coo_left_apply_panels(
     return jnp.asarray(alpha, b.dtype) * acc
 
 
+def fixed_nnz_left_apply(
+    idxs_major: jax.Array,   # (m, k) output-row index per data row, per t
+    vals: jax.Array,         # (m, k) +-1 values
+    b: jax.Array,            # (m, n)
+    d: int,
+    alpha=1.0,
+) -> jax.Array:
+    """SASO-wide apply via the fixed-nnz structure: every data row c
+    contributes to exactly k output rows, so S @ b = sum_t
+    segment_sum(vals[:, t] * b, idxs_major[:, t]) — k reweighted passes
+    over b, no nnz*n gather blowup and no scatter into operator panels.
+    The TPU counterpart of the reference's "regular CSC" fast path
+    (csc_spmm_impl.hh:68-88).
+    """
+    k = idxs_major.shape[1]
+
+    def step(acc, t):
+        w = vals[:, t].astype(b.dtype)
+        contrib = jax.ops.segment_sum(w[:, None] * b,
+                                      idxs_major[:, t].astype(jnp.int32),
+                                      num_segments=d)
+        return acc + contrib, None
+
+    acc0 = jnp.zeros((d, b.shape[1]), dtype=b.dtype)
+    acc, _ = jax.lax.scan(step, acc0, jnp.arange(k))
+    return jnp.asarray(alpha, b.dtype) * acc
+
+
 def coo_left_apply_auto(rows, cols, vals, b, d, m, ro=0, co=0, alpha=1.0
                         ) -> jax.Array:
     """Heuristic dispatch between gather/segment-sum (cheap for skinny b)

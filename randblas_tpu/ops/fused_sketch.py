@@ -165,38 +165,118 @@ def _kernel(seed_ref, a0, a1, a2, a3, out_ref, s_panel, *, d, tk, n_k,
         out_ref[:] = out_ref[:] + contrib
 
 
-def _pick_tiles(d: int, m: int, n: int):
-    """Pick (TK, TN) for the j-outer/k-inner kernel.
-
-    TN as large as the VMEM accumulator affords (out tile d*TN*4 bytes,
-    target <= 16MB) — bigger TN means fewer operator regenerations (panels
-    regenerate once per j group). TK modest (panels are double-buffered:
-    2 * 4 * d * TK/4 * 2 bytes).
+def _kernel_pipelined(seed_ref, a0, a1, a2, a3, out_ref, s_a, s_b, *, d,
+                      tk, n_k, n_j, ctr_stride, gaussian, alpha):
+    """Double-buffered variant: panel k+1 is generated into the buffer the
+    NEXT step will read, while this step's dots consume the other buffer —
+    no write-after-read hazard on the panel, so the VPU generation can
+    overlap the in-flight MXU dots. Buffers are separate refs selected by
+    k parity (dynamic indexing into one big scratch measured much slower).
     """
-    def largest_divisor_leq(x, start, mult):
-        t = min(start, x)
-        t -= t % mult
-        while t > mult and (x % t or t % mult):
-            t -= mult
-        return max(t, mult)
+    k = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = tk // 4
+    even = (k % 2) == 0
 
-    # TN as large as the VMEM accumulator affords (out tile d*TN*4 <=
-    # ~16MB): with the out block resident across the whole k sweep, out
-    # traffic vanishes and each panel is generated exactly once per j
-    # group. Measured on v5e at (d=1024, m=65536, n=4096): TK=512/TN=4096
-    # reaches 0.95 of the materialized-GEMM roofline, vs 0.64 for
-    # TK=2048/TN=512.
-    tn_budget = max(128, ((16 * 1024 * 1024) // (4 * d)) // 128 * 128)
-    tn = largest_divisor_leq(n, min(tn_budget, 8192), 128) \
-        if n >= 128 else n
-    tk = largest_divisor_leq(m, 512, 4)
-    return tk, tn
+    def gen_into(ref, panel_idx):
+        k_blocks = panel_idx.astype(jnp.uint32) * jnp.uint32(nb)
+        v0, v1, v2, v3 = _gen_panel_words(seed_ref, d, tk, ctr_stride,
+                                          k_blocks, gaussian)
+        ref[0] = v0
+        ref[1] = v1
+        ref[2] = v2
+        ref[3] = v3
+
+    @pl.when((k == 0) & (j == 0))
+    def _():
+        gen_into(s_a, k)
+
+    def dots(ref):
+        acc = jnp.dot(ref[0].astype(jnp.bfloat16),
+                      a0[:].astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+        acc += jnp.dot(ref[1].astype(jnp.bfloat16),
+                       a1[:].astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        acc += jnp.dot(ref[2].astype(jnp.bfloat16),
+                       a2[:].astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        acc += jnp.dot(ref[3].astype(jnp.bfloat16),
+                       a3[:].astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        return acc
+
+    contrib = jax.lax.cond(even, lambda: dots(s_a), lambda: dots(s_b))
+    if alpha != 1.0:
+        contrib = jnp.float32(alpha) * contrib
+
+    # generate the next panel into the other buffer while dots drain
+    last_j = j == (n_j - 1)
+
+    @pl.when(last_j & (k + 1 < n_k) & even)
+    def _():
+        gen_into(s_b, k + 1)
+
+    @pl.when(last_j & (k + 1 < n_k) & jnp.logical_not(even))
+    def _():
+        gen_into(s_a, k + 1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(k != 0)
+    def _():
+        out_ref[:] = out_ref[:] + contrib
+
+
+def _largest_divisor_leq(x, start, mult):
+    t = min(start, x)
+    t -= t % mult
+    while t > mult and (x % t or t % mult):
+        t -= mult
+    return max(t, mult)
+
+
+def _plan(d: int, m: int, n: int):
+    """Kernel plan: (d_pad, n_pad, tk, tn), or None if infeasible.
+
+    - d pads to the f32 sublane multiple (phantom operator rows, sliced
+      off the output).
+    - n pads to a multiple of 128 (zero data columns, sliced off).
+    - TN as large as the VMEM accumulator affords (out tile d*TN*4 <=
+      ~16MB): with the out block resident across the whole k sweep, out
+      traffic vanishes and each panel is generated exactly once per j
+      group. Measured on v5e at (d=1024, m=65536, n=4096):
+      TK=512/TN=4096 reaches ~0.95 of the materialized-GEMM roofline,
+      vs 0.64 for TK=2048/TN=512.
+    - TK: a divisor of m, multiple of 32 (lane blocks (TK/4, TN) must be
+      (8,128)-tileable), near 512.
+    """
+    if m % 4:
+        return None
+    d_pad = -(-d // 8) * 8
+    n_pad = -(-n // 128) * 128
+    tn_budget = max(128, ((16 * 1024 * 1024) // (4 * d_pad)) // 128 * 128)
+    tn = _largest_divisor_leq(n_pad, min(tn_budget, 8192), 128)
+    if n_pad % tn:
+        return None
+    if m % 32 == 0:
+        tk = _largest_divisor_leq(m, 512, 32)
+    elif m <= 4096:
+        tk = m  # single panel: block equals full array dim
+    else:
+        return None
+    if m % tk or (tk // 4) % 8 and tk != m:
+        return None
+    return d_pad, n_pad, tk, tn
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "d", "m", "gaussian", "alpha", "tk", "tn", "ctr_stride", "interpret"))
+    "d", "m", "gaussian", "alpha", "tk", "tn", "ctr_stride", "interpret",
+    "pipelined"))
 def _fused_call(seed_words, A, *, d, m, gaussian, alpha, tk, tn,
-                ctr_stride, interpret=False):
+                ctr_stride, interpret=False, pipelined=False):
     n = A.shape[1]
     n_k = m // tk
     n_j = n // tn
@@ -208,9 +288,17 @@ def _fused_call(seed_words, A, *, d, m, gaussian, alpha, tk, tn,
     # (nb, tn) block is a 2-D aligned slab. No dtype cast here — that
     # would add a full HBM pass over A.
     a4 = A.reshape(m // 4, 4 * n)
-    kernel = functools.partial(_kernel, d=d, tk=tk, n_k=n_k,
-                               ctr_stride=ctr_stride,
-                               gaussian=gaussian, alpha=alpha)
+    if pipelined:
+        kernel = functools.partial(_kernel_pipelined, d=d, tk=tk, n_k=n_k,
+                                   n_j=n_j, ctr_stride=ctr_stride,
+                                   gaussian=gaussian, alpha=alpha)
+        scratch = [pltpu.VMEM((4, d, nb), jnp.float32),
+                   pltpu.VMEM((4, d, nb), jnp.float32)]
+    else:
+        kernel = functools.partial(_kernel, d=d, tk=tk, n_k=n_k,
+                                   ctr_stride=ctr_stride,
+                                   gaussian=gaussian, alpha=alpha)
+        scratch = [pltpu.VMEM((4, d, nb), jnp.float32)]
     flops = 2 * d * m * n
 
     def lane_spec(lane):
@@ -232,7 +320,7 @@ def _fused_call(seed_words, A, *, d, m, gaussian, alpha, tk, tn,
         out_specs=pl.BlockSpec((d, tn), lambda k, j: (0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((4, d, nb), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -261,12 +349,7 @@ def fused_sketch_supported(dist, n_rows: int, n_cols: int, ro_s: int,
     if dist_to_layout(dist) != Layout.RowMajor:
         return False
     d, m = dist.n_rows, dist.n_cols
-    if m % 4 or d % 8:
-        return False
-    tk, tn = _pick_tiles(d, m, n_data_cols)
-    if m % tk or n_data_cols % tn:
-        return False
-    return True
+    return _plan(d, m, n_data_cols) is not None
 
 
 def fused_sketch(S, A, alpha=1.0, interpret=False):
@@ -284,13 +367,21 @@ def fused_sketch(S, A, alpha=1.0, interpret=False):
     ctr_size = 4
     pad = (-m) % ctr_size
     ctr_stride = (m + pad) // ctr_size
-    tk, tn = _pick_tiles(d, m, A.shape[1])
+    n = A.shape[1]
+    plan = _plan(d, m, n)
+    assert plan is not None, "call fused_sketch_supported first"
+    d_pad, n_pad, tk, tn = plan
+    if n_pad != n:
+        A = jnp.pad(A, ((0, 0), (0, n_pad - n)))
     seed_words = jnp.concatenate([
         S.seed_state.counter,
         S.seed_state.key,
         jnp.zeros((2,), jnp.uint32),
     ]).reshape(1, 8)
     gaussian = S.dist.family == DenseDistName.Gaussian
-    return _fused_call(seed_words, A, d=d, m=m, gaussian=gaussian,
-                       alpha=float(alpha), tk=tk, tn=tn,
-                       ctr_stride=ctr_stride, interpret=interpret)
+    out = _fused_call(seed_words, A, d=d_pad, m=m, gaussian=gaussian,
+                      alpha=float(alpha), tk=tk, tn=tn,
+                      ctr_stride=ctr_stride, interpret=interpret)
+    if d_pad != d or n_pad != n:
+        out = out[:d, :n]
+    return out

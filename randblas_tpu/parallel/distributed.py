@@ -55,6 +55,8 @@ def distributed_sketch(
     mesh: Mesh,
     *,
     alpha=1.0,
+    use_fused="auto",
+    interpret: bool = False,
 ) -> jax.Array:
     """B = alpha * S @ A with A m-sharded over 'data' and B d-sharded over
     'model'. Returns a global jax.Array with sharding P('model', None).
@@ -63,8 +65,20 @@ def distributed_sketch(
     the per-shard extent along the distribution's major axis must be a
     multiple of the counter width (4) — i.e. shard sizes stay MXU-friendly
     anyway.
+
+    use_fused: 'auto' runs the Pallas RNG-in-GEMM kernel per shard on TPU
+    when the shard shape qualifies (each device generates its tile of the
+    GLOBAL operator in-kernel: the global counter stride and the shard's
+    base counter offset are folded into the kernel's seed); True forces it
+    (with interpret=True this also runs on CPU for testing); False uses
+    the XLA fill+GEMM shard path.
     """
     require(isinstance(S, DenseSkOp), "distributed_sketch takes a DenseSkOp")
+    from ..base import Layout, MajorAxis, Op
+    from ..dense import DenseDistName, dist_to_layout
+    from ..ops import fused_sketch as fs
+    from ..rng.bits import mul64_u32, add64, ctr_add64
+
     d, m = S.shape
     n = A.shape[1]
     pm = mesh.shape["model"]
@@ -76,11 +90,47 @@ def distributed_sketch(
 
     dist, seed, dtype = S.dist, S.seed_state, S.dtype
 
+    fused_ok = (
+        use_fused is not False
+        and dtype == jnp.float32
+        and dist.family in (DenseDistName.Gaussian, DenseDistName.Uniform)
+        and dist_to_layout(dist) == Layout.RowMajor
+        and m_per % 4 == 0
+        and fs._plan(d_per, m_per, n) is not None
+    )
+    if use_fused == "auto":
+        fused_ok = fused_ok and (interpret or _tpu_platform())
+    elif use_fused is True:
+        require(fused_ok, "fused distributed path forced but unsupported")
+
+    ctr_stride_global = (m + ((-m) % 4)) // 4
+
     def shard_fn(a_blk):
         mi = jax.lax.axis_index("model")
         di = jax.lax.axis_index("data")
         ro = mi.astype(jnp.uint32) * jnp.uint32(d_per)
         co = di.astype(jnp.uint32) * jnp.uint32(m_per)
+        if fused_ok:
+            # shard base counter = seed + ro*stride_global + co//4; the
+            # kernel then walks rows with the GLOBAL stride, yielding
+            # exactly this device's tile of the one global operator.
+            lo, hi = mul64_u32(ro, jnp.uint32(ctr_stride_global))
+            lo, hi = add64(lo, hi, co // jnp.uint32(4), jnp.uint32(0))
+            ctr = ctr_add64(seed.counter, lo, hi)
+            seed_words = jnp.concatenate(
+                [ctr, seed.key, jnp.zeros((2,), jnp.uint32)]).reshape(1, 8)
+            plan = fs._plan(d_per, m_per, n)
+            d_pad, n_pad, tk, tn = plan
+            a_in = (jnp.pad(a_blk, ((0, 0), (0, n_pad - n)))
+                    if n_pad != n else a_blk)
+            part = fs._fused_call(
+                seed_words, a_in, d=d_pad, m=m_per,
+                gaussian=dist.family == DenseDistName.Gaussian,
+                alpha=float(alpha), tk=tk, tn=tn,
+                ctr_stride=ctr_stride_global, interpret=interpret)
+            if d_pad != d_per or n_pad != n:
+                part = part[:d_per, :n]
+            return jax.lax.psum(part, "data")
         s_blk = fill_dense_submat_traced(dist, seed, d_per, m_per, ro, co,
                                          dtype)
         part = jnp.matmul(s_blk, a_blk.astype(dtype),
@@ -91,8 +141,19 @@ def distributed_sketch(
         shard_fn, mesh=mesh,
         in_specs=P("data", None),
         out_specs=P("model", None),
+        # pallas_call outputs carry no varying-mesh-axes metadata
+        check_vma=not fused_ok,
     )
     return fn(A)
+
+
+def _tpu_platform() -> bool:
+    try:
+        dev = jax.devices()[0]
+        return dev.platform == "tpu" or \
+            "TPU" in getattr(dev, "device_kind", "")
+    except Exception:
+        return False
 
 
 def distributed_sketch_jit(S: DenseSkOp, A: jax.Array, mesh: Mesh,

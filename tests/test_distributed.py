@@ -74,6 +74,21 @@ def test_distributed_sparse():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_distributed_fused_interpret():
+    """Per-shard fused kernel (Pallas interpret mode) produces the same
+    global sketch as the XLA shard path."""
+    S = DenseSkOp(DenseDist(D, 512), RNGState.from_key(21))
+    A = jnp.asarray(
+        np.random.default_rng(3).normal(size=(512, 8)).astype(np.float32))
+    mesh = make_sketch_mesh(2, 4)
+    got = np.asarray(distributed_sketch(S, A, mesh, use_fused=True,
+                                        interpret=True))
+    want = np.asarray(distributed_sketch(S, A, mesh, use_fused=False))
+    scale = np.abs(want).max()
+    # fused path contracts in bf16 (same as the TPU roofline GEMM)
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
+
+
 def test_jit_distributed():
     S, A = _setup()
     mesh = make_sketch_mesh(2, 4)
