@@ -72,7 +72,8 @@ def main():
         out = rb.sketch_general(S, a, side="right", d=dd, ro_s=8, co_s=8)
         return jnp.sum(out) * jnp.float32(1e-20)
 
-    report("rskge3_submatrix_uniform", time_loop(body2, A2, iters_large=3),
+    report("rskge3_submatrix_uniform",
+           time_loop(body2, A2, iters_small=2, iters_large=20),
            flops=2.0 * rows * mm * dd)
 
     # ---- config 3: LSKGES SASO vec_nnz=8 --------------------------------
@@ -137,7 +138,8 @@ def main():
         q, _ = jnp.linalg.qr(B.T)                       # rangefinder step
         return (jnp.sum(q) + jnp.sum(y)) * jnp.float32(1e-20)
 
-    report("wrappers_qb_pipeline", time_loop(body5, Aq, iters_large=3))
+    report("wrappers_qb_pipeline",
+           time_loop(body5, Aq, iters_small=2, iters_large=12))
 
     print(json.dumps({"suite": "baseline_configs",
                       "results": len(results)}))

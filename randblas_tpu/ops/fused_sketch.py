@@ -335,53 +335,67 @@ def _fused_call(seed_words, A, *, d, m, gaussian, alpha, tk, tn,
 def fused_sketch_supported(dist, n_rows: int, n_cols: int, ro_s: int,
                            co_s: int, op_s, dtype,
                            n_data_cols: int = 128) -> bool:
-    """Static eligibility check for the fused kernel path."""
+    """Static eligibility check for the fused kernel path.
+
+    Submatrices are supported when the column offset and width are
+    counter-aligned (multiples of 4): the block's base counter folds into
+    the kernel seed and rows walk with the PARENT's counter stride.
+    """
     from ..base import Layout, Op
     from ..dense import DenseDistName, dist_to_layout
     if dtype != jnp.float32:
         return False
     if dist.family not in (DenseDistName.Gaussian, DenseDistName.Uniform):
         return False
-    if ro_s != 0 or co_s != 0 or op_s != Op.NoTrans:
+    if op_s != Op.NoTrans:
         return False
-    if (n_rows, n_cols) != (dist.n_rows, dist.n_cols):
+    if n_rows + ro_s > dist.n_rows or n_cols + co_s > dist.n_cols:
         return False
     if dist_to_layout(dist) != Layout.RowMajor:
         return False
-    d, m = dist.n_rows, dist.n_cols
-    return _plan(d, m, n_data_cols) is not None
+    if dist.n_cols % 4 or co_s % 4 or n_cols % 4:
+        return False
+    return _plan(n_rows, n_cols, n_data_cols) is not None
 
 
-def fused_sketch(S, A, alpha=1.0, interpret=False):
-    """B = alpha * S @ A with the operator generated inside the kernel.
+def fused_sketch(S, A, alpha=1.0, interpret=False, rows_s=None,
+                 cols_s=None, ro_s=0, co_s=0):
+    """B = alpha * submat(S) @ A with the operator block generated inside
+    the kernel.
 
-    S: a lazy DenseSkOp satisfying fused_sketch_supported; A: (m, n) f32.
-    interpret=True runs the Pallas interpreter (CPU CI coverage).
+    S: a lazy DenseSkOp satisfying fused_sketch_supported; A: (m, n) f32
+    where m = cols_s (the block width). The submatrix base counter
+    (ro_s * parent_stride + co_s / 4) folds into the kernel seed; rows
+    walk with the parent's counter stride, so the block is bit-identical
+    to slicing the full operator. interpret=True runs the Pallas
+    interpreter (CPU CI coverage).
     """
     from ..dense import DenseDistName, major_axis_length
 
-    d, m = S.dist.n_rows, S.dist.n_cols
+    rows_s = S.dist.n_rows if rows_s is None else rows_s
+    cols_s = S.dist.n_cols if cols_s is None else cols_s
     A = jnp.asarray(A, dtype=jnp.float32)
     ma_len = major_axis_length(S.dist)
-    assert ma_len == m, "fused kernel requires natural-RowMajor operators"
+    assert ma_len == S.dist.n_cols, \
+        "fused kernel requires natural-RowMajor operators"
     ctr_size = 4
-    pad = (-m) % ctr_size
-    ctr_stride = (m + pad) // ctr_size
+    ctr_stride = (ma_len + ((-ma_len) % ctr_size)) // ctr_size
     n = A.shape[1]
-    plan = _plan(d, m, n)
+    plan = _plan(rows_s, cols_s, n)
     assert plan is not None, "call fused_sketch_supported first"
     d_pad, n_pad, tk, tn = plan
     if n_pad != n:
         A = jnp.pad(A, ((0, 0), (0, n_pad - n)))
+    base = S.seed_state.incr(ro_s * ctr_stride + co_s // ctr_size)
     seed_words = jnp.concatenate([
-        S.seed_state.counter,
-        S.seed_state.key,
+        base.counter,
+        base.key,
         jnp.zeros((2,), jnp.uint32),
     ]).reshape(1, 8)
     gaussian = S.dist.family == DenseDistName.Gaussian
-    out = _fused_call(seed_words, A, d=d_pad, m=m, gaussian=gaussian,
+    out = _fused_call(seed_words, A, d=d_pad, m=cols_s, gaussian=gaussian,
                       alpha=float(alpha), tk=tk, tn=tn,
                       ctr_stride=ctr_stride, interpret=interpret)
-    if d_pad != d or n_pad != n:
-        out = out[:d, :n]
+    if d_pad != rows_s or n_pad != n:
+        out = out[:rows_s, :n]
     return out

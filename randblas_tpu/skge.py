@@ -178,7 +178,9 @@ def sketch_general(
                                       alpha)
         elif _fused_eligible(S, rows_s, cols_s, ro_s, co_s, op_s, dtype, n):
             from .ops.fused_sketch import fused_sketch
-            prod = fused_sketch(S, a_mat, alpha=float(alpha))
+            prod = fused_sketch(S, a_mat, alpha=float(alpha),
+                                rows_s=rows_s, cols_s=cols_s,
+                                ro_s=ro_s, co_s=co_s)
         else:
             s_blk = _dense_block(S, rows_s, cols_s, ro_s, co_s, op_s, dtype)
             prod = jnp.asarray(alpha, dtype) * _matmul(s_blk, a_mat, dtype)

@@ -44,13 +44,46 @@ def test_fused_multi_panel_accumulation():
     np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
 
 
+def test_fused_submatrix_interpret():
+    """Counter-aligned submatrix blocks generated in-kernel equal slices
+    of the full operator."""
+    big = DenseSkOp(DenseDist(32, 1024), RNGState.from_key(5))
+    rows_s, cols_s, ro, co = 16, 512, 8, 256
+    A = jnp.asarray(
+        np.random.default_rng(2).normal(size=(cols_s, 128)).astype(
+            np.float32))
+    got = np.asarray(fused_sketch(big, A, interpret=True, rows_s=rows_s,
+                                  cols_s=cols_s, ro_s=ro, co_s=co))
+    blk = np.asarray(big.materialize())[ro:ro + rows_s, co:co + cols_s]
+    want = blk @ np.asarray(A)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
+
+
+def test_fused_padded_shapes_interpret():
+    """d and n padding: odd sketch size and non-128 data width."""
+    S = DenseSkOp(DenseDist(13, 512), RNGState.from_key(8))
+    A = jnp.asarray(
+        np.random.default_rng(3).normal(size=(512, 100)).astype(
+            np.float32))
+    got = np.asarray(fused_sketch(S, A, interpret=True))
+    want = np.asarray(S.materialize()) @ np.asarray(A)
+    assert got.shape == (13, 100)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
+
+
 def test_supported_predicate():
     g = DenseDist(64, 1024)
     assert fused_sketch_supported(g, 64, 1024, 0, 0, Op.NoTrans,
                                   jnp.float32, 256)
-    # submatrix -> no
-    assert not fused_sketch_supported(g, 32, 1024, 0, 0, Op.NoTrans,
+    # counter-aligned submatrices -> yes
+    assert fused_sketch_supported(g, 32, 512, 4, 256, Op.NoTrans,
+                                  jnp.float32, 256)
+    # unaligned column offset -> no
+    assert not fused_sketch_supported(g, 32, 512, 0, 2, Op.NoTrans,
                                       jnp.float32, 256)
+    # out of range -> no
     assert not fused_sketch_supported(g, 64, 1024, 4, 0, Op.NoTrans,
                                       jnp.float32, 256)
     # transposed -> no
