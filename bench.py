@@ -54,14 +54,14 @@ def main():
     # --- fused sketch ------------------------------------------------------
     on_tpu = jax.devices()[0].platform == "tpu" or \
         "TPU" in getattr(jax.devices()[0], "device_kind", "")
-    tk, tn = fs._pick_tiles(d, m, n)
+    _, _, _, ti, tk, tn = fs._plan(d, m, n)
 
     if on_tpu:
         def body_fused(i, carry, sw, a):
             sw2 = sw.at[0, 4].add(i.astype(jnp.uint32)
                                   + (carry * 1e-30).astype(jnp.uint32))
             out = fs._fused_call(sw2, a, d=d, m=m, gaussian=True,
-                                 alpha=1.0, tk=tk, tn=tn,
+                                 alpha=1.0, ti=ti, tk=tk, tn=tn,
                                  ctr_stride=ctr_stride)
             return jnp.sum(out) * jnp.float32(1e-20)
 

@@ -42,17 +42,19 @@ _SQRT3 = math.sqrt(3.0)
 
 
 def _gen_panel_words(seed_ref, d: int, tk: int, ctr_stride: int,
-                     k_blocks, gaussian: bool):
+                     k_blocks, gaussian: bool, row_off=0):
     """Generate the (d, tk) operator panel whose first column lives at
-    counter offset ``k_blocks`` blocks from the seed.
+    counter offset ``k_blocks`` blocks from the seed, starting at operator
+    row ``row_off``.
 
     Counter mapping (fill_geometry with ptr = 0, aligned columns):
-      element (i, c) of the panel -> counter = seed + i * ctr_stride +
-      k_blocks + c // 4, lane c % 4.
+      element (i, c) of the panel -> counter = seed + (row_off + i) *
+      ctr_stride + k_blocks + c // 4, lane c % 4.
     All math on separate u32 word arrays of shape (d, tk // 4).
     """
     nb = tk // 4
     i_ids = jax.lax.broadcasted_iota(jnp.uint32, (d, nb), 0)
+    i_ids = i_ids + jnp.asarray(row_off, dtype=jnp.uint32)
     b_ids = jax.lax.broadcasted_iota(jnp.uint32, (d, nb), 1)
 
     stride_lo = jnp.uint32(ctr_stride & 0xFFFFFFFF)
@@ -102,55 +104,52 @@ def _gen_panel_words(seed_ref, d: int, tk: int, ctr_stride: int,
     return v0, v1, v2, v3
 
 
-def _kernel(seed_ref, a0, a1, a2, a3, out_ref, s_panel, *, d, tk, n_k,
+def _kernel(seed_ref, a0, a1, a2, a3, out_ref, *, ti, tk,
             ctr_stride, gaussian, alpha):
-    """Grid (n_k, n_j), k OUTER: each operator panel is generated exactly
-    once per sketch and reused across the j sweep; the (d, tn) output block
-    accumulates in place (HBM revisits — cheaper than regenerating panels
-    per j for realistic n).
+    """Grid (n_i, n_j, n_k), k INNERMOST. The (ti, tn) output block's index
+    (i, j) is constant across the k sweep, so it stays VMEM-resident and is
+    written back to HBM exactly once per (i, j) — zero accumulator traffic.
+    Each step generates its (ti, tk) operator panel inline from counters
+    (row offset i*ti folds into the counter math) and contracts it with
+    the matching data rows.
 
-    s_panel: VMEM (4, d, tk//4) f32 — the current panel split by
-    Philox lane (lane l of counter block b is operator column 4b + l; the
-    matching data rows arrive pre-split as a0..a3, lane slabs of A viewed
-    as (m//4, 4n), avoiding any in-kernel minor-dim interleave — the
-    contraction is four MXU dots, one per lane).
+    Lane structure: Philox lane l of counter block b is operator column
+    4b + l; the matching data rows arrive pre-split as a0..a3 (lane slabs
+    of A viewed as (m//4, 4n)), avoiding any in-kernel minor-dim
+    interleave — the contraction is four MXU dots, one per lane.
 
     bf16 casts happen at dot time (the effective precision XLA picks for
     f32 GEMMs under --xla_allow_excess_precision — the roofline GEMM);
-    casting A outside the kernel would cost a full extra HBM pass, and a
-    bf16 scratch costs an extra relayout (both measured slower).
+    casting A outside the kernel would cost a full extra HBM pass.
 
-    Measured variants that LOST to this structure on v5e (keep for the
-    record): k-inner with VMEM-resident output (per-step full-width
-    accumulates dominate), double-buffered panels with dynamic slot
-    indexing (dynamic VMEM addressing in the dot operands), whole-A bf16
-    pre-cast (extra HBM pass), bf16 panel scratch (relayout).
+    Cost model: generation runs once per (i, j, k) = n_j full-operator
+    generations (gen is cheap: ~1ms per 64M elements on v5e); A streams
+    n_i times; the output moves once. Plan() sizes tn to keep n_j == 1 for
+    realistic shapes. Measured variants that LOST on v5e: k-outer with
+    HBM-accumulated output (1GB+ of accumulator traffic), k-inner with
+    full-width out tiles for large d (tiny MXU contraction + giant gen
+    temporaries), double-buffered panels with dynamic slot indexing,
+    lax.cond-selected buffers, whole-A bf16 pre-cast, bf16 panel scratch.
     """
-    del n_k  # single-buffer structure needs no lookahead
-    k = pl.program_id(0)
-    j = pl.program_id(1)
+    i = pl.program_id(0)
+    k = pl.program_id(2)
     nb = tk // 4
 
-    @pl.when(j == 0)
-    def _():
-        k_blocks = k.astype(jnp.uint32) * jnp.uint32(nb)
-        v0, v1, v2, v3 = _gen_panel_words(seed_ref, d, tk, ctr_stride,
-                                          k_blocks, gaussian)
-        s_panel[0] = v0
-        s_panel[1] = v1
-        s_panel[2] = v2
-        s_panel[3] = v3
+    k_blocks = k.astype(jnp.uint32) * jnp.uint32(nb)
+    row_off = i.astype(jnp.uint32) * jnp.uint32(ti)
+    v0, v1, v2, v3 = _gen_panel_words(seed_ref, ti, tk, ctr_stride,
+                                      k_blocks, gaussian, row_off)
 
-    contrib = jnp.dot(s_panel[0].astype(jnp.bfloat16),
+    contrib = jnp.dot(v0.astype(jnp.bfloat16),
                       a0[:].astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
-    contrib += jnp.dot(s_panel[1].astype(jnp.bfloat16),
+    contrib += jnp.dot(v1.astype(jnp.bfloat16),
                        a1[:].astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
-    contrib += jnp.dot(s_panel[2].astype(jnp.bfloat16),
+    contrib += jnp.dot(v2.astype(jnp.bfloat16),
                        a2[:].astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
-    contrib += jnp.dot(s_panel[3].astype(jnp.bfloat16),
+    contrib += jnp.dot(v3.astype(jnp.bfloat16),
                        a3[:].astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
     if alpha != 1.0:
@@ -239,88 +238,104 @@ def _largest_divisor_leq(x, start, mult):
 
 
 def _plan(d: int, m: int, n: int):
-    """Kernel plan: (d_pad, n_pad, tk, tn), or None if infeasible.
+    """Kernel plan: (d_pad, m_pad, n_pad, ti, tk, tn).
 
-    - d pads to the f32 sublane multiple (phantom operator rows, sliced
-      off the output).
-    - n pads to a multiple of 128 (zero data columns, sliced off).
-    - TN as large as the VMEM accumulator affords (out tile d*TN*4 <=
-      ~16MB): with the out block resident across the whole k sweep, out
-      traffic vanishes and each panel is generated exactly once per j
-      group. Measured on v5e at (d=1024, m=65536, n=4096):
-      TK=512/TN=4096 reaches ~0.95 of the materialized-GEMM roofline,
-      vs 0.64 for TK=2048/TN=512.
-    - TK: a divisor of m, multiple of 32 (lane blocks (TK/4, TN) must be
-      (8,128)-tileable), near 512.
+    Every dimension is padded so tiles stay MXU/lane-friendly for ANY
+    input shape:
+    - n pads to a multiple of 128 (zero data columns, sliced off); TN
+      covers all of n whenever the shape allows (n_j == 1 means operator
+      elements are generated exactly once).
+    - m pads to a multiple of TK=512 with ZERO data rows: phantom operator
+      columns multiply zeros and contribute nothing, while real columns
+      keep the true parent counter mapping (ctr_stride is computed from
+      the parent, never from m_pad).
+    - TI sized so the resident out tile ti*TN*4 stays ~<=16MB; d pads to
+      a multiple of TI (phantom operator rows, sliced off).
+    Measured on v5e at (d=1024, m=65536, n=4096): TI=1024/TK=512/TN=4096
+    reaches 0.86-0.95 of the materialized-GEMM roofline.
     """
-    if m % 4:
-        return None
-    d_pad = -(-d // 8) * 8
     n_pad = -(-n // 128) * 128
-    tn_budget = max(128, ((16 * 1024 * 1024) // (4 * d_pad)) // 128 * 128)
-    tn = _largest_divisor_leq(n_pad, min(tn_budget, 8192), 128)
-    if n_pad % tn:
-        return None
-    if m % 32 == 0:
-        tk = _largest_divisor_leq(m, 512, 32)
-    elif m <= 4096:
-        tk = m  # single panel: block equals full array dim
-    else:
-        return None
-    if m % tk or (tk // 4) % 8 and tk != m:
-        return None
-    return d_pad, n_pad, tk, tn
+    tn = _largest_divisor_leq(n_pad, 8192, 128)
+    ti_budget = max(8, ((16 * 1024 * 1024) // (4 * tn)) // 8 * 8)
+    ti = min(ti_budget, -(-d // 8) * 8)
+    d_pad = -(-d // ti) * ti
+    tk = min(512, -(-m // 32) * 32)
+    m_pad = -(-m // tk) * tk
+    return d_pad, m_pad, n_pad, ti, tk, tn
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "d", "m", "gaussian", "alpha", "tk", "tn", "ctr_stride", "interpret",
-    "pipelined"))
-def _fused_call(seed_words, A, *, d, m, gaussian, alpha, tk, tn,
+    "d", "m", "gaussian", "alpha", "ti", "tk", "tn", "ctr_stride",
+    "interpret", "pipelined"))
+def _fused_call(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
                 ctr_stride, interpret=False, pipelined=False):
     n = A.shape[1]
+    n_i = d // ti
     n_k = m // tk
     n_j = n // tn
     nb = tk // 4
-    # free row-major view: row of a4 packs the 4 lanes' data rows side by
-    # side — a4[b, l*n + c] == A[4b + l, c]; lane l's (nb, tn) block is a
-    # 2-D aligned slab.
     # free row-major view: a4[b, l*n + c] == A[4b + l, c]; lane l's
     # (nb, tn) block is a 2-D aligned slab. No dtype cast here — that
     # would add a full HBM pass over A.
     a4 = A.reshape(m // 4, 4 * n)
+    flops = 2 * d * m * n
+
     if pipelined:
+        # legacy 2-D-grid double-buffered variant (measured slower; kept
+        # for comparison runs). Requires n_i == 1.
+        assert n_i == 1
         kernel = functools.partial(_kernel_pipelined, d=d, tk=tk, n_k=n_k,
                                    n_j=n_j, ctr_stride=ctr_stride,
                                    gaussian=gaussian, alpha=alpha)
-        scratch = [pltpu.VMEM((4, d, nb), jnp.float32),
-                   pltpu.VMEM((4, d, nb), jnp.float32)]
-    else:
-        kernel = functools.partial(_kernel, d=d, tk=tk, n_k=n_k,
-                                   ctr_stride=ctr_stride,
-                                   gaussian=gaussian, alpha=alpha)
-        scratch = [pltpu.VMEM((4, d, nb), jnp.float32)]
-    flops = 2 * d * m * n
+
+        def lane_spec2(lane):
+            col_blocks = n // tn
+            return pl.BlockSpec(
+                (nb, tn),
+                lambda k, j, _l=lane, _cb=col_blocks: (k, _l * _cb + j),
+                memory_space=pltpu.VMEM)
+
+        return pl.pallas_call(
+            kernel,
+            grid=(n_k, n_j),
+            interpret=interpret,
+            in_specs=[
+                pl.BlockSpec((1, 8), lambda k, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                lane_spec2(0), lane_spec2(1), lane_spec2(2), lane_spec2(3),
+            ],
+            out_specs=pl.BlockSpec((d, tn), lambda k, j: (0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((d, n), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((4, d, nb), jnp.float32),
+                            pltpu.VMEM((4, d, nb), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(seed_words, a4, a4, a4, a4)
+
+    kernel = functools.partial(_kernel, ti=ti, tk=tk,
+                               ctr_stride=ctr_stride,
+                               gaussian=gaussian, alpha=alpha)
 
     def lane_spec(lane):
         col_blocks = n // tn
         return pl.BlockSpec(
             (nb, tn),
-            lambda k, j, _l=lane, _cb=col_blocks: (k, _l * _cb + j),
+            lambda i, j, k, _l=lane, _cb=col_blocks: (k, _l * _cb + j),
             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
         kernel,
-        grid=(n_k, n_j),
+        grid=(n_i, n_j, n_k),
         interpret=interpret,
         in_specs=[
-            pl.BlockSpec((1, 8), lambda k, j: (0, 0),
+            pl.BlockSpec((1, 8), lambda i, j, k: (0, 0),
                          memory_space=pltpu.SMEM),
             lane_spec(0), lane_spec(1), lane_spec(2), lane_spec(3),
         ],
-        out_specs=pl.BlockSpec((d, tn), lambda k, j: (0, j),
+        out_specs=pl.BlockSpec((ti, tn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d, n), jnp.float32),
-        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -353,9 +368,9 @@ def fused_sketch_supported(dist, n_rows: int, n_cols: int, ro_s: int,
         return False
     if dist_to_layout(dist) != Layout.RowMajor:
         return False
-    if dist.n_cols % 4 or co_s % 4 or n_cols % 4:
-        return False
-    return _plan(n_rows, n_cols, n_data_cols) is not None
+    if co_s % 4:
+        return False  # block base must be counter-aligned
+    return True
 
 
 def fused_sketch(S, A, alpha=1.0, interpret=False, rows_s=None,
@@ -381,11 +396,9 @@ def fused_sketch(S, A, alpha=1.0, interpret=False, rows_s=None,
     ctr_size = 4
     ctr_stride = (ma_len + ((-ma_len) % ctr_size)) // ctr_size
     n = A.shape[1]
-    plan = _plan(rows_s, cols_s, n)
-    assert plan is not None, "call fused_sketch_supported first"
-    d_pad, n_pad, tk, tn = plan
-    if n_pad != n:
-        A = jnp.pad(A, ((0, 0), (0, n_pad - n)))
+    d_pad, m_pad, n_pad, ti, tk, tn = _plan(rows_s, cols_s, n)
+    if n_pad != n or m_pad != cols_s:
+        A = jnp.pad(A, ((0, m_pad - cols_s), (0, n_pad - n)))
     base = S.seed_state.incr(ro_s * ctr_stride + co_s // ctr_size)
     seed_words = jnp.concatenate([
         base.counter,
@@ -393,8 +406,8 @@ def fused_sketch(S, A, alpha=1.0, interpret=False, rows_s=None,
         jnp.zeros((2,), jnp.uint32),
     ]).reshape(1, 8)
     gaussian = S.dist.family == DenseDistName.Gaussian
-    out = _fused_call(seed_words, A, d=d_pad, m=cols_s, gaussian=gaussian,
-                      alpha=float(alpha), tk=tk, tn=tn,
+    out = _fused_call(seed_words, A, d=d_pad, m=m_pad, gaussian=gaussian,
+                      alpha=float(alpha), ti=ti, tk=tk, tn=tn,
                       ctr_stride=ctr_stride, interpret=interpret)
     if d_pad != rows_s or n_pad != n:
         out = out[:rows_s, :n]

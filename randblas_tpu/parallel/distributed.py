@@ -96,7 +96,7 @@ def distributed_sketch(
         and dist.family in (DenseDistName.Gaussian, DenseDistName.Uniform)
         and dist_to_layout(dist) == Layout.RowMajor
         and m_per % 4 == 0
-        and fs._plan(d_per, m_per, n) is not None
+        and True  # _plan always yields a padded feasible config now
     )
     if use_fused == "auto":
         fused_ok = fused_ok and (interpret or _tpu_platform())
@@ -119,14 +119,13 @@ def distributed_sketch(
             ctr = ctr_add64(seed.counter, lo, hi)
             seed_words = jnp.concatenate(
                 [ctr, seed.key, jnp.zeros((2,), jnp.uint32)]).reshape(1, 8)
-            plan = fs._plan(d_per, m_per, n)
-            d_pad, n_pad, tk, tn = plan
-            a_in = (jnp.pad(a_blk, ((0, 0), (0, n_pad - n)))
-                    if n_pad != n else a_blk)
+            d_pad, m_pad, n_pad, ti, tk, tn = fs._plan(d_per, m_per, n)
+            a_in = (jnp.pad(a_blk, ((0, m_pad - m_per), (0, n_pad - n)))
+                    if (n_pad != n or m_pad != m_per) else a_blk)
             part = fs._fused_call(
-                seed_words, a_in, d=d_pad, m=m_per,
+                seed_words, a_in, d=d_pad, m=m_pad,
                 gaussian=dist.family == DenseDistName.Gaussian,
-                alpha=float(alpha), tk=tk, tn=tn,
+                alpha=float(alpha), ti=ti, tk=tk, tn=tn,
                 ctr_stride=ctr_stride_global, interpret=interpret)
             if d_pad != d_per or n_pad != n:
                 part = part[:d_per, :n]
