@@ -210,7 +210,8 @@ def sketch_general(
     if out is not None:
         require(tuple(out.shape) == expected_shape,
                 f"out has shape {out.shape}, expected {expected_shape}")
-        return prod + jnp.asarray(beta, dtype) * jnp.asarray(out, dtype)
+        from .ops.accumulate import accumulate
+        return accumulate(prod, beta, out)
     return prod
 
 

@@ -121,6 +121,6 @@ def sketch_sparse(
     if out is not None:
         require(tuple(out.shape) == expected,
                 f"out has shape {out.shape}, expected {expected}")
-        return prod + jnp.asarray(beta, prod.dtype) * jnp.asarray(
-            out, prod.dtype)
+        from .ops.accumulate import accumulate
+        return accumulate(prod, beta, out)
     return prod

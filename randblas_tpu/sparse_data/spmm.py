@@ -73,8 +73,8 @@ def left_spmm(
                           d, m, ro_a, co_a, alpha)
     if out is not None:
         require(tuple(out.shape) == (d, n), "out shape mismatch")
-        return prod + jnp.asarray(beta, b_mat.dtype) * jnp.asarray(
-            out, b_mat.dtype)
+        from ..ops.accumulate import accumulate
+        return accumulate(prod, beta, out)
     return prod
 
 
@@ -109,8 +109,8 @@ def right_spmm(
     prod = ct.T
     if out is not None:
         require(tuple(out.shape) == prod.shape, "out shape mismatch")
-        return prod + jnp.asarray(beta, prod.dtype) * jnp.asarray(
-            out, prod.dtype)
+        from ..ops.accumulate import accumulate
+        return accumulate(prod, beta, out)
     return prod
 
 
