@@ -93,6 +93,7 @@ def distributed_sketch(
     fused_ok = (
         use_fused is not False
         and dtype == jnp.float32
+        and seed.rng == "philox4x32"
         and dist.family in (DenseDistName.Gaussian, DenseDistName.Uniform)
         and dist_to_layout(dist) == Layout.RowMajor
         and m_per % 4 == 0

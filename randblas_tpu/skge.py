@@ -83,6 +83,8 @@ def _fused_eligible(S: DenseSkOp, rows_s: int, cols_s: int, ro_s: int,
         return False
     if S.materialized is not None:
         return False
+    if S.seed_state.rng != "philox4x32":
+        return False  # the kernel hardcodes Philox4x32-10 rounds
     from .ops.fused_sketch import fused_sketch_supported
     ok = fused_sketch_supported(S.dist, rows_s, cols_s, ro_s, co_s, op_s,
                                 dtype, n)

@@ -51,3 +51,16 @@ def test_sketch_with_threefry_operator():
     got = np.asarray(sketch_general(S, A))
     want = np.asarray(S.materialize()) @ A
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_threefry_never_hits_philox_kernel():
+    """The fused Pallas kernel hardcodes Philox4x32; a non-Philox operator
+    must never be dispatched to it (would silently change the stream)."""
+    import jax.numpy as jnp
+    from randblas_tpu.base import Op
+    from randblas_tpu.skge import _fused_eligible
+
+    S = DenseSkOp(DenseDist(64, 1024),
+                  RNGState.from_key(1, rng="threefry4x32"))
+    assert not _fused_eligible(S, 64, 1024, 0, 0, Op.NoTrans, jnp.float32,
+                               256)
