@@ -119,6 +119,72 @@ def fixed_nnz_left_apply(
     return jnp.asarray(alpha, b.dtype) * acc
 
 
+def onehot_panel_apply(
+    idxs_major: jax.Array,   # (m, k) output-row index per data row
+    vals: jax.Array,         # (m, k) +-1 values
+    b: jax.Array,            # (m, n)
+    d: int,
+    alpha=1.0,
+    panel: int = 4096,
+) -> jax.Array:
+    """SASO-wide apply as one-hot MXU matmuls: operator panels are built
+    with iota==index compares (pure VPU, no scatter anywhere) and
+    contracted on the MXU.
+
+    S_panel[r, c] = sum_t vals[c, t] * [idxs_major[c, t] == r], then
+    B += S_panel @ b_panel. Measured on v5e at (d=1024, m=65536, n=2048,
+    k=8): 2.2ms vs 49ms for per-t segment-sums and 70ms for
+    gather+segment-sum — the MXU eats the densified contraction while the
+    VPU compare-selects cost k passes over the panel space.
+    """
+    m, k = idxs_major.shape
+    n = b.shape[1]
+    panel = min(panel, m)
+    n_p = -(-m // panel)
+    m_pad = n_p * panel
+    if m_pad != m:
+        b = jnp.pad(b, ((0, m_pad - m), (0, 0)))
+        idxs_major = jnp.pad(idxs_major, ((0, m_pad - m), (0, 0)),
+                             constant_values=-1)
+        vals = jnp.pad(vals, ((0, m_pad - m), (0, 0)))
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (d, panel), 0)
+
+    def step(acc, p):
+        c0 = p * panel
+        rp = jax.lax.dynamic_slice(idxs_major, (c0, 0), (panel, k))
+        vp = jax.lax.dynamic_slice(vals, (c0, 0), (panel, k)).astype(
+            b.dtype)
+        s_panel = jnp.zeros((d, panel), dtype=b.dtype)
+        for t in range(k):
+            s_panel = s_panel + jnp.where(
+                row_iota == rp[:, t].astype(jnp.int32)[None, :],
+                vp[:, t][None, :], jnp.zeros((), b.dtype))
+        b_p = jax.lax.dynamic_slice(b, (c0, 0), (panel, n))
+        acc = acc + jnp.matmul(s_panel, b_p, preferred_element_type=b.dtype)
+        return acc, None
+
+    acc0 = jnp.zeros((d, n), dtype=b.dtype)
+    acc, _ = jax.lax.scan(step, acc0, jnp.arange(n_p))
+    return jnp.asarray(alpha, b.dtype) * acc
+
+
+def row_gather_apply(
+    idxs_major: jax.Array,   # (d, k) data-row index per output row
+    vals: jax.Array,         # (d, k)
+    b: jax.Array,            # (m, n)
+    alpha=1.0,
+) -> jax.Array:
+    """Tall-SASO apply: each output row reads exactly k data rows —
+    a pure gather + weighted sum (no reduction conflicts at all).
+    B[r] = sum_t vals[r, t] * b[idxs_major[r, t]]."""
+    d, k = idxs_major.shape
+    acc = jnp.zeros((d, b.shape[1]), dtype=b.dtype)
+    for t in range(k):
+        acc = acc + vals[:, t].astype(b.dtype)[:, None] * \
+            b[idxs_major[:, t]]
+    return jnp.asarray(alpha, b.dtype) * acc
+
+
 def coo_left_apply_auto(rows, cols, vals, b, d, m, ro=0, co=0, alpha=1.0
                         ) -> jax.Array:
     """Heuristic dispatch between gather/segment-sum (cheap for skinny b)

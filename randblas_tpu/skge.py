@@ -104,20 +104,22 @@ def _sparse_left_apply(S: SparseSkOp, d: int, m: int, ro_s: int, co_s: int,
     the reference's transposed COO view (spmm_dispatch.hh:74-76).
     """
     from .base import MajorAxis
-    from .ops.coo_apply import fixed_nnz_left_apply
+    from .ops.coo_apply import onehot_panel_apply, row_gather_apply
 
     s = S.filled()
-    # fixed-nnz fast path: full wide SASO, no transpose/offsets — every
-    # data row hits exactly vec_nnz output rows (reference "regular CSC",
-    # csc_spmm_impl.hh:68-88)
-    if (op_s == Op.NoTrans and ro_s == 0 and co_s == 0
-            and S.dist.major_axis == MajorAxis.Short
-            and S.dist.n_rows < S.dist.n_cols
-            and d == S.dist.n_rows and m == S.dist.n_cols):
-        k = S.dist.vec_nnz
-        idxs_major = s.rows.reshape(m, k)
-        vals = s.vals.reshape(m, k)
-        return fixed_nnz_left_apply(idxs_major, vals, b_mat, d, alpha)
+    full = (op_s == Op.NoTrans and ro_s == 0 and co_s == 0
+            and d == S.dist.n_rows and m == S.dist.n_cols
+            and S.dist.major_axis == MajorAxis.Short)
+    k = S.dist.vec_nnz
+    if full and S.dist.n_rows < S.dist.n_cols:
+        # wide SASO: fixed nnz per data column ("regular CSC",
+        # csc_spmm_impl.hh:68-88) -> one-hot MXU panels, no scatter
+        return onehot_panel_apply(s.rows.reshape(m, k),
+                                  s.vals.reshape(m, k), b_mat, d, alpha)
+    if full and S.dist.n_rows > S.dist.n_cols:
+        # tall SASO: fixed nnz per OUTPUT row -> pure gather
+        return row_gather_apply(s.cols.reshape(d, k),
+                                s.vals.reshape(d, k), b_mat, alpha)
 
     rows, cols = s.rows, s.cols
     if op_s == Op.Trans:
