@@ -41,29 +41,30 @@ def main():
     ab_np, x_true = make_problem(m, n)
     ab = jnp.asarray(ab_np)
 
-    t0 = time.perf_counter()
-    x_classic = tls_via_svd(ab)
-    x_classic.block_until_ready()
-    t_classic = time.perf_counter() - t0
+    def timed(fn, *args):
+        """warm timing: first call pays jit compilation, second measures"""
+        fn = jax.jit(fn)
+        out = fn(*args)
+        out.block_until_ready()
+        t0 = time.perf_counter()
+        out = fn(*args)
+        out.block_until_ready()
+        return out, time.perf_counter() - t0
+
+    x_classic, t_classic = timed(tls_via_svd, ab)
     err_c = float(jnp.linalg.norm(x_classic - x_true)
                   / jnp.linalg.norm(x_true))
     print(f"classical TLS: {t_classic:.3f}s, rel err {err_c:.4f}")
 
     S = DenseSkOp(DenseDist(d, m), RNGState.from_key(1))
-    t0 = time.perf_counter()
-    x_sk = sketched_tls(S, ab)
-    x_sk.block_until_ready()
-    t_dense = time.perf_counter() - t0
+    x_sk, t_dense = timed(sketched_tls, S, ab)
     err_d = float(jnp.linalg.norm(x_sk - x_true) / jnp.linalg.norm(x_true))
     print(f"dense-sketch TLS (d={d}): {t_dense:.3f}s, rel err {err_d:.4f}, "
           f"speedup {t_classic / t_dense:.1f}x")
 
     # SASO with vec_nnz=8 (tls_sparse_skop.cc:146)
     Ss = SparseSkOp(SparseDist(d, m, vec_nnz=8), RNGState.from_key(2))
-    t0 = time.perf_counter()
-    x_sp = sketched_tls(Ss, ab)
-    x_sp.block_until_ready()
-    t_sparse = time.perf_counter() - t0
+    x_sp, t_sparse = timed(sketched_tls, Ss, ab)
     err_s = float(jnp.linalg.norm(x_sp - x_true) / jnp.linalg.norm(x_true))
     print(f"SASO-sketch TLS (vec_nnz=8): {t_sparse:.3f}s, "
           f"rel err {err_s:.4f}, speedup {t_classic / t_sparse:.1f}x")

@@ -104,7 +104,9 @@ def _sparse_left_apply(S: SparseSkOp, d: int, m: int, ro_s: int, co_s: int,
     the reference's transposed COO view (spmm_dispatch.hh:74-76).
     """
     from .base import MajorAxis
-    from .ops.coo_apply import onehot_panel_apply, row_gather_apply
+    from .ops.coo_apply import (
+        fixed_nnz_left_apply, onehot_panel_apply, row_gather_apply,
+    )
 
     s = S.filled()
     full = (op_s == Op.NoTrans and ro_s == 0 and co_s == 0
@@ -113,9 +115,15 @@ def _sparse_left_apply(S: SparseSkOp, d: int, m: int, ro_s: int, co_s: int,
     k = S.dist.vec_nnz
     if full and S.dist.n_rows < S.dist.n_cols:
         # wide SASO: fixed nnz per data column ("regular CSC",
-        # csc_spmm_impl.hh:68-88) -> one-hot MXU panels, no scatter
-        return onehot_panel_apply(s.rows.reshape(m, k),
-                                  s.vals.reshape(m, k), b_mat, d, alpha)
+        # csc_spmm_impl.hh:68-88). On TPU: one-hot MXU panels (no scatter,
+        # 17x faster than segment-sums there); elsewhere the compare-
+        # select panels are slow, so use per-t segment-sums.
+        if _tpu_backend():
+            return onehot_panel_apply(s.rows.reshape(m, k),
+                                      s.vals.reshape(m, k), b_mat, d,
+                                      alpha)
+        return fixed_nnz_left_apply(s.rows.reshape(m, k),
+                                    s.vals.reshape(m, k), b_mat, d, alpha)
     if full and S.dist.n_rows > S.dist.n_cols:
         # tall SASO: fixed nnz per OUTPUT row -> pure gather
         return row_gather_apply(s.cols.reshape(d, k),
