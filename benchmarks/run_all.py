@@ -35,6 +35,11 @@ def main():
         rec = {"metric": name, "value": round(seconds, 6), "unit": "s"}
         if flops:
             rec["gflops"] = round(flops / seconds / 1e9, 1)
+        if seconds < 5e-4:
+            # loop-differencing can't resolve sub-0.5ms ops through the
+            # tunnel's dispatch noise; flag rather than report garbage
+            rec["note"] = "noise-limited (op faster than timer floor)"
+            rec.pop("gflops", None)
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
