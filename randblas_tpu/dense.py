@@ -257,12 +257,18 @@ class DenseSkOp:
     def materialize(self) -> jax.Array:
         """Dense (n_rows, n_cols) array of this operator. Counterpart of
         fill_dense(S) (dense_skops.hh:583-592), but functional: the array is
-        returned (and cached on the object) instead of mutating a buffer."""
+        returned (and cached on the object) instead of mutating a buffer.
+
+        The cache is skipped while tracing: if this operator is closed over
+        by a jitted function, caching would store a tracer on the live
+        object and poison later uses outside the trace."""
         if self.materialized is None:
             arr = fill_dense_submat(self.dist, self.seed_state,
                                     self.n_rows, self.n_cols, 0, 0,
                                     self.dtype)
-            self.materialized = arr
+            if not isinstance(arr, jax.core.Tracer):
+                self.materialized = arr
+            return arr
         return self.materialized
 
     def submat(self, n_rows: int, n_cols: int, ro_s: int, co_s: int
