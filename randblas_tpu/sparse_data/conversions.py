@@ -52,12 +52,15 @@ def to_coo(a) -> COOMatrix:
     """Normalize any supported sparse container (or a sparse sketching
     operator) to COO triplets without copying values."""
     from ..sparse import SparseSkOp
+    from .ell import ELLMatrix, ell_to_coo
     if isinstance(a, COOMatrix):
         return a
     if isinstance(a, CSRMatrix):
         return csr_to_coo(a)
     if isinstance(a, CSCMatrix):
         return csc_to_coo(a)
+    if isinstance(a, ELLMatrix):
+        return ell_to_coo(a)
     if isinstance(a, SparseSkOp):
         s = a.filled()
         return COOMatrix(s.rows.astype(jnp.int32),

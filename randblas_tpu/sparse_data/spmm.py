@@ -56,6 +56,19 @@ def left_spmm(
     op_b = _as_op(op_b)
     B = jnp.asarray(B)
     require(B.ndim == 2, "B must be 2-D")
+    from .ell import ELLMatrix
+    if (isinstance(A, ELLMatrix) and op_a == Op.NoTrans
+            and ro_a == 0 and co_a == 0
+            and (d is None or d == A.n_rows)):
+        # gather fast path: full untransposed ELL operand
+        b_mat = B if op_b == Op.NoTrans else B.T
+        require(A.n_cols == b_mat.shape[0], "inner dimension mismatch")
+        prod = A.matmul(b_mat, alpha)
+        if out is not None:
+            require(tuple(out.shape) == prod.shape, "out shape mismatch")
+            from ..ops.accumulate import accumulate
+            return accumulate(prod, beta, out)
+        return prod
     coo = to_coo(A)
     rows, cols = coo.rows, coo.cols
     n_rows_a, n_cols_a = coo.n_rows, coo.n_cols
