@@ -94,6 +94,58 @@ def _fused_eligible(S: DenseSkOp, rows_s: int, cols_s: int, ro_s: int,
     return ok and _tpu_backend()
 
 
+def _right_fused_or_none(S: DenseSkOp, a_mat, rows_s: int, cols_s: int,
+                         ro_s: int, co_s: int, op_s: Op, dtype, alpha):
+    """Right-side sketch through the fused kernel, or None to fall back.
+
+    B = a_mat @ op_s(block(S)) = (op_s(block(S))^T @ a_mat^T)^T. The
+    transposed operand is itself a fused-eligible implicit operator:
+    - op_s == Trans with S stored wide-RowMajor: the stored operator IS
+      the left operand.
+    - op_s == NoTrans with S stored tall-Long (natural ColMajor): by the
+      fill-order autotranspose property (tested in test_dense_fill.py),
+      the same seed drawn from the transposed distribution gives exactly
+      S^T, which is wide-RowMajor and fused-eligible.
+    Only profitable when the operator block dwarfs the data (the
+    transposes cost two passes over a_mat/B); gate at 2x.
+    """
+    if S.materialized is not None or use_fused is False:
+        return None
+    if S.seed_state.rng != "philox4x32" or dtype != jnp.float32:
+        return None
+    if not (use_fused is True or _tpu_backend()):
+        return None
+    if rows_s * cols_s < 2 * a_mat.size:
+        return None
+    from .dense import DenseDist, DenseDistName, dist_to_layout
+    from .base import Layout
+    from .ops.fused_sketch import fused_sketch, fused_sketch_supported
+
+    n = a_mat.shape[0]
+    if op_s == Op.Trans:
+        # stored block (rows_s=d', cols_s=m...) acts as the left operand
+        if fused_sketch_supported(S.dist, rows_s, cols_s, ro_s, co_s,
+                                  Op.NoTrans, dtype, n):
+            return fused_sketch(S, a_mat.T, alpha=float(alpha),
+                                rows_s=rows_s, cols_s=cols_s,
+                                ro_s=ro_s, co_s=co_s).T
+        return None
+    # op_s == NoTrans: use the autotransposed distribution
+    if S.dist.family == DenseDistName.BlackBox:
+        return None
+    dist_t = DenseDist(S.dist.n_cols, S.dist.n_rows, S.dist.family,
+                       S.dist.major_axis)
+    if dist_to_layout(dist_t) != Layout.RowMajor:
+        return None
+    if not fused_sketch_supported(dist_t, cols_s, rows_s, co_s, ro_s,
+                                  Op.NoTrans, dtype, n):
+        return None
+    S_t = DenseSkOp(dist_t, S.seed_state, dtype=S.dtype)
+    return fused_sketch(S_t, a_mat.T, alpha=float(alpha),
+                        rows_s=cols_s, cols_s=rows_s,
+                        ro_s=co_s, co_s=ro_s).T
+
+
 def _sparse_left_apply(S: SparseSkOp, d: int, m: int, ro_s: int, co_s: int,
                        op_s: Op, b_mat: jax.Array, alpha) -> jax.Array:
     """alpha * op_s(submat(S)) @ b_mat for a sparse-sign operator.
@@ -215,8 +267,13 @@ def sketch_general(
             prod = _sparse_left_apply(S, d, m, ro_s, co_s, flipped, a_mat.T,
                                       alpha).T
         else:
-            s_blk = _dense_block(S, rows_s, cols_s, ro_s, co_s, op_s, dtype)
-            prod = jnp.asarray(alpha, dtype) * _matmul(a_mat, s_blk, dtype)
+            prod = _right_fused_or_none(S, a_mat, rows_s, cols_s, ro_s,
+                                        co_s, op_s, dtype, alpha)
+            if prod is None:
+                s_blk = _dense_block(S, rows_s, cols_s, ro_s, co_s, op_s,
+                                     dtype)
+                prod = jnp.asarray(alpha, dtype) * _matmul(a_mat, s_blk,
+                                                           dtype)
         expected_shape = (n, d)
 
     if out is not None:
