@@ -165,6 +165,55 @@ def distributed_sketch_jit(S: DenseSkOp, A: jax.Array, mesh: Mesh,
     return f(S, A)
 
 
+def distributed_sketch_right(
+    S: DenseSkOp,
+    A: jax.Array,
+    mesh: Mesh,
+    *,
+    alpha=1.0,
+) -> jax.Array:
+    """B = alpha * A @ S with A (rows, m) column-sharded over 'data' and
+    B (rows, d) d-sharded over 'model'.
+
+    Each device generates its (m/data x d/model) tile of the global
+    operator from counters (row offset = data index, column offset =
+    model index — both fold into the traced fill) and contributes a
+    partial product; partials psum over 'data'. For tall-Long operators
+    (natural ColMajor) the traced fill's alignment contract requires the
+    per-shard extent along the operator's major axis (its rows, m) to be
+    a multiple of the counter width — i.e. m/data % 4 == 0.
+    """
+    require(isinstance(S, DenseSkOp), "takes a DenseSkOp")
+    m, d = S.shape
+    rows = A.shape[0]
+    require(A.shape[1] == m, "A column count must equal S.n_rows")
+    pm = mesh.shape["model"]
+    pd = mesh.shape["data"]
+    require(d % pm == 0, "d must divide the 'model' axis size")
+    require(m % pd == 0, "m must divide the 'data' axis size")
+    d_per, m_per = d // pm, m // pd
+
+    dist, seed, dtype = S.dist, S.seed_state, S.dtype
+
+    def shard_fn(a_blk):
+        mi = jax.lax.axis_index("model")
+        di = jax.lax.axis_index("data")
+        ro = di.astype(jnp.uint32) * jnp.uint32(m_per)
+        co = mi.astype(jnp.uint32) * jnp.uint32(d_per)
+        s_blk = fill_dense_submat_traced(dist, seed, m_per, d_per, ro, co,
+                                         dtype)
+        part = jnp.matmul(a_blk.astype(dtype), s_blk,
+                          preferred_element_type=dtype)
+        return jax.lax.psum(jnp.asarray(alpha, dtype) * part, "data")
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=P(None, "data"),
+        out_specs=P(None, "model"),
+    )
+    return fn(A)
+
+
 def distributed_sparse_sketch(
     S: SparseSkOp,
     A: jax.Array,

@@ -64,6 +64,19 @@ def test_output_sharding():
     assert shard_shapes == {(D // 2, N)}
 
 
+@pytest.mark.parametrize("model,data", [(2, 4), (1, 8)])
+def test_distributed_right(model, data):
+    m, d, rows = 64, 16, 10
+    S = DenseSkOp(DenseDist(m, d), RNGState.from_key(13))  # tall, Long
+    A = jnp.asarray(
+        np.random.default_rng(2).normal(size=(rows, m)).astype(np.float32))
+    from randblas_tpu.parallel import distributed_sketch_right
+    mesh = make_sketch_mesh(model, data)
+    got = np.asarray(distributed_sketch_right(S, A, mesh))
+    want = np.asarray(sketch_general(S, A, side="right"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_distributed_sparse():
     Ss = SparseSkOp(SparseDist(D, M, vec_nnz=4), RNGState.from_key(3))
     A = jnp.asarray(
