@@ -133,6 +133,43 @@ def test_sketch_symmetric_left_full(layout):
                                rtol=1e-5)
 
 
+@pytest.mark.parametrize("layout", [ColMajor, RowMajor])
+def test_lda_window_views(layout):
+    """A stored inside a larger buffer with ld > its extent — the
+    reference's lda-window semantics (base.hh:65-114)."""
+    d, m, n = 5, 14, 4
+    S = DenseSkOp(DenseDist(d, m), RNGState.from_key(9))
+    A = RNG.normal(size=(m, n)).astype(np.float32)
+    # embed A into a buffer with padded leading dimension
+    if layout == ColMajor:
+        ld_a = m + 3
+        big = RNG.normal(size=(n, ld_a)).astype(np.float32)  # col-major flat
+        big[:, :m] = A.T
+        a_buf = big.reshape(-1)
+    else:
+        ld_a = n + 2
+        big = RNG.normal(size=(m, ld_a)).astype(np.float32)
+        big[:, :n] = A
+        a_buf = big.reshape(-1)
+    ld_b = (d + 1) if layout == ColMajor else (n + 5)
+    if layout == ColMajor:
+        bbig = np.zeros((n, ld_b), dtype=np.float32)
+        b_buf = bbig.reshape(-1)
+    else:
+        bbig = np.zeros((d, ld_b), dtype=np.float32)
+        b_buf = bbig.reshape(-1)
+    compat.sketch_general(layout, NoTrans, NoTrans, d, n, m, 1.0, S, 0, 0,
+                          a_buf, ld_a, 0.0, b_buf, ld_b)
+    got = compat.read_mat(layout, b_buf, d, n, ld_b)
+    want = np.asarray(S.materialize()) @ A
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # padding region of the B buffer untouched beyond written window
+    if layout == RowMajor:
+        np.testing.assert_array_equal(
+            b_buf.reshape(d, ld_b)[:, n:], np.zeros((d, ld_b - n),
+                                                    np.float32))
+
+
 def test_fill_dense_layouts():
     from randblas_tpu import fill_dense_submat
     dist = DenseDist(5, 8)
