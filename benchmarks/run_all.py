@@ -20,6 +20,7 @@ import numpy as np                                             # noqa: E402
 
 def main():
     import jax
+    jax.config.update("jax_enable_x64", True)  # config 1 is fp64
     import jax.numpy as jnp
 
     import randblas_tpu as rb
@@ -43,14 +44,30 @@ def main():
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
-    # ---- config 1: LSKGE3 TLS shape ------------------------------------
+    # ---- config 1: LSKGE3 TLS shape, fp64 per BASELINE -------------------
+    # On TPU the f64 product routes through the int8-sliced MXU GEMM
+    # (ops/f64gemm.py); the operator block is generated f32-exact.
     m, n = 100_000 // scale, 2_000 // scale
     d = 2 * (n + 1)
-    A = jnp.asarray(
-        np.random.default_rng(0).normal(size=(m, n)).astype(np.float32))
+    A = jnp.asarray(np.random.default_rng(0).normal(size=(m, n)))  # f64
     dist = rb.DenseDist(d, m)
 
     def body1(i, carry, a):
+        st = rb.RNGState.from_arrays(
+            jnp.zeros(4, jnp.uint32).at[0].set(
+                (carry * 1e-30).astype(jnp.uint32) + i.astype(jnp.uint32)),
+            jnp.zeros(2, jnp.uint32))
+        S = rb.DenseSkOp(dist, st, dtype=jnp.float64)
+        out = rb.sketch_general(S, a)
+        return (jnp.sum(out) * 1e-20).astype(jnp.float32)
+
+    report("lskge3_tls_100kx2k_f64", time_loop(body1, A, iters_large=3),
+           flops=2.0 * d * m * n)
+
+    # f32 variant of the same shape (round-1 metric, kept for trend)
+    A1f = A.astype(jnp.float32)
+
+    def body1f(i, carry, a):
         st = rb.RNGState.from_arrays(
             jnp.zeros(4, jnp.uint32).at[0].set(
                 (carry * 1e-30).astype(jnp.uint32) + i.astype(jnp.uint32)),
@@ -59,11 +76,12 @@ def main():
         out = rb.sketch_general(S, a)
         return jnp.sum(out) * jnp.float32(1e-20)
 
-    report("lskge3_tls_100kx2k_f32", time_loop(body1, A, iters_large=3),
+    report("lskge3_tls_100kx2k_f32", time_loop(body1f, A1f, iters_large=3),
            flops=2.0 * d * m * n)
 
     # ---- config 2: RSKGE3 + submatrix, uniform -------------------------
-    rows, mm, dd = 4_000 // scale, 8_192 // scale, 512 // scale
+    # sized above the ~0.5ms loop-differencing floor (VERDICT r1 weak 3)
+    rows, mm, dd = 16_384 // scale, 16_384 // scale, 1_024 // scale
     A2 = jnp.asarray(
         np.random.default_rng(1).normal(size=(rows, mm)).astype(np.float32))
     dist2 = rb.DenseDist(mm + 8, dd + 8, rb.DenseDistName.Uniform)
@@ -78,7 +96,7 @@ def main():
         return jnp.sum(out) * jnp.float32(1e-20)
 
     report("rskge3_submatrix_uniform",
-           time_loop(body2, A2, iters_small=2, iters_large=20),
+           time_loop(body2, A2, iters_small=2, iters_large=8),
            flops=2.0 * rows * mm * dd)
 
     # ---- config 3: LSKGES SASO vec_nnz=8 --------------------------------

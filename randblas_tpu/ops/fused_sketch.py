@@ -348,8 +348,7 @@ def _fused_call(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
 
 
 def fused_sketch_supported(dist, n_rows: int, n_cols: int, ro_s: int,
-                           co_s: int, op_s, dtype,
-                           n_data_cols: int = 128) -> bool:
+                           co_s: int, op_s, dtype) -> bool:
     """Static eligibility check for the fused kernel path.
 
     Submatrices are supported when the column offset and width are

@@ -104,6 +104,22 @@ def distributed_sketch(
     elif use_fused is True:
         require(fused_ok, "fused distributed path forced but unsupported")
 
+    if not fused_ok:
+        # traced-fill alignment contract: the per-shard offset along the
+        # generation's lane (minor) dimension must be a counter multiple,
+        # or the shard's counters silently misalign and the sketch is
+        # WRONG. The fused path checks its own m_per % 4 above.
+        if dist_to_layout(dist) == Layout.RowMajor:
+            require(pd == 1 or m_per % seed.len_c == 0,
+                    f"per-'data' shard width m/{pd} = {m_per} must be a "
+                    f"multiple of the counter width {seed.len_c} "
+                    "(RowMajor-natural operator)")
+        else:
+            require(pm == 1 or d_per % seed.len_c == 0,
+                    f"per-'model' shard height d/{pm} = {d_per} must be a "
+                    f"multiple of the counter width {seed.len_c} "
+                    "(ColMajor-natural operator)")
+
     ctr_stride_global = (m + ((-m) % 4)) // 4
 
     def shard_fn(a_blk):
@@ -194,6 +210,20 @@ def distributed_sketch_right(
     d_per, m_per = d // pm, m // pd
 
     dist, seed, dtype = S.dist, S.seed_state, S.dtype
+
+    from ..base import Layout
+    from ..dense import dist_to_layout
+    if dist_to_layout(dist) == Layout.ColMajor:
+        # lane offset = row offset (the operator's m rows are its major axis)
+        require(pd == 1 or m_per % seed.len_c == 0,
+                f"per-'data' shard height m/{pd} = {m_per} must be a "
+                f"multiple of the counter width {seed.len_c} "
+                "(ColMajor-natural operator)")
+    else:
+        require(pm == 1 or d_per % seed.len_c == 0,
+                f"per-'model' shard width d/{pm} = {d_per} must be a "
+                f"multiple of the counter width {seed.len_c} "
+                "(RowMajor-natural operator)")
 
     def shard_fn(a_blk):
         mi = jax.lax.axis_index("model")

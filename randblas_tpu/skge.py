@@ -34,6 +34,12 @@ SkOp = Union[DenseSkOp, SparseSkOp]
 # unsupported); False always materializes the operator block first.
 use_fused = "auto"
 
+# f64 GEMM policy: "auto" routes float64 dense products through the
+# int8-sliced MXU GEMM (ops/f64gemm.py) on TPU, where XLA's emulated f64
+# matmul is orders of magnitude off the MXU; True forces it everywhere;
+# False always uses jnp.matmul.
+use_hiprec_f64 = "auto"
+
 
 def _tpu_backend() -> bool:
     try:
@@ -68,12 +74,43 @@ def _as_side(side) -> Side:
 
 def _dense_block(S: DenseSkOp, rows_s: int, cols_s: int, ro_s: int,
                  co_s: int, op_s: Op, dtype) -> jax.Array:
-    """op_s(submat(S)) as a dense array (lazy counter-addressed fill)."""
-    blk = S.submat(rows_s, cols_s, ro_s, co_s).astype(dtype)
+    """op_s(submat(S)) as a dense array (lazy counter-addressed fill).
+
+    On the high-precision f64 route, lazily generated GAUSSIAN blocks
+    stay f32: their values ARE f32-exact (the reference also generates in
+    float and promotes, dense_skops.hh:50-55) and _matmul slices f32
+    operands to full f64 depth — this halves the block's footprint and
+    skips the (emulated, dd-pair) f64 materialization entirely. Uniform
+    is excluded: its sqrt(3) scale is applied in the target dtype
+    (matching the reference's T-typed scal, dense_skops.hh:512), so f64
+    Uniform values are not f32-representable."""
+    from .dense import DenseDistName
+    blk_dtype = dtype
+    if (_hiprec_route(dtype) and S.materialized is None
+            and S.dist.family == DenseDistName.Gaussian):
+        blk_dtype = jnp.float32
+    blk = S.submat(rows_s, cols_s, ro_s, co_s).astype(blk_dtype)
     return blk.T if op_s == Op.Trans else blk
 
 
+def _hiprec_route(dtype) -> bool:
+    return jnp.dtype(dtype) == jnp.float64 and (
+        use_hiprec_f64 is True
+        or (use_hiprec_f64 == "auto" and _tpu_backend()))
+
+
 def _matmul(a, b, dtype):
+    if _hiprec_route(dtype):
+        from .ops.f64gemm import matmul_hiprec
+        # an f32 operand here means "f32-exact values under fp64 GEMM
+        # semantics" (lazily generated operator blocks): slice to full
+        # f64 depth, not the 4-level f32-accuracy default.
+        kw = {}
+        if a.dtype == jnp.float32:
+            kw["slices_a"] = 8
+        if b.dtype == jnp.float32:
+            kw["slices_b"] = 8
+        return matmul_hiprec(a, b, **kw)
     return jnp.matmul(a, b, preferred_element_type=dtype)
 
 
@@ -87,7 +124,7 @@ def _fused_eligible(S: DenseSkOp, rows_s: int, cols_s: int, ro_s: int,
         return False  # the kernel hardcodes Philox4x32-10 rounds
     from .ops.fused_sketch import fused_sketch_supported
     ok = fused_sketch_supported(S.dist, rows_s, cols_s, ro_s, co_s, op_s,
-                                dtype, n)
+                                dtype)
     if use_fused is True:
         require(ok, "fused sketch path forced but call is unsupported")
         return True
@@ -125,7 +162,7 @@ def _right_fused_or_none(S: DenseSkOp, a_mat, rows_s: int, cols_s: int,
     if op_s == Op.Trans:
         # stored block (rows_s=d', cols_s=m...) acts as the left operand
         if fused_sketch_supported(S.dist, rows_s, cols_s, ro_s, co_s,
-                                  Op.NoTrans, dtype, n):
+                                  Op.NoTrans, dtype):
             return fused_sketch(S, a_mat.T, alpha=float(alpha),
                                 rows_s=rows_s, cols_s=cols_s,
                                 ro_s=ro_s, co_s=co_s).T
@@ -138,7 +175,7 @@ def _right_fused_or_none(S: DenseSkOp, a_mat, rows_s: int, cols_s: int,
     if dist_to_layout(dist_t) != Layout.RowMajor:
         return None
     if not fused_sketch_supported(dist_t, cols_s, rows_s, co_s, ro_s,
-                                  Op.NoTrans, dtype, n):
+                                  Op.NoTrans, dtype):
         return None
     S_t = DenseSkOp(dist_t, S.seed_state, dtype=S.dtype)
     return fused_sketch(S_t, a_mat.T, alpha=float(alpha),
@@ -161,7 +198,12 @@ def _sparse_left_apply(S: SparseSkOp, d: int, m: int, ro_s: int, co_s: int,
     )
 
     s = S.filled()
-    full = (op_s == Op.NoTrans and ro_s == 0 and co_s == 0
+    # the reshape-based fast paths assume the canonical per-minor-vector
+    # triplet order produced by filled(); user-supplied COO triplets in any
+    # other order must take the general COO path (the reference's left_spmm
+    # handles arbitrary order, spmm_dispatch.hh:49-160).
+    full = (s.canonical
+            and op_s == Op.NoTrans and ro_s == 0 and co_s == 0
             and d == S.dist.n_rows and m == S.dist.n_cols
             and S.dist.major_axis == MajorAxis.Short)
     k = S.dist.vec_nnz
@@ -216,7 +258,8 @@ def sketch_general(
       ro_s, co_s: submatrix offsets into S (counter-addressed; no
          materialization of the rest of S).
       out: existing B to accumulate into (functional: a new array is
-         returned). If None and beta != 0, beta is ignored-with-error.
+         returned). Must be given whenever beta != 0 — a nonzero beta with
+         no B to accumulate into is an error, never silently dropped.
 
     Returns B_new.
     """
@@ -225,6 +268,9 @@ def sketch_general(
     op_a = _as_op(op_a)
     A = jnp.asarray(A)
     require(A.ndim == 2, "A must be 2-D")
+    if out is None:
+        require(isinstance(beta, (int, float)) and beta == 0,
+                "beta != 0 requires an `out` array to accumulate into")
     dtype = A.dtype
 
     if side == Side.Left:

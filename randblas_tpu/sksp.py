@@ -52,6 +52,9 @@ def sketch_sparse(
     op_a = _as_op(op_a)
     require(isinstance(S, DenseSkOp),
             "sketch_sparse takes a dense sketching operator")
+    if out is None:
+        require(isinstance(beta, (int, float)) and beta == 0,
+                "beta != 0 requires an `out` array to accumulate into")
     coo_rows = A.n_rows
     coo_cols = A.n_cols
     # operator extents remaining after the submatrix offsets

@@ -155,6 +155,7 @@ class SparseSkOp:
         next_state: Optional[RNGState] = None,
         dtype=jnp.float32,
         index_dtype=jnp.int32,
+        canonical: bool = False,
     ):
         if isinstance(seed_state, int):
             seed_state = RNGState.from_key(seed_state)
@@ -170,6 +171,13 @@ class SparseSkOp:
         self.rows = rows
         self.cols = cols
         self.vals = vals
+        # canonical: triplets are in the internal fill's minor-vector-major
+        # order (vec_nnz consecutive entries per minor-axis vector). Set by
+        # filled(); the fixed-nnz/one-hot/row-gather fast paths in skge are
+        # only valid for canonical triplets — user-supplied COO data in any
+        # other order takes the general COO path (matching the reference's
+        # left_spmm, which handles arbitrary order).
+        self.canonical = bool(canonical) and self.known_filled
 
     @property
     def known_filled(self) -> bool:
@@ -221,7 +229,8 @@ class SparseSkOp:
             rows, cols = idxs_minor, idxs_major
         return SparseSkOp(d, self.seed_state, rows=rows, cols=cols,
                           vals=vals, next_state=self.next_state,
-                          dtype=self.dtype, index_dtype=self.index_dtype)
+                          dtype=self.dtype, index_dtype=self.index_dtype,
+                          canonical=True)
 
     def materialize(self) -> jax.Array:
         """Densify (for oracles/tests; never used on the fast path)."""
@@ -234,21 +243,24 @@ class SparseSkOp:
         s = self.filled()
         dist_t = SparseDist(self.dist.n_cols, self.dist.n_rows,
                             self.dist.vec_nnz, self.dist.major_axis)
+        # transposing swaps index roles but keeps the minor-vector grouping,
+        # so canonical order is preserved.
         return SparseSkOp(dist_t, s.seed_state, rows=s.cols, cols=s.rows,
                           vals=s.vals, next_state=s.next_state,
-                          dtype=s.dtype, index_dtype=s.index_dtype)
+                          dtype=s.dtype, index_dtype=s.index_dtype,
+                          canonical=s.canonical)
 
     # -- pytree protocol -----------------------------------------------------
 
     def tree_flatten(self):
         children = (self.seed_state, self.next_state, self.rows, self.cols,
                     self.vals)
-        aux = (self.dist, self.dtype, self.index_dtype)
+        aux = (self.dist, self.dtype, self.index_dtype, self.canonical)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        dist, dtype, index_dtype = aux
+        dist, dtype, index_dtype, canonical = aux
         seed_state, next_state, rows, cols, vals = children
         obj = object.__new__(cls)
         obj.dist = dist
@@ -259,6 +271,7 @@ class SparseSkOp:
         obj.rows = rows
         obj.cols = cols
         obj.vals = vals
+        obj.canonical = canonical
         return obj
 
     def __repr__(self):

@@ -37,8 +37,8 @@ def weights_to_cdf(w, error_if_below: float = None):
     return cdf / total
 
 
-def _uniform_stream(state: RNGState, k: int):
-    """k uneg11 floats consuming counters exactly like the reference's
+def _uniform_stream_bits(state: RNGState, k: int):
+    """Raw uint32 words consuming counters exactly like the reference's
     sample_indices_iid loop (util.hh:285-306).
 
     Quirk reproduced faithfully: the reference generates a block at the
@@ -53,26 +53,67 @@ def _uniform_stream(state: RNGState, k: int):
     from .rng.bits import ctr_add64
     counters = ctr_add64(state.counter, offsets, jnp.uint32(0))
     blocks = state.generate(counters, state.key)       # (n_blocks, len_c)
-    vals = uneg11_block(blocks).reshape(-1)[:k]
     next_state = state.incr(n_blocks)
-    return vals, next_state
+    return blocks.reshape(-1)[:k], next_state
+
+
+def _uniform_stream(state: RNGState, k: int):
+    """k uneg11 float32s from _uniform_stream_bits."""
+    bits, next_state = _uniform_stream_bits(state, k)
+    return uneg11_block(bits), next_state
+
+
+def _uneg11_f64(bits_np):
+    """uneg11 on uint32 words in float64 — the reference's T=double path
+    (r123::uneg11<double, uint32_t>): int32 reinterpretation, then
+    s * 2^-31 + 2^-32 evaluated in double."""
+    import numpy as np
+    signed = bits_np.astype(np.uint32).astype(np.int64)
+    signed = np.where(signed >= 2 ** 31, signed - 2 ** 32, signed)
+    return signed.astype(np.float64) * 2.0 ** -31 + 2.0 ** -32
 
 
 def sample_indices_iid(cdf, k: int, state: RNGState):
     """k iid samples from the distribution over {0..n-1} given by `cdf`
     (inverse-CDF via searchsorted; util.hh:285-306).
 
+    The reference computes in T=double; on concrete inputs the uneg11 map
+    and the CDF comparison run host-side in float64 to match its streams.
+    Under jit the computation is float32 (documented divergence for CDFs
+    with features finer than 2^-24).
+
     Returns (samples int32[k], next_state)."""
     cdf = jnp.asarray(cdf)
-    u, next_state = _uniform_stream(state, k)
-    u01 = (u.astype(cdf.dtype) + 1.0) / 2.0
+    bits, next_state = _uniform_stream_bits(state, k)
+    if not (isinstance(bits, jax.core.Tracer)
+            or isinstance(cdf, jax.core.Tracer)):
+        import numpy as np
+        bits_np = np.asarray(jax.device_get(bits))
+        cdf_np = np.asarray(jax.device_get(cdf), dtype=np.float64)
+        u01 = (_uneg11_f64(bits_np) + 1.0) / 2.0
+        samples = np.searchsorted(cdf_np, u01, side="left")
+        return jnp.asarray(samples, dtype=jnp.int32), next_state
+    u01 = (uneg11_block(bits).astype(cdf.dtype) + 1.0) / 2.0
     samples = jnp.searchsorted(cdf, u01, side="left")
     return samples.astype(jnp.int32), next_state
 
 
 def sample_indices_iid_uniform(n: int, k: int, state: RNGState):
-    """k iid samples uniform over {0..n-1} (util.hh:312-334)."""
-    u, next_state = _uniform_stream(state, k)
+    """k iid samples uniform over {0..n-1} (util.hh:312-334).
+
+    The reference computes n * u01 in T=double; float32 has a 24-bit
+    mantissa, so for large n the f32 stream diverges. On concrete inputs
+    the whole map runs host-side in float64 (matching the reference for
+    any n < 2^31); under jit it is float64 when x64 is enabled, else
+    float32 (documented divergence for n > ~2^24)."""
+    bits, next_state = _uniform_stream_bits(state, k)
+    if not isinstance(bits, jax.core.Tracer):
+        import numpy as np
+        bits_np = np.asarray(jax.device_get(bits))
+        u01 = (_uneg11_f64(bits_np) + 1.0) / 2.0
+        samples = np.floor(n * u01).astype(np.int32)
+        return jnp.asarray(np.clip(samples, 0, n - 1)), next_state
+    u = uneg11_block(bits)
     u01 = (u.astype(jnp.float64 if jax.config.jax_enable_x64
                     else jnp.float32) + 1.0) / 2.0
     samples = jnp.floor(n * u01).astype(jnp.int32)

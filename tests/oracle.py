@@ -94,6 +94,53 @@ def fill_rowmajor_oracle(n_cols_parent, n_srows, n_scols, ptr, ctr, key,
     return out
 
 
+def componentwise_bound(lhs, rhs, alpha, beta, b0, eps):
+    """Per-entry error-bound matrix for B = alpha*lhs@rhs + beta*b0.
+
+    Port of the reference's componentwise comparator semantics
+    (test_matmul_cores/linop_common.hh:194-265):
+
+        E = (|alpha| * k * 2eps) * |lhs| @ |rhs| + (|beta| * eps) * |b0|
+
+    where k is the contraction length — the standard forward-error bound
+    of a k-term dot product, doubled to cover the oracle's own rounding.
+    eps is the epsilon of the precision the computation actually ran in.
+    """
+    lhs = np.abs(np.asarray(lhs, dtype=np.float64))
+    rhs = np.abs(np.asarray(rhs, dtype=np.float64))
+    k = lhs.shape[1]
+    bound = (abs(alpha) * k * 2 * eps) * (lhs @ rhs)
+    if b0 is not None and beta:
+        bound = bound + abs(beta) * eps * np.abs(
+            np.asarray(b0, dtype=np.float64))
+    return bound
+
+
+def assert_componentwise_close(actual, lhs, rhs, *, alpha=1.0, beta=0.0,
+                               b0=None, eps=None):
+    """Check actual == alpha*lhs@rhs + beta*b0 within the componentwise
+    error-bound matrix (comparison.hh:157-179 buffs_approx_equal with
+    bounds). The expected value is computed in float64; `eps` defaults to
+    the epsilon of actual's dtype (the precision of the library path)."""
+    actual = np.asarray(actual)
+    if eps is None:
+        eps = float(np.finfo(actual.dtype).eps)
+    lhs64 = np.asarray(lhs, dtype=np.float64)
+    rhs64 = np.asarray(rhs, dtype=np.float64)
+    expect = alpha * (lhs64 @ rhs64)
+    if b0 is not None and beta:
+        expect = expect + beta * np.asarray(b0, dtype=np.float64)
+    bound = componentwise_bound(lhs, rhs, alpha, beta, b0, eps)
+    err = np.abs(actual.astype(np.float64) - expect)
+    bad = err > bound
+    if bad.any():
+        i, j = np.unravel_index(np.argmax(err - bound), err.shape)
+        raise AssertionError(
+            f"componentwise bound violated at ({i},{j}): "
+            f"|{actual[i, j]} - {expect[i, j]}| = {err[i, j]:.3e} > "
+            f"{bound[i, j]:.3e} ({int(bad.sum())}/{bad.size} entries)")
+
+
 def fisher_yates_oracle(ctr, key, vec_nnz, dim_major, dim_minor):
     """Serial repeated Fisher-Yates with an explicit work vector and the
     restore step, mirroring the documented sampler semantics."""

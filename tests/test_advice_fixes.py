@@ -1,0 +1,156 @@
+"""Regression tests for the round-1 advisor findings (ADVICE.md) and
+VERDICT.md weak item #4 (silently-dropped beta).
+
+Each test pins a bug that previously produced a wrong answer silently.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from randblas_tpu import (
+    DenseDist, DenseSkOp, RNGState, SparseDist, SparseSkOp, sketch_general,
+)
+from randblas_tpu.ops.accumulate import accumulate
+from randblas_tpu.parallel import distributed_sketch, make_sketch_mesh
+from randblas_tpu.parallel.distributed import distributed_sketch_right
+from randblas_tpu.util import sample_indices_iid, sample_indices_iid_uniform
+from randblas_tpu.util import weights_to_cdf
+
+
+# -- ADVICE high: misaligned per-shard width must fail loudly ---------------
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_distributed_sketch_misaligned_shard_raises():
+    # m = 20 over data=2 -> m_per = 10, not a counter multiple: previously
+    # returned a silently-wrong sketch (max err ~12 vs 1e-6 aligned).
+    S = DenseSkOp(DenseDist(8, 20), RNGState.from_key(0))
+    A = jnp.ones((20, 4), jnp.float32)
+    mesh = make_sketch_mesh(2, 2, jax.devices()[:4])
+    with pytest.raises(ValueError, match="multiple of the counter width"):
+        distributed_sketch(S, A, mesh)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_distributed_sketch_right_misaligned_shard_raises():
+    # tall (m=20, d=8) operator, m sharded over data=2 -> m_per = 10
+    S = DenseSkOp(DenseDist(20, 8), RNGState.from_key(0))
+    A = jnp.ones((4, 20), jnp.float32)
+    mesh = make_sketch_mesh(2, 2, jax.devices()[:4])
+    with pytest.raises(ValueError, match="multiple of the counter width"):
+        distributed_sketch_right(S, A, mesh)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_distributed_sketch_single_data_shard_offset_free():
+    # pd == 1 means the lane offset is always 0: any m is fine.
+    S = DenseSkOp(DenseDist(8, 18), RNGState.from_key(3))
+    A = jnp.asarray(
+        np.random.default_rng(1).normal(size=(18, 4)).astype(np.float32))
+    mesh = make_sketch_mesh(4, 1, jax.devices()[:4])
+    got = np.asarray(distributed_sketch(S, A, mesh))
+    want = np.asarray(S.materialize()) @ np.asarray(A)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+# -- ADVICE medium: user-supplied COO triplets in arbitrary order -----------
+
+@pytest.mark.parametrize("d,m", [(8, 64), (64, 8)])
+def test_user_supplied_shuffled_triplets_correct(d, m):
+    dist = SparseDist(d, m, vec_nnz=3)
+    S = SparseSkOp(dist, RNGState.from_key(7)).filled()
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(len(np.asarray(S.rows)))
+    S_shuf = SparseSkOp(dist, RNGState.from_key(7),
+                        rows=jnp.asarray(np.asarray(S.rows)[perm]),
+                        cols=jnp.asarray(np.asarray(S.cols)[perm]),
+                        vals=jnp.asarray(np.asarray(S.vals)[perm]))
+    assert not S_shuf.canonical and S.canonical
+    A = jnp.asarray(rng.normal(size=(m, 5)).astype(np.float32))
+    got = np.asarray(sketch_general(S_shuf, A))
+    want = np.asarray(S_shuf.materialize()) @ np.asarray(A)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # same values as the canonical operator (it is the same matrix)
+    np.testing.assert_allclose(got, np.asarray(sketch_general(S, A)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_transpose_preserves_canonical_fast_path():
+    S = SparseSkOp(SparseDist(8, 64, vec_nnz=4), RNGState.from_key(2))
+    St = S.transpose()
+    assert St.filled().canonical
+    A = jnp.asarray(
+        np.random.default_rng(3).normal(size=(8, 5)).astype(np.float32))
+    got = np.asarray(sketch_general(St, A))
+    want = np.asarray(St.materialize()) @ np.asarray(A)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+# -- ADVICE medium: traced beta == 0 must overwrite, not multiply -----------
+
+def test_traced_beta_zero_overwrites_nonfinite_out():
+    prod = jnp.ones((2, 2), jnp.float32)
+    out = jnp.asarray([[np.nan, np.inf], [1.0, -np.inf]], jnp.float32)
+
+    res = jax.jit(accumulate)(prod, jnp.float32(0.0), out)
+    np.testing.assert_array_equal(np.asarray(res), np.ones((2, 2)))
+
+    res2 = jax.jit(accumulate)(prod, jnp.float32(2.0),
+                               jnp.full((2, 2), 3.0, jnp.float32))
+    np.testing.assert_allclose(np.asarray(res2), 7.0)
+
+
+# -- VERDICT weak 4 / ADVICE low: beta without out must error ---------------
+
+def test_beta_without_out_raises():
+    S = DenseSkOp(DenseDist(4, 8), RNGState.from_key(0))
+    A = jnp.ones((8, 3), jnp.float32)
+    with pytest.raises(ValueError, match="beta"):
+        sketch_general(S, A, beta=1.0)
+    # beta with out works; beta=0 without out works
+    out = jnp.ones((4, 3), jnp.float32)
+    sketch_general(S, A, beta=1.0, out=out)
+    sketch_general(S, A, beta=0.0)
+
+
+def test_beta_without_out_raises_sketch_sparse():
+    from randblas_tpu.sparse_data import COOMatrix
+    from randblas_tpu import sketch_sparse
+    S = DenseSkOp(DenseDist(4, 8), RNGState.from_key(0))
+    A = COOMatrix.from_dense(jnp.eye(8, 6, dtype=jnp.float32))
+    with pytest.raises(ValueError, match="beta"):
+        sketch_sparse(S, A, beta=1.0)
+
+
+# -- ADVICE low: index sampling in double precision --------------------------
+
+def test_sample_indices_iid_uniform_matches_f64_for_large_n():
+    # n > 2^24: f32 rounding of u01 visibly quantizes indices; the host
+    # path must reproduce the reference's double computation.
+    n = 1 << 28
+    k = 512
+    state = RNGState.from_key(11)
+    samples, _ = sample_indices_iid_uniform(n, k, state)
+    samples = np.asarray(samples)
+
+    # oracle: raw bits -> uneg11 in f64 -> floor(n * u01)
+    from randblas_tpu.util import _uneg11_f64, _uniform_stream_bits
+    bits, _ = _uniform_stream_bits(state, k)
+    u01 = (_uneg11_f64(np.asarray(bits)) + 1.0) / 2.0
+    want = np.clip(np.floor(n * u01).astype(np.int64), 0, n - 1)
+    np.testing.assert_array_equal(samples.astype(np.int64), want)
+    # and f32 would NOT have matched (sanity that the test has teeth)
+    u32 = (np.asarray(bits).view(np.int32).astype(np.float32)
+           * np.float32(2 ** -31) + np.float32(2 ** -32))
+    f32_idx = np.floor(np.float32(n) * ((u32 + 1) / 2)).astype(np.int64)
+    assert (f32_idx != want).any()
+
+
+def test_sample_indices_iid_f64_cdf_path():
+    w = np.linspace(1, 3, 1000)
+    cdf = weights_to_cdf(jnp.asarray(w, jnp.float64))
+    samples, nxt = sample_indices_iid(cdf, 64, RNGState.from_key(4))
+    samples = np.asarray(samples)
+    assert samples.min() >= 0 and samples.max() < 1000
+    assert nxt.counter_as_int() == -(-64 // 4)

@@ -76,23 +76,23 @@ def test_fused_padded_shapes_interpret():
 def test_supported_predicate():
     g = DenseDist(64, 1024)
     assert fused_sketch_supported(g, 64, 1024, 0, 0, Op.NoTrans,
-                                  jnp.float32, 256)
+                                  jnp.float32)
     # counter-aligned submatrices -> yes
     assert fused_sketch_supported(g, 32, 512, 4, 256, Op.NoTrans,
-                                  jnp.float32, 256)
+                                  jnp.float32)
     # unaligned column offset -> no
     assert not fused_sketch_supported(g, 32, 512, 0, 2, Op.NoTrans,
-                                      jnp.float32, 256)
+                                      jnp.float32)
     # out of range -> no
     assert not fused_sketch_supported(g, 64, 1024, 4, 0, Op.NoTrans,
-                                      jnp.float32, 256)
+                                      jnp.float32)
     # transposed -> no
     assert not fused_sketch_supported(g, 1024, 64, 0, 0, Op.Trans,
-                                      jnp.float32, 256)
+                                      jnp.float32)
     # f64 -> no
     assert not fused_sketch_supported(g, 64, 1024, 0, 0, Op.NoTrans,
-                                      jnp.float64, 256)
+                                      jnp.float64)
     # tall Long operator (natural ColMajor) -> no
     tall = DenseDist(1024, 64)
     assert not fused_sketch_supported(tall, 1024, 64, 0, 0, Op.NoTrans,
-                                      jnp.float32, 256)
+                                      jnp.float32)

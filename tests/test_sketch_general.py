@@ -29,17 +29,14 @@ def _sparse_op(d, m, key=0, vec_nnz=3, major_axis=MajorAxis.Short):
                       RNGState.from_key(key))
 
 
-def _oracle(S_dense, A, side, op_s, op_a, alpha, beta, B0):
-    s = S_dense.T if op_s == "T" else S_dense
-    a = A.T if op_a == "T" else A
-    base = 0.0 if B0 is None else beta * B0
-    if side == "left":
-        return alpha * (s @ a) + base
-    return alpha * (a @ s) + base
-
-
 def _check(S, A, *, side="left", op_s="N", op_a="N", alpha=1.0, beta=0.0,
            out=None, d=None, ro_s=0, co_s=0, sub_shape=None, tol=None):
+    """Check against the densified oracle with the reference's
+    componentwise error-bound matrix (linop_common.hh:194-265) — never a
+    scalar tolerance. `tol` is accepted for call-site compatibility but
+    the bound is always the componentwise one."""
+    from oracle import assert_componentwise_close
+
     got = np.asarray(sketch_general(
         S, A, side=side, op_s=op_s, op_a=op_a, alpha=alpha, beta=beta,
         out=out, d=d, ro_s=ro_s, co_s=co_s))
@@ -47,15 +44,13 @@ def _check(S, A, *, side="left", op_s="N", op_a="N", alpha=1.0, beta=0.0,
     if sub_shape is not None:
         r, c = sub_shape
         full = full[ro_s:ro_s + r, co_s:co_s + c]
-    want = _oracle(full, np.asarray(A), side, op_s, op_a, alpha,
-                   None if out is None else beta,
-                   None if out is None else np.asarray(out))
-    # componentwise bound in the spirit of linop_common.hh:194-265
-    if tol is None:
-        m_inner = full.shape[1] if op_s == "N" else full.shape[0]
-        eps = np.finfo(got.dtype).eps
-        tol = 8 * m_inner * eps
-    np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+    s = full.T if op_s == "T" else full
+    a = np.asarray(A).T if op_a == "T" else np.asarray(A)
+    b0 = None if out is None else np.asarray(out)
+    lhs, rhs = (s, a) if side == "left" else (a, s)
+    assert_componentwise_close(got, lhs, rhs, alpha=alpha,
+                               beta=beta if out is not None else 0.0,
+                               b0=b0)
 
 
 DENSE_FAMS = [(DenseDistName.Gaussian, MajorAxis.Long),

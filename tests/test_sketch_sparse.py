@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from oracle import assert_componentwise_close
+
 from randblas_tpu import (
     DenseDist, DenseDistName, DenseSkOp, RNGState, sketch_sparse,
 )
@@ -34,8 +36,7 @@ def test_left_basic(cls):
     D = _sparse_data(m, n, seed=1)
     S = _op(d, m)
     got = np.asarray(sketch_sparse(S, cls.from_dense(D), side="left"))
-    want = np.asarray(S.materialize()) @ D
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert_componentwise_close(got, np.asarray(S.materialize()), D)
 
 
 @pytest.mark.parametrize("op_s", ["N", "T"])
@@ -50,7 +51,7 @@ def test_left_transposes(op_s, op_a):
     s = np.asarray(S.materialize())
     s = s.T if op_s == "T" else s
     a = D.T if op_a == "T" else D
-    np.testing.assert_allclose(got, s @ a, rtol=1e-5, atol=1e-5)
+    assert_componentwise_close(got, s, a)
 
 
 @pytest.mark.parametrize("op_s", ["N", "T"])
@@ -62,7 +63,7 @@ def test_right_basic(op_s):
                                    op_s=op_s, d=d))
     s = np.asarray(S.materialize())
     s = s.T if op_s == "T" else s
-    np.testing.assert_allclose(got, D @ s, rtol=1e-5, atol=1e-5)
+    assert_componentwise_close(got, D, s)
 
 
 def test_operator_submatrix():
@@ -72,7 +73,7 @@ def test_operator_submatrix():
     got = np.asarray(sketch_sparse(big, COOMatrix.from_dense(D),
                                    side="left", d=d, ro_s=2, co_s=1))
     s = np.asarray(big.materialize())[2:2 + d, 1:1 + m]
-    np.testing.assert_allclose(got, s @ D, rtol=1e-5, atol=1e-5)
+    assert_componentwise_close(got, s, D)
 
 
 def test_data_submatrix():
@@ -104,5 +105,5 @@ def test_alpha_beta():
     got = np.asarray(sketch_sparse(S, COOMatrix.from_dense(D), side="left",
                                    alpha=-0.5, beta=2.0,
                                    out=jnp.asarray(B0)))
-    want = -0.5 * np.asarray(S.materialize()) @ D + 2.0 * B0
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert_componentwise_close(got, np.asarray(S.materialize()), D,
+                               alpha=-0.5, beta=2.0, b0=B0)

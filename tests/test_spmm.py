@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from oracle import assert_componentwise_close
+
 from randblas_tpu.sparse_data import (
     COOMatrix, CSRMatrix, CSCMatrix, NonzeroSort,
     coo_to_csr, coo_to_csc, csr_to_coo, csc_to_coo,
@@ -102,7 +104,7 @@ def test_left_spmm(cls, op_a, op_b):
     got = np.asarray(left_spmm(sp, B, op_a=op_a, op_b=op_b, d=d))
     a = dense if op_a == "N" else dense.T
     b = B if op_b == "N" else B.T
-    np.testing.assert_allclose(got, a @ b, rtol=1e-5, atol=1e-5)
+    assert_componentwise_close(got, a, b)
 
 
 @pytest.mark.parametrize("cls", FORMATS)
@@ -115,7 +117,7 @@ def test_right_spmm(cls, op_b):
     A = RNG.normal(size=(m, k)).astype(np.float32)
     got = np.asarray(right_spmm(A, sp, op_b=op_b, d=d))
     b = dense if op_b == "N" else dense.T
-    np.testing.assert_allclose(got, A @ b, rtol=1e-5, atol=1e-5)
+    assert_componentwise_close(got, A, b)
 
 
 def test_left_spmm_alpha_beta():
@@ -125,8 +127,8 @@ def test_left_spmm_alpha_beta():
     C0 = RNG.normal(size=(d, n)).astype(np.float32)
     got = np.asarray(left_spmm(sp, B, alpha=-0.5, beta=2.0,
                                out=jnp.asarray(C0)))
-    want = -0.5 * np.asarray(sp.to_dense()) @ B + 2.0 * C0
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert_componentwise_close(got, np.asarray(sp.to_dense()), B,
+                               alpha=-0.5, beta=2.0, b0=C0)
 
 
 def test_left_spmm_submatrix():
@@ -136,8 +138,7 @@ def test_left_spmm_submatrix():
     ro, co = 2, 4
     B = RNG.normal(size=(m, n)).astype(np.float32)
     got = np.asarray(left_spmm(sp, B, d=d, ro_a=ro, co_a=co))
-    want = D[ro:ro + d, co:co + m] @ B
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert_componentwise_close(got, D[ro:ro + d, co:co + m], B)
 
 
 def test_right_spmm_submatrix():
@@ -147,8 +148,7 @@ def test_right_spmm_submatrix():
     ro, co = 3, 2
     A = RNG.normal(size=(m, k)).astype(np.float32)
     got = np.asarray(right_spmm(A, sp, d=d, ro_b=ro, co_b=co))
-    want = A @ D[ro:ro + k, co:co + d]
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert_componentwise_close(got, A, D[ro:ro + k, co:co + d])
 
 
 def test_spmm_wrapper_sides():

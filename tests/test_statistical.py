@@ -109,3 +109,92 @@ def test_subspace_embedding_distortion(make_op):
     delta = 0.5
     assert sv.max() < 1 + delta, f"sigma_max {sv.max()}"
     assert sv.min() > 1 - delta, f"sigma_min {sv.min()}"
+
+
+# ---------------------------------------------------------------------------
+# deeper statistical tier (VERDICT r1 item 8): significance sweep with the
+# reference's sample-size ladder (test_continuous.cc:121-166), degenerate
+# index-sampling distributions (test_discrete.cc:129-162), hypergeometric
+# KS for Fisher-Yates (test_discrete.cc:166-237), LASO distortion.
+# ---------------------------------------------------------------------------
+
+def _scalar_stream(family, n, key):
+    dist = DenseDist(n, 1, family, MajorAxis.Long)
+    return np.asarray(
+        fill_dense_submat(dist, RNGState.from_key(key), n, 1)).reshape(-1)
+
+
+def _true_cdf(family):
+    if family == DenseDistName.Gaussian:
+        return st.norm.cdf
+    r = np.sqrt(3.0)
+    return lambda x: st.uniform.cdf(x, -r, 2 * r)
+
+
+@pytest.mark.parametrize("family", [DenseDistName.Gaussian,
+                                    DenseDistName.Uniform])
+@pytest.mark.parametrize("sig,n,keys", [
+    (1e-2, 1_000, (0,)), (1e-2, 10_000, (0,)), (1e-2, 100_000, (0,)),
+    (1e-4, 1_000, (0,)), (1e-4, 10_000, (0,)), (1e-4, 100_000, (0,)),
+    (1e-6, 1_000, (999, 1000, 1001)),
+    (1e-6, 10_000, (999, 1000, 1001)),
+    (1e-6, 100_000, (999, 1000, 1001)),
+])
+def test_ks_significance_sweep(family, sig, n, keys):
+    cdf = _true_cdf(family)
+    for key in keys:
+        d_stat = st.ks_1samp(_scalar_stream(family, n, key), cdf).statistic
+        assert d_stat < ks_threshold(n, sig), (family, sig, n, key)
+
+
+def test_degenerate_distribution_even_support():
+    """Mass only on even indices != 10: no sample may land elsewhere
+    (test_discrete.cc:135-147)."""
+    n = 100
+    w = np.zeros(n, np.float32)
+    w[::2] = 1.0 / (np.arange(0, n, 2) + 1.0)
+    w[10] = 0.0
+    cdf = weights_to_cdf(jnp.asarray(w))
+    samples, _ = sample_indices_iid(cdf, n * n, RNGState.from_key(13))
+    samples = np.asarray(samples)
+    assert not ((samples == 10) | (samples % 2 == 1)).any()
+
+
+def test_degenerate_distribution_delta_with_negative_weight():
+    """Delta distribution plus a tiny negative weight that must be clipped
+    without error (test_discrete.cc:149-161)."""
+    n = 100
+    w = np.zeros(n, np.float32)
+    w[17] = 99.0
+    w[3] = -np.finfo(np.float32).eps / 10
+    cdf = weights_to_cdf(jnp.asarray(w))
+    assert float(cdf[17]) >= 0.0
+    samples, _ = sample_indices_iid(cdf, n * n, RNGState.from_key(14))
+    assert (np.asarray(samples) == 17).all()
+
+
+@pytest.mark.parametrize("N,K", [(20, 5), (50, 8)])
+def test_fisher_yates_hypergeometric_ks(N, K):
+    """Count of sampled indices below K follows Hypergeometric(N, K, K)
+    (test_discrete.cc:166-237)."""
+    num_samples = 4096
+    idxs, _ = repeated_fisher_yates(RNGState.from_key(6), K, N, num_samples)
+    below = (np.asarray(idxs) < K).sum(axis=1)
+    emp_cdf = np.cumsum(np.bincount(below, minlength=K + 1)) / num_samples
+    true_cdf = st.hypergeom(N, K, K).cdf(np.arange(K + 1))
+    assert np.abs(emp_cdf - true_cdf).max() < ks_threshold(num_samples, 1e-4)
+
+
+def test_subspace_embedding_distortion_laso():
+    """LASO (long-axis) sparse operator distortion case."""
+    m, N = 4000, 256
+    d = 4 * N
+    rng = np.random.default_rng(1)
+    U, _ = np.linalg.qr(rng.normal(size=(m, N)))
+    S = SparseSkOp(SparseDist(d, m, vec_nnz=8, major_axis=MajorAxis.Long),
+                   RNGState.from_key(23))
+    scale = isometry_scale_factor(S.dist)
+    SU = np.asarray(sketch_general(S, jnp.asarray(U.astype(np.float32)),
+                                   alpha=scale))
+    sv = np.linalg.svd(SU, compute_uv=False)
+    assert sv.max() < 1.5 and sv.min() > 0.5, (sv.max(), sv.min())
