@@ -141,6 +141,29 @@ def main():
            time_loop(body4, Asp.rows, Asp.cols, Asp.vals, iters_large=3),
            flops=2.0 * d4 * nnz4)
 
+    # config 4b: the same sparse data through the BlockedELL Pallas
+    # kernel (rsksp3 orientation: sparse data x dense operator). The
+    # one-time format conversion happens outside the timed body, like
+    # the reference pre-sorting COO into CSC.
+    from randblas_tpu.sparse_data import ELLMatrix
+    bell = ELLMatrix.from_coo(Asp).blocked()
+    op_dist4b = rb.DenseDist(n4, d4)
+
+    def body4b(i, carry, ci, v):
+        st = rb.RNGState.from_arrays(
+            jnp.zeros(4, jnp.uint32).at[0].set(
+                (carry * 1e-30).astype(jnp.uint32) + i.astype(jnp.uint32)),
+            jnp.zeros(2, jnp.uint32))
+        S = rb.DenseSkOp(op_dist4b, st)
+        from randblas_tpu.ops.ell_spmm import BlockedELL
+        sp = BlockedELL(ci, v, bell.n_rows, bell.n_cols, bell.kb, bell.bw)
+        out = rb.sketch_sparse(S, sp, side="right")
+        return jnp.sum(out) * jnp.float32(1e-20)
+
+    report("sketch_sparse_blocked_ell",
+           time_loop(body4b, bell.local_cols, bell.vals, iters_large=6),
+           flops=2.0 * d4 * nnz4)
+
     # ---- config 5: wrappers + QB rangefinder pipeline -------------------
     nq = 4_000 // scale
     kq = 64

@@ -351,9 +351,13 @@ def fused_sketch_supported(dist, n_rows: int, n_cols: int, ro_s: int,
                            co_s: int, op_s, dtype) -> bool:
     """Static eligibility check for the fused kernel path.
 
-    Submatrices are supported when the column offset and width are
-    counter-aligned (multiples of 4): the block's base counter folds into
-    the kernel seed and rows walk with the PARENT's counter stride.
+    Any submatrix is supported: an aligned column offset folds into the
+    kernel's base counter directly; an UNALIGNED co_s is reduced to the
+    aligned case by generating from the previous counter boundary and
+    top-padding the data with co_s % 4 zero rows (the extra operator
+    columns multiply zero data, so they vanish — and the counter stride
+    still comes from the true parent width). Rows walk with the parent's
+    counter stride, so ro_s is unconstrained.
     """
     from ..base import Layout, Op
     from ..dense import DenseDistName, dist_to_layout
@@ -367,8 +371,6 @@ def fused_sketch_supported(dist, n_rows: int, n_cols: int, ro_s: int,
         return False
     if dist_to_layout(dist) != Layout.RowMajor:
         return False
-    if co_s % 4:
-        return False  # block base must be counter-aligned
     return True
 
 
@@ -394,6 +396,14 @@ def fused_sketch(S, A, alpha=1.0, interpret=False, rows_s=None,
         "fused kernel requires natural-RowMajor operators"
     ctr_size = 4
     ctr_stride = (ma_len + ((-ma_len) % ctr_size)) // ctr_size
+    fbs = co_s % ctr_size
+    if fbs:
+        # unaligned column offset: start at the previous counter boundary
+        # and pad fbs zero rows on top of A — the fbs extra operator
+        # columns multiply zero data and vanish.
+        A = jnp.pad(A, ((fbs, 0), (0, 0)))
+        co_s -= fbs
+        cols_s += fbs
     n = A.shape[1]
     d_pad, m_pad, n_pad, ti, tk, tn = _plan(rows_s, cols_s, n)
     if n_pad != n or m_pad != cols_s:

@@ -187,6 +187,8 @@ def distributed_sketch_right(
     mesh: Mesh,
     *,
     alpha=1.0,
+    use_fused="auto",
+    interpret: bool = False,
 ) -> jax.Array:
     """B = alpha * A @ S with A (rows, m) column-sharded over 'data' and
     B (rows, d) d-sharded over 'model'.
@@ -198,8 +200,18 @@ def distributed_sketch_right(
     (natural ColMajor) the traced fill's alignment contract requires the
     per-shard extent along the operator's major axis (its rows, m) to be
     a multiple of the counter width — i.e. m/data % 4 == 0.
+
+    use_fused: on TPU (or with interpret=True), tall-Long shard tiles run
+    through the fused Pallas kernel on their TRANSPOSE: by the
+    autotranspose property the tile's transpose is a tile of the global
+    transposed (wide RowMajor) operator, so part^T = S_t_tile @ a_blk^T
+    generates the operator in-kernel and never stores it.
     """
     require(isinstance(S, DenseSkOp), "takes a DenseSkOp")
+    from ..base import Layout
+    from ..dense import DenseDist, DenseDistName, dist_to_layout
+    from ..ops import fused_sketch as fs
+
     m, d = S.shape
     rows = A.shape[0]
     require(A.shape[1] == m, "A column count must equal S.n_rows")
@@ -211,25 +223,64 @@ def distributed_sketch_right(
 
     dist, seed, dtype = S.dist, S.seed_state, S.dtype
 
-    from ..base import Layout
-    from ..dense import dist_to_layout
-    if dist_to_layout(dist) == Layout.ColMajor:
-        # lane offset = row offset (the operator's m rows are its major axis)
-        require(pd == 1 or m_per % seed.len_c == 0,
-                f"per-'data' shard height m/{pd} = {m_per} must be a "
-                f"multiple of the counter width {seed.len_c} "
-                "(ColMajor-natural operator)")
-    else:
-        require(pm == 1 or d_per % seed.len_c == 0,
-                f"per-'model' shard width d/{pm} = {d_per} must be a "
-                f"multiple of the counter width {seed.len_c} "
-                "(RowMajor-natural operator)")
+    dist_t = (None if dist.family == DenseDistName.BlackBox else
+              DenseDist(dist.n_cols, dist.n_rows, dist.family,
+                        dist.major_axis))
+    fused_ok = (
+        use_fused is not False
+        and dtype == jnp.float32
+        and seed.rng == "philox4x32"
+        and dist_t is not None
+        and dist_to_layout(dist_t) == Layout.RowMajor
+        and m_per % 4 == 0
+    )
+    if use_fused == "auto":
+        fused_ok = fused_ok and (interpret or _tpu_platform())
+    elif use_fused is True:
+        require(fused_ok, "fused distributed path forced but unsupported")
+
+    if not fused_ok:
+        if dist_to_layout(dist) == Layout.ColMajor:
+            # lane offset = row offset (m rows are the major axis)
+            require(pd == 1 or m_per % seed.len_c == 0,
+                    f"per-'data' shard height m/{pd} = {m_per} must be a "
+                    f"multiple of the counter width {seed.len_c} "
+                    "(ColMajor-natural operator)")
+        else:
+            require(pm == 1 or d_per % seed.len_c == 0,
+                    f"per-'model' shard width d/{pm} = {d_per} must be a "
+                    f"multiple of the counter width {seed.len_c} "
+                    "(RowMajor-natural operator)")
+
+    from ..rng.bits import mul64_u32, add64, ctr_add64
+    ctr_stride_global = (m + ((-m) % 4)) // 4  # S_t parent width = m
 
     def shard_fn(a_blk):
         mi = jax.lax.axis_index("model")
         di = jax.lax.axis_index("data")
         ro = di.astype(jnp.uint32) * jnp.uint32(m_per)
         co = mi.astype(jnp.uint32) * jnp.uint32(d_per)
+        if fused_ok:
+            # this shard's tile of the transposed global operator sits at
+            # row offset co (d axis) / column offset ro (m axis): base
+            # counter = seed + co*stride + ro//4, rows walk the GLOBAL
+            # stride.
+            lo, hi = mul64_u32(co, jnp.uint32(ctr_stride_global))
+            lo, hi = add64(lo, hi, ro // jnp.uint32(4), jnp.uint32(0))
+            ctr = ctr_add64(seed.counter, lo, hi)
+            seed_words = jnp.concatenate(
+                [ctr, seed.key, jnp.zeros((2,), jnp.uint32)]).reshape(1, 8)
+            d_pad, m_pad, n_pad, ti, tk, tn = fs._plan(d_per, m_per, rows)
+            at = a_blk.T
+            if m_pad != m_per or n_pad != rows:
+                at = jnp.pad(at, ((0, m_pad - m_per), (0, n_pad - rows)))
+            part_t = fs._fused_call(
+                seed_words, at, d=d_pad, m=m_pad,
+                gaussian=dist.family == DenseDistName.Gaussian,
+                alpha=float(alpha), ti=ti, tk=tk, tn=tn,
+                ctr_stride=ctr_stride_global, interpret=interpret)
+            part = part_t[:d_per, :rows].T
+            return jax.lax.psum(part, "data")
         s_blk = fill_dense_submat_traced(dist, seed, m_per, d_per, ro, co,
                                          dtype)
         part = jnp.matmul(a_blk.astype(dtype), s_blk,
@@ -240,6 +291,7 @@ def distributed_sketch_right(
         shard_fn, mesh=mesh,
         in_specs=P(None, "data"),
         out_specs=P(None, "model"),
+        check_vma=not fused_ok,
     )
     return fn(A)
 

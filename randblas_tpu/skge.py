@@ -125,10 +125,49 @@ def _fused_eligible(S: DenseSkOp, rows_s: int, cols_s: int, ro_s: int,
     from .ops.fused_sketch import fused_sketch_supported
     ok = fused_sketch_supported(S.dist, rows_s, cols_s, ro_s, co_s, op_s,
                                 dtype)
-    if use_fused is True:
-        require(ok, "fused sketch path forced but call is unsupported")
-        return True
-    return ok and _tpu_backend()
+    # use_fused is True ("forced") must not raise here: other fused
+    # routes (left-Trans autotranspose) may still apply; the final
+    # fallback enforces it.
+    return ok and (use_fused is True or _tpu_backend())
+
+
+def _left_trans_fused_or_none(S: DenseSkOp, a_mat, rows_s: int,
+                              cols_s: int, ro_s: int, co_s: int,
+                              op_s: Op, dtype, alpha):
+    """Left sketch with op_s == Trans through the fused kernel, or None.
+
+    B = block(S)^T @ A where the stored block is (rows_s, cols_s). By the
+    fill-order autotranspose property (tested in test_dense_fill.py),
+    block(S, r, c, ro, co)^T == block(S_t, c, r, co, ro) for the
+    transposed distribution S_t with the same seed — so when S_t is
+    RowMajor-natural the transposed block IS a fused-eligible left
+    operand, with no extra data passes at all.
+    """
+    if op_s != Op.Trans:
+        return None
+    if S.materialized is not None or use_fused is False:
+        return None
+    if S.seed_state.rng != "philox4x32" or dtype != jnp.float32:
+        return None
+    if not (use_fused is True or _tpu_backend()):
+        return None
+    from .dense import DenseDist, DenseDistName, dist_to_layout
+    from .base import Layout
+    from .ops.fused_sketch import fused_sketch, fused_sketch_supported
+
+    if S.dist.family == DenseDistName.BlackBox:
+        return None
+    dist_t = DenseDist(S.dist.n_cols, S.dist.n_rows, S.dist.family,
+                       S.dist.major_axis)
+    if dist_to_layout(dist_t) != Layout.RowMajor:
+        return None
+    if not fused_sketch_supported(dist_t, cols_s, rows_s, co_s, ro_s,
+                                  Op.NoTrans, dtype):
+        return None
+    S_t = DenseSkOp(dist_t, S.seed_state, dtype=S.dtype)
+    return fused_sketch(S_t, a_mat, alpha=float(alpha),
+                        rows_s=cols_s, cols_s=rows_s,
+                        ro_s=co_s, co_s=ro_s)
 
 
 def _right_fused_or_none(S: DenseSkOp, a_mat, rows_s: int, cols_s: int,
@@ -292,8 +331,16 @@ def sketch_general(
                                 rows_s=rows_s, cols_s=cols_s,
                                 ro_s=ro_s, co_s=co_s)
         else:
-            s_blk = _dense_block(S, rows_s, cols_s, ro_s, co_s, op_s, dtype)
-            prod = jnp.asarray(alpha, dtype) * _matmul(s_blk, a_mat, dtype)
+            prod = _left_trans_fused_or_none(S, a_mat, rows_s, cols_s,
+                                             ro_s, co_s, op_s, dtype,
+                                             alpha)
+            if prod is None:
+                require(use_fused is not True,
+                        "fused sketch path forced but call is unsupported")
+                s_blk = _dense_block(S, rows_s, cols_s, ro_s, co_s, op_s,
+                                     dtype)
+                prod = jnp.asarray(alpha, dtype) * _matmul(s_blk, a_mat,
+                                                           dtype)
         expected_shape = (d, n)
     else:
         # op_a(A) is (n, d') with op_s(S) (d', d): B = op_a(A) @ op_s(S)

@@ -66,13 +66,13 @@ class ELLMatrix:
         w = max(w, 1)
         cidx = np.zeros((coo.n_rows, w), dtype=np.int32)
         cval = np.zeros((coo.n_rows, w), dtype=vals.dtype)
-        slot = np.zeros(coo.n_rows, dtype=np.int64)
         order = np.argsort(rows, kind="stable")
-        for i in order:
-            r = rows[i]
-            cidx[r, slot[r]] = cols[i]
-            cval[r, slot[r]] = vals[i]
-            slot[r] += 1
+        sr = rows[order]
+        # slot of each entry within its row = rank - row start
+        starts = np.searchsorted(sr, np.arange(coo.n_rows))
+        slot = np.arange(len(sr)) - starts[sr]
+        cidx[sr, slot] = cols[order]
+        cval[sr, slot] = vals[order]
         return ELLMatrix(jnp.asarray(cidx), jnp.asarray(cval),
                          coo.n_rows, coo.n_cols)
 
@@ -89,6 +89,12 @@ class ELLMatrix:
                           self.width)
         return dense.at[rows, self.colidxs.reshape(-1)].add(
             self.vals.reshape(-1))
+
+    def blocked(self, kb: int = 512):
+        """One-time host-side conversion to BlockedELL, the Pallas SpMM
+        kernel's format (ops/ell_spmm.py). Concrete arrays required."""
+        from ..ops.ell_spmm import BlockedELL
+        return BlockedELL.from_ell(self, kb=kb)
 
     def matmul(self, b: jax.Array, alpha=1.0) -> jax.Array:
         """self @ b via width gather passes: B[r] = sum_t vals[r,t] *

@@ -56,6 +56,21 @@ def left_spmm(
     op_b = _as_op(op_b)
     B = jnp.asarray(B)
     require(B.ndim == 2, "B must be 2-D")
+    from ..ops import ell_spmm
+    if isinstance(A, ell_spmm.BlockedELL):
+        require(op_a == Op.NoTrans and ro_a == 0 and co_a == 0
+                and (d is None or d == A.n_rows),
+                "BlockedELL supports full untransposed left products; "
+                "use to_coo() for general forms")
+        b_mat = B if op_b == Op.NoTrans else B.T
+        require(A.n_cols == b_mat.shape[0], "inner dimension mismatch")
+        prod = ell_spmm.blocked_ell_matmul(
+            A, b_mat, alpha, interpret=ell_spmm.force_interpret)
+        if out is not None:
+            require(tuple(out.shape) == prod.shape, "out shape mismatch")
+            from ..ops.accumulate import accumulate
+            return accumulate(prod, beta, out)
+        return prod
     from .ell import ELLMatrix
     if (isinstance(A, ELLMatrix) and op_a == Op.NoTrans
             and ro_a == 0 and co_a == 0

@@ -1,0 +1,97 @@
+"""BlockedELL format + Pallas SpMM kernel (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from randblas_tpu.sparse_data import (
+    BlockedELL, ELLMatrix, blocked_ell_matmul,
+)
+
+RNG = np.random.default_rng(11)
+
+
+def _ell(m, k, density=0.05, seed=0):
+    rng = np.random.default_rng(seed)
+    dense = rng.normal(size=(m, k)).astype(np.float32) * \
+        (rng.random(size=(m, k)) < density)
+    return ELLMatrix.from_dense(jnp.asarray(dense)), dense
+
+
+@pytest.mark.parametrize("m,k", [(300, 2100), (64, 500), (1000, 333),
+                                 (513, 1025)])
+def test_blocked_roundtrip(m, k):
+    ell, dense = _ell(m, k, seed=m + k)
+    bell = ell.blocked()
+    np.testing.assert_array_equal(np.asarray(bell.to_dense()), dense)
+
+
+@pytest.mark.parametrize("m,k,n", [(300, 2100, 130), (64, 500, 16),
+                                   (513, 1025, 257)])
+def test_blocked_matmul_vs_dense(m, k, n):
+    ell, dense = _ell(m, k, seed=7 * m + n)
+    bell = ell.blocked()
+    b = RNG.normal(size=(k, n)).astype(np.float32)
+    got = np.asarray(blocked_ell_matmul(bell, jnp.asarray(b), alpha=-0.5,
+                                        interpret=True))
+    want = -0.5 * dense @ b
+    scale = np.abs(want).max() or 1.0
+    # the kernel contracts in bf16 (the chip's effective f32-GEMM
+    # precision under excess-precision), same contract as the fused
+    # sketch kernel
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
+
+
+def test_blocked_duplicate_entries_accumulate():
+    from randblas_tpu.sparse_data import COOMatrix, coo_to_ell
+    rows = np.array([0, 0, 1, 0], dtype=np.int32)
+    cols = np.array([3, 3, 1, 2], dtype=np.int32)
+    vals = np.array([1.0, 2.0, 5.0, -1.0], dtype=np.float32)
+    coo = COOMatrix.from_arrays(2, 4, rows, cols, vals)
+    bell = coo_to_ell(coo).blocked()
+    b = jnp.eye(4, dtype=jnp.float32)
+    got = np.asarray(blocked_ell_matmul(bell, b, interpret=True))
+    want = np.zeros((2, 4), np.float32)
+    want[0, 3] = 3.0
+    want[0, 2] = -1.0
+    want[1, 1] = 5.0
+    np.testing.assert_allclose(got, want, atol=1e-2)
+
+
+def test_blocked_zero_matrix():
+    ell = ELLMatrix.from_dense(jnp.zeros((16, 32), jnp.float32))
+    bell = ell.blocked()
+    b = jnp.asarray(RNG.normal(size=(32, 8)).astype(np.float32))
+    got = np.asarray(blocked_ell_matmul(bell, b, interpret=True))
+    np.testing.assert_array_equal(got, 0.0)
+
+
+def test_left_spmm_blocked_ell_route(monkeypatch):
+    from randblas_tpu.ops import ell_spmm
+    from randblas_tpu.sparse_data import left_spmm
+    monkeypatch.setattr(ell_spmm, "force_interpret", True)
+    ell, dense = _ell(80, 300, seed=5)
+    bell = ell.blocked()
+    b = RNG.normal(size=(300, 24)).astype(np.float32)
+    got = np.asarray(left_spmm(bell, jnp.asarray(b)))
+    want = dense @ b
+    scale = np.abs(want).max() or 1.0
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
+    # transposed/offset forms must fail loudly
+    with pytest.raises(ValueError, match="BlockedELL"):
+        left_spmm(bell, jnp.asarray(RNG.normal(size=(80, 4)),
+                                    jnp.float32), op_a="T")
+
+
+def test_sketch_sparse_right_blocked_ell(monkeypatch):
+    from randblas_tpu.ops import ell_spmm
+    from randblas_tpu import (DenseDist, DenseSkOp, RNGState,
+                              sketch_sparse)
+    monkeypatch.setattr(ell_spmm, "force_interpret", True)
+    ell, dense = _ell(60, 200, seed=9)
+    bell = ell.blocked()
+    S = DenseSkOp(DenseDist(200, 16), RNGState.from_key(2))
+    got = np.asarray(sketch_sparse(S, bell, side="right"))
+    want = dense @ np.asarray(S.materialize())
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)

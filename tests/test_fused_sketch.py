@@ -80,9 +80,10 @@ def test_supported_predicate():
     # counter-aligned submatrices -> yes
     assert fused_sketch_supported(g, 32, 512, 4, 256, Op.NoTrans,
                                   jnp.float32)
-    # unaligned column offset -> no
-    assert not fused_sketch_supported(g, 32, 512, 0, 2, Op.NoTrans,
-                                      jnp.float32)
+    # unaligned column offset -> yes (reduced to the aligned case by
+    # top-padding the data; round-2 coverage extension)
+    assert fused_sketch_supported(g, 32, 512, 0, 2, Op.NoTrans,
+                                  jnp.float32)
     # out of range -> no
     assert not fused_sketch_supported(g, 64, 1024, 4, 0, Op.NoTrans,
                                       jnp.float32)
