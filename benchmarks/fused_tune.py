@@ -1,0 +1,128 @@
+"""Tuning harness for the fused RNG-in-GEMM kernel.
+
+Usage:
+  python benchmarks/fused_tune.py check   # CPU interpret-mode bitwise check
+  python benchmarks/fused_tune.py time    # TPU sweep over row_chunks
+
+The `time` sweep reports GFLOP/s at the headline shape (d=1024, m=65536,
+n=4096) for each row_chunks setting, plus the materialized-GEMM roofline,
+using the same time_loop methodology as bench.py.
+"""
+
+import sys
+
+import numpy as np
+
+
+def check():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import randblas_tpu as rb
+    from randblas_tpu.ops import fused_sketch as fs
+
+    d, m, n = 16, 64, 256
+    S = rb.DenseSkOp(rb.DenseDist(d, m), rb.RNGState.from_key(7))
+    A = jnp.asarray(
+        np.random.default_rng(1).normal(size=(m, n)).astype(np.float32))
+    seed_words = jnp.concatenate([
+        S.seed_state.counter, S.seed_state.key,
+        jnp.zeros((2,), jnp.uint32)]).reshape(1, 8)
+    kw = dict(d=d, m=m, gaussian=True, alpha=1.0, ti=16, tk=32, tn=256,
+              ctr_stride=m // 4, interpret=True)
+    ref = fs._fused_call(seed_words, A, **kw, row_chunks=1)
+    for rc in (2, 4, 8):
+        out = fs._fused_call(seed_words, A, **kw, row_chunks=rc)
+        same = bool(jnp.all(out == ref))
+        print(f"row_chunks={rc}: bitwise_equal={same}")
+        assert same
+    # oracle: materialized fill @ A
+    Smat, _ = rb.fill_dense(S.dist, S.seed_state)
+    err = float(jnp.max(jnp.abs(ref - Smat @ A)))
+    print(f"vs materialized GEMM max abs err: {err:.3e}")
+    print("CHECK OK")
+
+
+def time_sweep():
+    import jax
+    import jax.numpy as jnp
+    import randblas_tpu as rb
+    from randblas_tpu.bench_util import time_loop
+    from randblas_tpu.ops import fused_sketch as fs
+
+    d, m, n = 1024, 65536, 4096
+    flops = 2.0 * d * m * n
+    S = rb.DenseSkOp(rb.DenseDist(d, m), rb.RNGState.from_key(0))
+    seed_words = jnp.concatenate([
+        S.seed_state.counter, S.seed_state.key,
+        jnp.zeros((2,), jnp.uint32)]).reshape(1, 8)
+    A = jnp.asarray(
+        np.random.default_rng(0).normal(size=(m, n)).astype(np.float32))
+    _, _, _, ti, tk, tn = fs._plan(d, m, n)
+
+    Smat, _ = rb.fill_dense(S.dist, S.seed_state)
+
+    def body_gemm(i, carry, s, a):
+        x = s.at[0, 0].add(carry)
+        out = jnp.matmul(x, a, preferred_element_type=jnp.float32)
+        return jnp.sum(out) * jnp.float32(1e-20)
+
+    def measure_roof():
+        t = time_loop(body_gemm, Smat, A, iters_small=4, iters_large=24,
+                      repeats=4)
+        return flops / t / 1e9
+
+    roofs = [measure_roof()]
+    print(f"roofline: {roofs[0]:.1f} GFLOP/s", flush=True)
+
+    configs = [
+        # (label, kwargs overriding the default plan)
+        ("alias rc=8", dict(alias_acc=True, row_chunks=8)),
+        ("alias rc=8 fastcos", dict(alias_acc=True, row_chunks=8,
+                                    fast_cos=True)),
+        ("alias rc=4 fastcos", dict(alias_acc=True, row_chunks=4,
+                                    fast_cos=True)),
+        ("alias rc=16 fastcos", dict(alias_acc=True, row_chunks=16,
+                                     fast_cos=True)),
+        ("alias rc=4 nogen", dict(alias_acc=True, row_chunks=4,
+                                  nogen=True)),
+        ("alias rc=16 nogen", dict(alias_acc=True, row_chunks=16,
+                                   nogen=True)),
+        ("alias rc=8 tk=256 fastcos", dict(alias_acc=True, row_chunks=8,
+                                           tk=256, fast_cos=True)),
+        ("alias rc=8 deep fastcos", dict(alias_acc=True, row_chunks=8,
+                                         deep_dot=True, fast_cos=True)),
+    ]
+    for label, over in configs:
+        kw = dict(d=d, m=m, gaussian=over.pop("gaussian", True),
+                  alpha=1.0, ti=ti, tk=over.pop("tk", tk), tn=tn,
+                  ctr_stride=m // 4)
+        kw.update(over)
+
+        def body(i, carry, sw, a, kw=kw):
+            sw2 = sw.at[0, 4].add(i.astype(jnp.uint32)
+                                  + (carry * 1e-30).astype(jnp.uint32))
+            out = fs._fused_call(sw2, a, **kw)
+            return jnp.sum(out) * jnp.float32(1e-20)
+
+        try:
+            t = time_loop(body, seed_words, A, iters_small=4,
+                          iters_large=24, repeats=4)
+            g = flops / t / 1e9
+            print(f"{label:32s}: {g:8.1f} GFLOP/s  "
+                  f"vs_roof={g / roofs[-1]:.4f}", flush=True)
+        except Exception as e:
+            print(f"{label:32s}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+
+    roofs.append(measure_roof())
+    print(f"roofline (re-measured): {roofs[-1]:.1f} GFLOP/s "
+          f"(drift {roofs[-1] / roofs[0]:.3f})", flush=True)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "check"
+    if mode == "check":
+        check()
+    else:
+        time_sweep()

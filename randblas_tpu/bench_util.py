@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 
 def time_loop(make_body, *operands, iters_small: int = 1,
-              iters_large: int = 6):
+              iters_large: int = 6, repeats: int = 3):
     """Per-iteration seconds of make_body's op.
 
     make_body(i, carry_scalar, *operands) -> new_carry_scalar must run the
@@ -26,6 +26,10 @@ def time_loop(make_body, *operands, iters_small: int = 1,
     or elide iterations. carry is a f32 scalar. Large arrays MUST be passed
     via *operands (jit arguments) — closures would embed them as constants
     in the compile payload.
+
+    The chip behind the tunnel shows multi-percent run-to-run drift;
+    raise iters_large/repeats (min-of-N estimator) when a stable number
+    matters more than harness latency.
     """
 
     def runner(iters):
@@ -47,6 +51,6 @@ def time_loop(make_body, *operands, iters_small: int = 1,
         return time.perf_counter() - t0
 
     # distinct carry seeds defeat any same-dispatch result caching
-    t_small = min(timed(run_small, 1.0 + k) for k in range(3))
-    t_large = min(timed(run_large, 10.0 + k) for k in range(3))
+    t_small = min(timed(run_small, 1.0 + k) for k in range(repeats))
+    t_large = min(timed(run_large, 10.0 + k) for k in range(repeats))
     return max(t_large - t_small, 1e-9) / (iters_large - iters_small)

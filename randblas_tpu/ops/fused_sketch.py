@@ -42,7 +42,8 @@ _SQRT3 = math.sqrt(3.0)
 
 
 def _gen_panel_words(seed_ref, d: int, tk: int, ctr_stride: int,
-                     k_blocks, gaussian: bool, row_off=0):
+                     k_blocks, gaussian: bool, row_off=0,
+                     fast_cos: bool = False):
     """Generate the (d, tk) operator panel whose first column lives at
     counter offset ``k_blocks`` blocks from the seed, starting at operator
     row ``row_off``.
@@ -93,8 +94,8 @@ def _gen_panel_words(seed_ref, d: int, tk: int, ctr_stride: int,
     s2 = pltpu.bitcast(r2, jnp.int32)
     s3 = pltpu.bitcast(r3, jnp.int32)
     if gaussian:
-        v0, v1 = boxmul_pair_i32(s0, s1)
-        v2, v3 = boxmul_pair_i32(s2, s3)
+        v0, v1 = boxmul_pair_i32(s0, s1, fast_cos=fast_cos)
+        v2, v3 = boxmul_pair_i32(s2, s3, fast_cos=fast_cos)
     else:
         sqrt3 = jnp.float32(_SQRT3)
         v0 = uneg11_i32(s0) * sqrt3
@@ -104,8 +105,13 @@ def _gen_panel_words(seed_ref, d: int, tk: int, ctr_stride: int,
     return v0, v1, v2, v3
 
 
-def _kernel(seed_ref, a0, a1, a2, a3, out_ref, *, ti, tk,
-            ctr_stride, gaussian, alpha):
+def _kernel(seed_ref, a0, a1, a2, a3, *refs, ti, tk,
+            ctr_stride, gaussian, alpha, row_chunks=1, deep_dot=False,
+            nogen=False, alias_acc=False, fast_cos=False):
+    # refs is (out_ref,) normally, (zeros_in_ref, out_ref) when the
+    # accumulator is zero-initialized through input aliasing (the in ref
+    # aliases the same buffer and is never read directly)
+    out_ref = refs[-1]
     """Grid (n_i, n_j, n_k), k INNERMOST. The (ti, tn) output block's index
     (i, j) is constant across the k sweep, so it stays VMEM-resident and is
     written back to HBM exactly once per (i, j) — zero accumulator traffic.
@@ -122,6 +128,14 @@ def _kernel(seed_ref, a0, a1, a2, a3, out_ref, *, ti, tk,
     f32 GEMMs under --xla_allow_excess_precision — the roofline GEMM);
     casting A outside the kernel would cost a full extra HBM pass.
 
+    row_chunks > 1 software-pipelines the VPU against the MXU *within* a
+    step: the panel is generated in row chunks, and chunk r+1's Philox/
+    Box-Muller instructions are issued right after chunk r's dots, so the
+    VPU fills while the MXU drains — no scratch, no lax.cond, no
+    write-after-read hazard (each chunk is a disjoint row range of the
+    panel and of the output block). This recovers the generation time the
+    serial variant exposes (~13% at the headline shape).
+
     Cost model: generation runs once per (i, j, k) = n_j full-operator
     generations (gen is cheap: ~1ms per 64M elements on v5e); A streams
     n_i times; the output moves once. Plan() sizes tn to keep n_j == 1 for
@@ -136,32 +150,76 @@ def _kernel(seed_ref, a0, a1, a2, a3, out_ref, *, ti, tk,
     nb = tk // 4
 
     k_blocks = k.astype(jnp.uint32) * jnp.uint32(nb)
-    row_off = i.astype(jnp.uint32) * jnp.uint32(ti)
-    v0, v1, v2, v3 = _gen_panel_words(seed_ref, ti, tk, ctr_stride,
-                                      k_blocks, gaussian, row_off)
+    base_row = i.astype(jnp.uint32) * jnp.uint32(ti)
+    chunk = ti // row_chunks
+    assert chunk * row_chunks == ti
 
-    contrib = jnp.dot(v0.astype(jnp.bfloat16),
-                      a0[:].astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
-    contrib += jnp.dot(v1.astype(jnp.bfloat16),
-                       a1[:].astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
-    contrib += jnp.dot(v2.astype(jnp.bfloat16),
-                       a2[:].astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
-    contrib += jnp.dot(v3.astype(jnp.bfloat16),
-                       a3[:].astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
-    if alpha != 1.0:
-        contrib = jnp.float32(alpha) * contrib
+    a0b = a0[:].astype(jnp.bfloat16)
+    a1b = a1[:].astype(jnp.bfloat16)
+    a2b = a2[:].astype(jnp.bfloat16)
+    a3b = a3[:].astype(jnp.bfloat16)
+    if deep_dot:
+        a_cat = jnp.concatenate([a0b, a1b, a2b, a3b], axis=0)
 
-    @pl.when(k == 0)
-    def _():
-        out_ref[:] = contrib
+    def gen(r):
+        if nogen:  # diagnostic: dots-only upper bound of this schedule.
+            # must depend on the seed ref or XLA hoists the whole call
+            # out of timing loops as loop-invariant (measured: "2.6x
+            # roofline", i.e. eliminated). uint32->f32 casts are
+            # unsupported in Mosaic; go through a signed view.
+            s2d = jnp.full((chunk, tk // 4), seed_ref[0, 4] & jnp.uint32(1),
+                           jnp.uint32)
+            s = pltpu.bitcast(s2d, jnp.int32).astype(jnp.float32)
+            z = jnp.float32(0.5) + s
+            return z, z + 1.0, z + 2.0, z + 3.0
+        row_off = base_row + jnp.uint32(r * chunk)
+        return _gen_panel_words(seed_ref, chunk, tk, ctr_stride,
+                                k_blocks, gaussian, row_off,
+                                fast_cos=fast_cos)
 
-    @pl.when(k != 0)
-    def _():
-        out_ref[:] = out_ref[:] + contrib
+    def dots(v):
+        v0, v1, v2, v3 = v
+        if deep_dot:
+            s_cat = jnp.concatenate(
+                [v0.astype(jnp.bfloat16), v1.astype(jnp.bfloat16),
+                 v2.astype(jnp.bfloat16), v3.astype(jnp.bfloat16)], axis=1)
+            acc = jnp.dot(s_cat, a_cat, preferred_element_type=jnp.float32)
+        else:
+            acc = jnp.dot(v0.astype(jnp.bfloat16), a0b,
+                          preferred_element_type=jnp.float32)
+            acc += jnp.dot(v1.astype(jnp.bfloat16), a1b,
+                           preferred_element_type=jnp.float32)
+            acc += jnp.dot(v2.astype(jnp.bfloat16), a2b,
+                           preferred_element_type=jnp.float32)
+            acc += jnp.dot(v3.astype(jnp.bfloat16), a3b,
+                           preferred_element_type=jnp.float32)
+        if alpha != 1.0:
+            acc = jnp.float32(alpha) * acc
+        return acc
+
+    # explicit gen/dot interleave: issue chunk r+1's generation before
+    # consuming chunk r's dots so the units overlap under in-order issue
+    v = gen(0)
+    for r in range(row_chunks):
+        contrib = dots(v)
+        if r + 1 < row_chunks:
+            v = gen(r + 1)
+        sl = pl.ds(r * chunk, chunk)
+
+        if alias_acc:
+            # out_ref arrives zero-initialized through input aliasing:
+            # the accumulate is unconditional, leaving the whole step one
+            # straight-line block the scheduler can interleave freely.
+            out_ref[sl, :] = out_ref[sl, :] + contrib
+            continue
+
+        @pl.when(k == 0)
+        def _(sl=sl, contrib=contrib):
+            out_ref[sl, :] = contrib
+
+        @pl.when(k != 0)
+        def _(sl=sl, contrib=contrib):
+            out_ref[sl, :] = out_ref[sl, :] + contrib
 
 
 def _kernel_pipelined(seed_ref, a0, a1, a2, a3, out_ref, s_a, s_b, *, d,
@@ -229,6 +287,75 @@ def _kernel_pipelined(seed_ref, a0, a1, a2, a3, out_ref, s_a, s_b, *, d,
         out_ref[:] = out_ref[:] + contrib
 
 
+def _kernel_u2(seed_ref, a0_a, a1_a, a2_a, a3_a, a0_b, a1_b, a2_b, a3_b,
+               out_ref, p_a, p_b, *, ti, tk, n_k2, ctr_stride, gaussian,
+               alpha):
+    """Unroll-by-2 cross-step software pipeline. Grid (n_i, n_j, n_k2)
+    with each step t consuming operator panels k = 2t and 2t+1.
+
+    Program order per step:
+        dots(P_a = panel 2t)            <- MXU starts draining
+        gen panel 2t+1 into P_b         <- VPU fills while MXU busy
+        accumulate contribution 2t
+        dots(P_b = panel 2t+1)
+        gen panel 2t+2 into P_a         <- overlaps second dot group
+        accumulate contribution 2t+1
+    Buffer names are STATIC (no lax.cond / dynamic slot indexing — both
+    measured much slower), so Mosaic can list-schedule the independent
+    VPU generation past the in-flight matmuls. The prologue (panel 0)
+    runs under pl.when(t == 0), once per (i, j) block.
+
+    Requires n_k even; the a*_a refs carry the k=2t data block and a*_b
+    the k=2t+1 block (same array, shifted index maps)."""
+    i = pl.program_id(0)
+    t = pl.program_id(2)
+    nb = tk // 4
+    base_row = i.astype(jnp.uint32) * jnp.uint32(ti)
+
+    def gen_into(refs, panel_idx):
+        k_blocks = panel_idx.astype(jnp.uint32) * jnp.uint32(nb)
+        v0, v1, v2, v3 = _gen_panel_words(seed_ref, ti, tk, ctr_stride,
+                                          k_blocks, gaussian, base_row)
+        refs[0] = v0
+        refs[1] = v1
+        refs[2] = v2
+        refs[3] = v3
+
+    @pl.when(t == 0)
+    def _():
+        gen_into(p_a, 2 * t)  # panel 0 of this (i, j) block
+
+    def dots(refs, slabs):
+        acc = None
+        for l in range(4):
+            c = jnp.dot(refs[l].astype(jnp.bfloat16),
+                        slabs[l][:].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            acc = c if acc is None else acc + c
+        if alpha != 1.0:
+            acc = jnp.float32(alpha) * acc
+        return acc
+
+    contrib_a = dots(p_a, (a0_a, a1_a, a2_a, a3_a))
+    gen_into(p_b, 2 * t + 1)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = contrib_a
+
+    @pl.when(t != 0)
+    def _():
+        out_ref[:] = out_ref[:] + contrib_a
+
+    contrib_b = dots(p_b, (a0_b, a1_b, a2_b, a3_b))
+
+    @pl.when(t + 1 < n_k2)
+    def _():
+        gen_into(p_a, 2 * t + 2)
+
+    out_ref[:] = out_ref[:] + contrib_b
+
+
 def _largest_divisor_leq(x, start, mult):
     t = min(start, x)
     t -= t % mult
@@ -266,9 +393,13 @@ def _plan(d: int, m: int, n: int):
 
 @functools.partial(jax.jit, static_argnames=(
     "d", "m", "gaussian", "alpha", "ti", "tk", "tn", "ctr_stride",
-    "interpret", "pipelined"))
+    "interpret", "pipelined", "row_chunks", "deep_dot", "nogen",
+    "pipeline2", "alias_acc", "dimsem", "fast_cos"))
 def _fused_call(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
-                ctr_stride, interpret=False, pipelined=False):
+                ctr_stride, interpret=False, pipelined=False,
+                row_chunks=1, deep_dot=False, nogen=False,
+                pipeline2=False, alias_acc=False, dimsem=False,
+                fast_cos=False):
     n = A.shape[1]
     n_i = d // ti
     n_k = m // tk
@@ -313,9 +444,52 @@ def _fused_call(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(seed_words, a4, a4, a4, a4)
 
+    if pipeline2:
+        assert n_k % 2 == 0, "pipeline2 requires an even panel count"
+        kernel = functools.partial(_kernel_u2, ti=ti, tk=tk,
+                                   n_k2=n_k // 2, ctr_stride=ctr_stride,
+                                   gaussian=gaussian, alpha=alpha)
+
+        def lane_spec_u2(lane, odd):
+            col_blocks = n // tn
+            return pl.BlockSpec(
+                (nb, tn),
+                lambda i, j, t, _l=lane, _cb=col_blocks, _o=odd: (
+                    2 * t + _o, _l * _cb + j),
+                memory_space=pltpu.VMEM)
+
+        return pl.pallas_call(
+            kernel,
+            grid=(n_i, n_j, n_k // 2),
+            interpret=interpret,
+            in_specs=[
+                pl.BlockSpec((1, 8), lambda i, j, t: (0, 0),
+                             memory_space=pltpu.SMEM),
+                lane_spec_u2(0, 0), lane_spec_u2(1, 0),
+                lane_spec_u2(2, 0), lane_spec_u2(3, 0),
+                lane_spec_u2(0, 1), lane_spec_u2(1, 1),
+                lane_spec_u2(2, 1), lane_spec_u2(3, 1),
+            ],
+            out_specs=pl.BlockSpec((ti, tn), lambda i, j, t: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((d, n), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((4, ti, nb), jnp.float32),
+                            pltpu.VMEM((4, ti, nb), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=m * n * 4 + d * n * 4,
+                transcendentals=d * m if gaussian else 0,
+            ),
+        )(seed_words, a4, a4, a4, a4, a4, a4, a4, a4)
+
     kernel = functools.partial(_kernel, ti=ti, tk=tk,
                                ctr_stride=ctr_stride,
-                               gaussian=gaussian, alpha=alpha)
+                               gaussian=gaussian, alpha=alpha,
+                               row_chunks=row_chunks, deep_dot=deep_dot,
+                               nogen=nogen, alias_acc=alias_acc,
+                               fast_cos=fast_cos)
 
     def lane_spec(lane):
         col_blocks = n // tn
@@ -324,27 +498,201 @@ def _fused_call(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
             lambda i, j, k, _l=lane, _cb=col_blocks: (k, _l * _cb + j),
             memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
+    cp_kw = dict(vmem_limit_bytes=100 * 1024 * 1024)
+    if dimsem:
+        cp_kw["dimension_semantics"] = ("parallel", "parallel",
+                                        "arbitrary")
+    in_specs = [
+        pl.BlockSpec((1, 8), lambda i, j, k: (0, 0),
+                     memory_space=pltpu.SMEM),
+        lane_spec(0), lane_spec(1), lane_spec(2), lane_spec(3),
+    ]
+    operands = [seed_words, a4, a4, a4, a4]
+    alias = {}
+    if alias_acc:
+        in_specs.append(pl.BlockSpec((ti, tn), lambda i, j, k: (i, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(jnp.zeros((d, n), jnp.float32))
+        alias = {5: 0}
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_i, n_j, n_k),
+        interpret=interpret,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((ti, tn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, n), jnp.float32),
+        input_output_aliases=alias,
+        compiler_params=pltpu.CompilerParams(**cp_kw),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=m * n * 4 + d * n * 4,
+            transcendentals=d * m if gaussian else 0,
+        ),
+    )(*operands)
+    return out
+
+
+def _kernel_T(seed_ref, a_ref, o0, o1, o2, o3, *, ti, tk, ctr_stride,
+              gaussian, alpha):
+    """ColMajor-natural variant: grid (n_i, n_j, n_k), k innermost.
+
+    A ColMajor-natural operator's counters walk DOWN columns (element
+    (i, c) -> counter c*stride + i//4, lane i%4), so the naturally
+    generated panel is a tile of S^T: v_l has shape (tk, ti/4) with G
+    rows = operator columns (the m axis) and lanes along the operator's d
+    axis. The contraction B = S @ A is then four dot_generals in the
+    MXU-native ((0,),(0,)) form — no transposes anywhere — and lane l's
+    result lands in output slab l (rows 4b + l of B), interleaved outside
+    the kernel by a free reshape.
+
+    A arrives as plain (tk, tn) tiles (no lane pre-split: the contraction
+    index is the G row axis, shared by all lanes)."""
+    i = pl.program_id(0)
+    k = pl.program_id(2)
+
+    # operator columns walked by this step: row_off (G rows) = k*tk along
+    # the m axis; lanes/counter blocks along d: k_blocks = i*ti/4
+    k_blocks = i.astype(jnp.uint32) * jnp.uint32(ti // 4)
+    row_off = k.astype(jnp.uint32) * jnp.uint32(tk)
+    v0, v1, v2, v3 = _gen_panel_words(seed_ref, tk, ti, ctr_stride,
+                                      k_blocks, gaussian, row_off)
+
+    a_bf = a_ref[:].astype(jnp.bfloat16)
+    dn = (((0,), (0,)), ((), ()))
+
+    for o_ref, v in ((o0, v0), (o1, v1), (o2, v2), (o3, v3)):
+        contrib = jax.lax.dot_general(v.astype(jnp.bfloat16), a_bf, dn,
+                                      preferred_element_type=jnp.float32)
+        if alpha != 1.0:
+            contrib = jnp.float32(alpha) * contrib
+
+        @pl.when(k == 0)
+        def _(o_ref=o_ref, contrib=contrib):
+            o_ref[:] = contrib
+
+        @pl.when(k != 0)
+        def _(o_ref=o_ref, contrib=contrib):
+            o_ref[:] = o_ref[:] + contrib
+
+
+def _plan_T(d: int, m: int, n: int):
+    """Plan for the ColMajor kernel: (d_pad, m_pad, n_pad, ti, tk, tn).
+
+    ti is the d-axis tile (lane axis: ti/4 is the generated minor dim —
+    keep it a multiple of 128 when d allows); tk is the m-axis tile (G
+    rows / contraction)."""
+    n_pad = -(-n // 128) * 128
+    tn = _largest_divisor_leq(n_pad, 4096, 128)
+    ti = min(1024, -(-d // 32) * 32)
+    d_pad = -(-d // ti) * ti
+    tk = min(512, -(-m // 32) * 32)
+    m_pad = -(-m // tk) * tk
+    return d_pad, m_pad, n_pad, ti, tk, tn
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "d", "m", "gaussian", "alpha", "ti", "tk", "tn", "ctr_stride",
+    "interpret"))
+def _fused_call_T(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
+                  ctr_stride, interpret=False):
+    n = A.shape[1]
+    n_i = d // ti
+    n_j = n // tn
+    n_k = m // tk
+
+    kernel = functools.partial(_kernel_T, ti=ti, tk=tk,
+                               ctr_stride=ctr_stride, gaussian=gaussian,
+                               alpha=alpha)
+    slab = jax.ShapeDtypeStruct((d // 4, n), jnp.float32)
+    out_spec = pl.BlockSpec((ti // 4, tn), lambda i, j, k: (i, j),
+                            memory_space=pltpu.VMEM)
+    o0, o1, o2, o3 = pl.pallas_call(
         kernel,
         grid=(n_i, n_j, n_k),
         interpret=interpret,
         in_specs=[
             pl.BlockSpec((1, 8), lambda i, j, k: (0, 0),
                          memory_space=pltpu.SMEM),
-            lane_spec(0), lane_spec(1), lane_spec(2), lane_spec(3),
+            pl.BlockSpec((tk, tn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ti, tn), lambda i, j, k: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((d, n), jnp.float32),
+        out_specs=[out_spec] * 4,
+        out_shape=[slab] * 4,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=flops,
+            flops=2 * d * m * n,
             bytes_accessed=m * n * 4 + d * n * 4,
             transcendentals=d * m if gaussian else 0,
         ),
-    )(seed_words, a4, a4, a4, a4)
+    )(seed_words, A)
+    # free interleave: B[4b + l] = o_l[b]
+    return jnp.stack([o0, o1, o2, o3], axis=1).reshape(d, n)
+
+
+def fused_sketch_colmajor(S, A, alpha=1.0, interpret=False, rows_s=None,
+                          cols_s=None, ro_s=0, co_s=0):
+    """B = alpha * submat(S) @ A for a ColMajor-natural operator
+    (wide+Short or tall+Long), generated inside the kernel as S^T tiles.
+
+    Counter mapping (fill_geometry, ColMajor): element (i, c) lives at
+    counter c*ceil(D/4) + i//4, lane i%4, D = the TRUE parent height
+    dist.n_rows. Column offsets co_s fold into the base counter; an
+    unaligned ROW offset ro_s is reduced to the aligned case by
+    generating from the previous lane boundary and slicing the extra
+    output rows (pure compute padding — the counter stride still comes
+    from the parent height, so values are bit-identical to slicing the
+    full operator)."""
+    from ..base import Layout
+    from ..dense import DenseDistName, dist_to_layout, major_axis_length
+
+    rows_s = S.dist.n_rows if rows_s is None else rows_s
+    cols_s = S.dist.n_cols if cols_s is None else cols_s
+    assert dist_to_layout(S.dist) == Layout.ColMajor
+    assert major_axis_length(S.dist) == S.dist.n_rows
+    A = jnp.asarray(A, dtype=jnp.float32)
+    ctr_size = 4
+    parent_d = S.dist.n_rows
+    ctr_stride = (parent_d + ((-parent_d) % ctr_size)) // ctr_size
+    fbs = ro_s % ctr_size
+    ro_al = ro_s - fbs
+    rows_gen = rows_s + fbs
+    n = A.shape[1]
+    d_pad, m_pad, n_pad, ti, tk, tn = _plan_T(rows_gen, cols_s, n)
+    if n_pad != n or m_pad != cols_s:
+        A = jnp.pad(A, ((0, m_pad - cols_s), (0, n_pad - n)))
+    base = S.seed_state.incr(co_s * ctr_stride + ro_al // ctr_size)
+    seed_words = jnp.concatenate([
+        base.counter,
+        base.key,
+        jnp.zeros((2,), jnp.uint32),
+    ]).reshape(1, 8)
+    gaussian = S.dist.family == DenseDistName.Gaussian
+    out = _fused_call_T(seed_words, A, d=d_pad, m=m_pad,
+                        gaussian=gaussian, alpha=float(alpha), ti=ti,
+                        tk=tk, tn=tn, ctr_stride=ctr_stride,
+                        interpret=interpret)
+    return out[fbs:fbs + rows_s, :n]
+
+
+def fused_sketch_colmajor_supported(dist, n_rows: int, n_cols: int,
+                                    ro_s: int, co_s: int, op_s,
+                                    dtype) -> bool:
+    """Static eligibility for the ColMajor-natural fused kernel."""
+    from ..base import Layout, Op
+    from ..dense import DenseDistName, dist_to_layout
+    if dtype != jnp.float32:
+        return False
+    if dist.family not in (DenseDistName.Gaussian, DenseDistName.Uniform):
+        return False
+    if op_s != Op.NoTrans:
+        return False
+    if n_rows + ro_s > dist.n_rows or n_cols + co_s > dist.n_cols:
+        return False
+    if dist_to_layout(dist) != Layout.ColMajor:
+        return False
+    return True
 
 
 def fused_sketch_supported(dist, n_rows: int, n_cols: int, ro_s: int,

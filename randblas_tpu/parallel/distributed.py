@@ -304,27 +304,84 @@ def distributed_sparse_sketch(
     alpha=1.0,
 ) -> jax.Array:
     """B = alpha * S @ A for a sparse-sign operator, A m-sharded over
-    'data'. The COO triplets are replicated (they are tiny: vec_nnz * m
-    entries) and each shard masks to its column range; partials psum over
-    'data'. Output replicated over 'model'."""
+    'data' and B d-sharded over 'model' (out sharding P('model', None)).
+
+    Canonical wide-SASO operators (exactly vec_nnz entries per data
+    column, triplets in filled() order) shard the operator itself: the
+    triplets for a shard's column range are a contiguous (m_per, vec_nnz)
+    slice, so rows/vals flow in with in_spec P('data', None) — no
+    replication of the operator. Each device builds only ITS d_per output
+    rows (one-hot compare against the model-local row window on TPU;
+    masked segment-sums elsewhere), and partials psum over 'data' — the
+    same single-collective layout as the dense path.
+
+    Other operators (LASO, transposed/user COO order) replicate the tiny
+    triplet arrays but still compute and emit only the model-local row
+    block via coo_left_apply's window masking.
+    """
     require(isinstance(S, SparseSkOp), "takes a SparseSkOp")
+    from ..base import MajorAxis
+    from ..ops.coo_apply import fixed_nnz_left_apply, onehot_panel_apply
+
     s = S.filled()
     d, m = S.shape
+    pm = mesh.shape["model"]
     pd = mesh.shape["data"]
     require(m % pd == 0, "m must divide the 'data' axis size")
-    m_per = m // pd
+    require(d % pm == 0, "d must divide the 'model' axis size")
+    m_per, d_per = m // pd, d // pm
+    k = S.dist.vec_nnz
+    canonical_wide = (s.canonical and S.dist.major_axis == MajorAxis.Short
+                      and d < m)
+
+    if canonical_wide:
+        rows_mk = s.rows.reshape(m, k).astype(jnp.int32)
+        vals_mk = s.vals.reshape(m, k)
+        on_tpu = _tpu_platform()
+
+        def shard_fn(a_blk, rows_blk, vals_blk):
+            mi = jax.lax.axis_index("model")
+            ro = mi.astype(jnp.int32) * jnp.int32(d_per)
+            r_loc = rows_blk - ro
+            in_rng = (r_loc >= 0) & (r_loc < d_per)
+            if on_tpu:
+                # -1 never matches the row iota: out-of-window entries
+                # vanish inside the one-hot panels
+                idx = jnp.where(in_rng, r_loc, -1)
+                part = onehot_panel_apply(idx, vals_blk, a_blk, d_per,
+                                          alpha)
+            else:
+                idx = jnp.where(in_rng, r_loc, 0)
+                w = jnp.where(in_rng, vals_blk,
+                              jnp.zeros((), vals_blk.dtype))
+                part = fixed_nnz_left_apply(idx, w, a_blk, d_per, alpha)
+            return jax.lax.psum(part, "data")
+
+        fn = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P("data", None), P("data", None), P("data", None)),
+            out_specs=P("model", None),
+            # scan carries / one-hot iotas inside the shard are unvarying
+            # inits joined with varying contributions
+            check_vma=False,
+        )
+        return fn(A, rows_mk, vals_mk)
+
     rows, cols, vals = s.rows, s.cols, s.vals
 
     def shard_fn(a_blk, rows, cols, vals):
+        mi = jax.lax.axis_index("model")
         di = jax.lax.axis_index("data")
+        ro = mi.astype(jnp.int32) * jnp.int32(d_per)
         co = di.astype(jnp.int32) * jnp.int32(m_per)
-        part = coo_left_apply(rows, cols - co, vals.astype(a_blk.dtype),
-                              a_blk, d, m_per, 0, 0, alpha)
+        part = coo_left_apply(rows, cols, vals.astype(a_blk.dtype),
+                              a_blk, d_per, m_per, ro, co, alpha)
         return jax.lax.psum(part, "data")
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P("data", None), P(), P(), P()),
-        out_specs=P(),
+        out_specs=P("model", None),
+        check_vma=False,
     )
     return fn(A, rows, cols, vals)

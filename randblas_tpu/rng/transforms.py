@@ -75,11 +75,30 @@ def u01_i32(signed):
     return base + jnp.where(signed < 0, jnp.float32(1.0), jnp.float32(0.0))
 
 
-def boxmul_pair_i32(s_even, s_odd):
-    """Box-Muller on signed int32 word views (Pallas-safe)."""
-    ang = jnp.float32(_PI) * uneg11_i32(s_even)
+def boxmul_pair_i32(s_even, s_odd, fast_cos: bool = False):
+    """Box-Muller on signed int32 word views (Pallas-safe).
+
+    fast_cos=True replaces the cosine evaluation with
+    sign(|u| < 1/2) * sqrt(1 - sin^2) — identical real-arithmetic value,
+    ~1 ulp f32 difference from the direct cosine, but one VPU
+    transcendental cheaper (sqrt is near-free next to the cos
+    polynomial). This stays inside the library's documented float
+    tolerance: XLA-CPU, XLA-TPU and Mosaic transcendentals already
+    differ at that level (module docstring), and the uint32 stream —
+    the bit-exactness contract — is untouched. Used by the fused
+    kernel's hot path; the staged/XLA paths keep the direct cosine.
+    """
+    u = uneg11_i32(s_even)
+    ang = jnp.float32(_PI) * u
     r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u01_i32(s_odd)))
-    return jnp.sin(ang) * r, jnp.cos(ang) * r
+    s = jnp.sin(ang)
+    if fast_cos:
+        mag = jnp.sqrt(jnp.maximum(jnp.float32(1.0) - s * s,
+                                   jnp.float32(0.0)))
+        c = jnp.where(jnp.abs(u) < jnp.float32(0.5), mag, -mag)
+    else:
+        c = jnp.cos(ang)
+    return s * r, c * r
 
 
 def boxmul_pair(u_even, u_odd):

@@ -131,6 +131,33 @@ def _fused_eligible(S: DenseSkOp, rows_s: int, cols_s: int, ro_s: int,
     return ok and (use_fused is True or _tpu_backend())
 
 
+def _fused_gates_ok(S: DenseSkOp, dtype) -> bool:
+    if S.materialized is not None or use_fused is False:
+        return False
+    if S.seed_state.rng != "philox4x32" or dtype != jnp.float32:
+        return False
+    return use_fused is True or _tpu_backend()
+
+
+def _left_colmajor_fused_or_none(S: DenseSkOp, a_mat, rows_s: int,
+                                 cols_s: int, ro_s: int, co_s: int,
+                                 op_s: Op, dtype, alpha):
+    """Left NoTrans sketch of a ColMajor-natural operator (wide+Short or
+    tall+Long) through the transposed-generation kernel, or None."""
+    if op_s != Op.NoTrans or not _fused_gates_ok(S, dtype):
+        return None
+    from .ops import fused_sketch as fs
+    from .dense import DenseDistName
+    if S.dist.family == DenseDistName.BlackBox:
+        return None
+    if not fs.fused_sketch_colmajor_supported(
+            S.dist, rows_s, cols_s, ro_s, co_s, op_s, dtype):
+        return None
+    return fs.fused_sketch_colmajor(S, a_mat, alpha=float(alpha),
+                                    rows_s=rows_s, cols_s=cols_s,
+                                    ro_s=ro_s, co_s=co_s)
+
+
 def _left_trans_fused_or_none(S: DenseSkOp, a_mat, rows_s: int,
                               cols_s: int, ro_s: int, co_s: int,
                               op_s: Op, dtype, alpha):
@@ -139,35 +166,36 @@ def _left_trans_fused_or_none(S: DenseSkOp, a_mat, rows_s: int,
     B = block(S)^T @ A where the stored block is (rows_s, cols_s). By the
     fill-order autotranspose property (tested in test_dense_fill.py),
     block(S, r, c, ro, co)^T == block(S_t, c, r, co, ro) for the
-    transposed distribution S_t with the same seed — so when S_t is
-    RowMajor-natural the transposed block IS a fused-eligible left
-    operand, with no extra data passes at all.
+    transposed distribution S_t with the same seed — so the transposed
+    block IS a fused-eligible left operand: the RowMajor kernel when S_t
+    is RowMajor-natural, the transposed-generation kernel when S_t is
+    ColMajor-natural. Either way: no extra data passes at all.
     """
-    if op_s != Op.Trans:
-        return None
-    if S.materialized is not None or use_fused is False:
-        return None
-    if S.seed_state.rng != "philox4x32" or dtype != jnp.float32:
-        return None
-    if not (use_fused is True or _tpu_backend()):
+    if op_s != Op.Trans or not _fused_gates_ok(S, dtype):
         return None
     from .dense import DenseDist, DenseDistName, dist_to_layout
     from .base import Layout
-    from .ops.fused_sketch import fused_sketch, fused_sketch_supported
+    from .ops import fused_sketch as fs
 
     if S.dist.family == DenseDistName.BlackBox:
         return None
     dist_t = DenseDist(S.dist.n_cols, S.dist.n_rows, S.dist.family,
                        S.dist.major_axis)
-    if dist_to_layout(dist_t) != Layout.RowMajor:
-        return None
-    if not fused_sketch_supported(dist_t, cols_s, rows_s, co_s, ro_s,
-                                  Op.NoTrans, dtype):
-        return None
     S_t = DenseSkOp(dist_t, S.seed_state, dtype=S.dtype)
-    return fused_sketch(S_t, a_mat, alpha=float(alpha),
-                        rows_s=cols_s, cols_s=rows_s,
-                        ro_s=co_s, co_s=ro_s)
+    if dist_to_layout(dist_t) == Layout.RowMajor:
+        if not fs.fused_sketch_supported(dist_t, cols_s, rows_s, co_s,
+                                         ro_s, Op.NoTrans, dtype):
+            return None
+        return fs.fused_sketch(S_t, a_mat, alpha=float(alpha),
+                               rows_s=cols_s, cols_s=rows_s,
+                               ro_s=co_s, co_s=ro_s)
+    if not fs.fused_sketch_colmajor_supported(dist_t, cols_s, rows_s,
+                                              co_s, ro_s, Op.NoTrans,
+                                              dtype):
+        return None
+    return fs.fused_sketch_colmajor(S_t, a_mat, alpha=float(alpha),
+                                    rows_s=cols_s, cols_s=rows_s,
+                                    ro_s=co_s, co_s=ro_s)
 
 
 def _right_fused_or_none(S: DenseSkOp, a_mat, rows_s: int, cols_s: int,
@@ -326,14 +354,18 @@ def sketch_general(
             prod = _sparse_left_apply(S, d, m, ro_s, co_s, op_s, a_mat,
                                       alpha)
         elif _fused_eligible(S, rows_s, cols_s, ro_s, co_s, op_s, dtype, n):
-            from .ops.fused_sketch import fused_sketch
-            prod = fused_sketch(S, a_mat, alpha=float(alpha),
-                                rows_s=rows_s, cols_s=cols_s,
-                                ro_s=ro_s, co_s=co_s)
+            from .ops import fused_sketch as fs
+            prod = fs.fused_sketch(S, a_mat, alpha=float(alpha),
+                                   rows_s=rows_s, cols_s=cols_s,
+                                   ro_s=ro_s, co_s=co_s)
         else:
-            prod = _left_trans_fused_or_none(S, a_mat, rows_s, cols_s,
-                                             ro_s, co_s, op_s, dtype,
-                                             alpha)
+            prod = _left_colmajor_fused_or_none(S, a_mat, rows_s, cols_s,
+                                                ro_s, co_s, op_s, dtype,
+                                                alpha)
+            if prod is None:
+                prod = _left_trans_fused_or_none(S, a_mat, rows_s, cols_s,
+                                                 ro_s, co_s, op_s, dtype,
+                                                 alpha)
             if prod is None:
                 require(use_fused is not True,
                         "fused sketch path forced but call is unsupported")

@@ -48,6 +48,17 @@ class SparseDist:
         require(self.vec_nnz > 0, "vec_nnz must be positive")
         require(self.major_axis in (MajorAxis.Short, MajorAxis.Long),
                 "SparseDist major_axis must be Short or Long")
+        dim_major = (min(self.n_rows, self.n_cols)
+                     if self.major_axis == MajorAxis.Short
+                     else max(self.n_rows, self.n_cols))
+        # Fisher-Yates samples vec_nnz indices per minor-axis vector
+        # WITHOUT replacement from dim_major positions
+        # (sparse_skops.hh:65 raises inside the sampler; we raise at
+        # construction, the earliest trace-time point).
+        require(self.vec_nnz <= dim_major,
+                f"vec_nnz = {self.vec_nnz} exceeds the major-axis length "
+                f"{dim_major}: cannot sample that many indices without "
+                "replacement")
 
 
 def sparse_nnz(dist: SparseDist) -> int:

@@ -95,3 +95,26 @@ def test_sketch_sparse_right_blocked_ell(monkeypatch):
     want = dense @ np.asarray(S.materialize())
     scale = np.abs(want).max()
     np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
+
+
+def test_left_spmm_auto_blocked_ell(monkeypatch):
+    """Concrete CSR/COO operands auto-route through the cached BlockedELL
+    conversion when the product is big enough (spmm._blocked_ell_or_none)."""
+    from randblas_tpu.ops import ell_spmm
+    from randblas_tpu.sparse_data import left_spmm
+    from randblas_tpu.sparse_data.conversions import coo_to_csr
+    from randblas_tpu.sparse_data.ell import ell_to_coo
+    monkeypatch.setattr(ell_spmm, "force_interpret", True)
+    ell, dense = _ell(256, 2048, density=0.02, seed=13)
+    coo = ell_to_coo(ell)
+    b = RNG.normal(size=(2048, 128)).astype(np.float32)
+    csr = coo_to_csr(coo)
+    # the shape is below the nnz profitability floor; seed the cache so the
+    # route is taken (cache-hit path is exactly the hot production path)
+    object.__setattr__(csr, "_bell_cache", ell.blocked())
+    got = np.asarray(left_spmm(csr, jnp.asarray(b)))
+    want = dense @ b
+    scale = np.abs(want).max() or 1.0
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
+    # the cache sticks to the object
+    assert getattr(csr, "_bell_cache", None) is not None

@@ -77,12 +77,38 @@ def test_distributed_right(model, data):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
-def test_distributed_sparse():
+@pytest.mark.parametrize("model,data", [(1, 8), (2, 4), (4, 2), (8, 1)])
+def test_distributed_sparse(model, data):
+    """Canonical wide-SASO path: operator triplets sharded over 'data',
+    output rows over 'model' (no replication of either)."""
     Ss = SparseSkOp(SparseDist(D, M, vec_nnz=4), RNGState.from_key(3))
     A = jnp.asarray(
         np.random.default_rng(1).normal(size=(M, N)).astype(np.float32))
-    mesh = make_sketch_mesh(1, 8)
-    got = np.asarray(distributed_sparse_sketch(Ss, A, mesh))
+    mesh = make_sketch_mesh(model, data)
+    out = distributed_sparse_sketch(Ss, A, mesh)
+    # output really is d-sharded over 'model'
+    spec = out.sharding.spec
+    assert spec[0] == ("model" if model > 1 else spec[0])
+    got = np.asarray(out)
+    want = np.asarray(sketch_general(Ss, A))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_distributed_sparse_noncanonical():
+    """User-supplied COO order falls back to the replicated-triplet path
+    (still model-sharded output) and stays correct."""
+    Ss = SparseSkOp(SparseDist(D, M, vec_nnz=4), RNGState.from_key(3))
+    s = Ss.filled()
+    perm = np.random.default_rng(7).permutation(s.rows.shape[0])
+    shuffled = SparseSkOp(
+        Ss.dist, Ss.seed_state,
+        rows=jnp.asarray(np.asarray(s.rows)[perm]),
+        cols=jnp.asarray(np.asarray(s.cols)[perm]),
+        vals=jnp.asarray(np.asarray(s.vals)[perm]))
+    A = jnp.asarray(
+        np.random.default_rng(1).normal(size=(M, N)).astype(np.float32))
+    mesh = make_sketch_mesh(2, 4)
+    got = np.asarray(distributed_sparse_sketch(shuffled, A, mesh))
     want = np.asarray(sketch_general(Ss, A))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 

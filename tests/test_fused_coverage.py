@@ -114,3 +114,65 @@ def test_fused_distributed_sketch_right():
     # and it matches the non-fused distributed path
     got2 = distributed_sketch_right(S, A, mesh, use_fused=False)
     _close(got, np.asarray(got2))
+
+
+@pytest.fixture
+def colmajor_route(monkeypatch):
+    """Force fused dispatch and record ColMajor-kernel entries."""
+    monkeypatch.setattr(skge, "use_fused", True)
+    from randblas_tpu.ops import fused_sketch as fs
+    rec = RouteRecorder()
+    orig = fs.fused_sketch_colmajor
+
+    def interp(*args, **kwargs):
+        rec.calls += 1
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(fs, "fused_sketch_colmajor", interp)
+    yield rec
+
+
+def test_left_notrans_wide_short_routes_colmajor(colmajor_route):
+    # wide + Short = ColMajor natural; previously materialize+GEMM
+    d, m, n = 32, 256, 16
+    S = DenseSkOp(DenseDist(d, m, major_axis=MajorAxis.Short),
+                  RNGState.from_key(11))
+    A = _data(m, n, 11)
+    got = sketch_general(S, A, side="left", d=d)
+    assert colmajor_route.calls == 1, \
+        "wide+Short did not take the ColMajor fused path"
+    _close(got, np.asarray(S.materialize()) @ np.asarray(A))
+
+
+def test_left_notrans_tall_long_routes_colmajor(colmajor_route):
+    # tall + Long ("lifting", d > m) = ColMajor natural
+    d, m, n = 256, 64, 16
+    S = DenseSkOp(DenseDist(d, m), RNGState.from_key(12))
+    A = _data(m, n, 12)
+    got = sketch_general(S, A, side="left", d=d)
+    assert colmajor_route.calls == 1
+    _close(got, np.asarray(S.materialize()) @ np.asarray(A))
+
+
+def test_left_notrans_colmajor_submatrix(colmajor_route):
+    d, m, n = 32, 128, 16
+    big = DenseSkOp(DenseDist(d + 9, m + 4, major_axis=MajorAxis.Short),
+                    RNGState.from_key(13))
+    A = _data(m, n, 13)
+    got = sketch_general(big, A, side="left", d=d, ro_s=5, co_s=4)
+    assert colmajor_route.calls == 1
+    sub = np.asarray(big.materialize())[5:5 + d, 4:4 + m]
+    _close(got, sub @ np.asarray(A))
+
+
+def test_left_trans_wide_long_routes_colmajor(colmajor_route):
+    # S (d', m') wide+Long is RowMajor natural; its transposed dist is
+    # tall+Long = ColMajor natural -> op_s=T routes through the
+    # transposed-generation kernel
+    dp, mp, n = 48, 512, 16
+    S = DenseSkOp(DenseDist(dp, mp), RNGState.from_key(14))
+    A = _data(dp, n, 14)
+    got = sketch_general(S, A, side="left", op_s="T", d=mp)
+    assert colmajor_route.calls == 1
+    _close(got, np.asarray(S.materialize()).T @ np.asarray(A))
