@@ -76,22 +76,23 @@ def time_sweep():
     print(f"roofline: {roofs[0]:.1f} GFLOP/s", flush=True)
 
     configs = [
-        # (label, kwargs overriding the default plan)
-        ("alias rc=8", dict(alias_acc=True, row_chunks=8)),
-        ("alias rc=8 fastcos", dict(alias_acc=True, row_chunks=8,
-                                    fast_cos=True)),
-        ("alias rc=4 fastcos", dict(alias_acc=True, row_chunks=4,
-                                    fast_cos=True)),
-        ("alias rc=16 fastcos", dict(alias_acc=True, row_chunks=16,
-                                     fast_cos=True)),
+        # cost ladder: dots-only -> +Philox -> +uniform map -> +BoxMuller
         ("alias rc=4 nogen", dict(alias_acc=True, row_chunks=4,
                                   nogen=True)),
-        ("alias rc=16 nogen", dict(alias_acc=True, row_chunks=16,
-                                   nogen=True)),
-        ("alias rc=8 tk=256 fastcos", dict(alias_acc=True, row_chunks=8,
-                                           tk=256, fast_cos=True)),
-        ("alias rc=8 deep fastcos", dict(alias_acc=True, row_chunks=8,
-                                         deep_dot=True, fast_cos=True)),
+        ("alias rc=4 rawbits", dict(alias_acc=True, row_chunks=4,
+                                    nogen="rawbits")),
+        ("alias rc=4 uniform", dict(alias_acc=True, row_chunks=4,
+                                    gaussian=False)),
+        ("alias rc=4 gauss", dict(alias_acc=True, row_chunks=4)),
+        # overlap probe: independent VPU junk next to the dots
+        ("alias rc=4 nogen junk200", dict(alias_acc=True, row_chunks=4,
+                                          nogen=True, junk=200)),
+        ("alias rc=4 nogen junk50", dict(alias_acc=True, row_chunks=4,
+                                         nogen=True, junk=50)),
+        # dot-schedule fine tuning
+        ("alias rc=2 nogen", dict(alias_acc=True, row_chunks=2,
+                                  nogen=True)),
+        ("alias rc=2 gauss", dict(alias_acc=True, row_chunks=2)),
     ]
     for label, over in configs:
         kw = dict(d=d, m=m, gaussian=over.pop("gaussian", True),

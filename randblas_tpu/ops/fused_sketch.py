@@ -43,7 +43,7 @@ _SQRT3 = math.sqrt(3.0)
 
 def _gen_panel_words(seed_ref, d: int, tk: int, ctr_stride: int,
                      k_blocks, gaussian: bool, row_off=0,
-                     fast_cos: bool = False):
+                     fast_cos: bool = False, rng: str = "philox4x32"):
     """Generate the (d, tk) operator panel whose first column lives at
     counter offset ``k_blocks`` blocks from the seed, starting at operator
     row ``row_off``.
@@ -74,8 +74,6 @@ def _gen_panel_words(seed_ref, d: int, tk: int, ctr_stride: int,
     s1 = seed_ref[0, 1]
     s2 = seed_ref[0, 2]
     s3 = seed_ref[0, 3]
-    k0 = seed_ref[0, 4]
-    k1 = seed_ref[0, 5]
 
     c0 = s0 + off_lo
     carry = (c0 < off_lo).astype(jnp.uint32)
@@ -88,7 +86,17 @@ def _gen_panel_words(seed_ref, d: int, tk: int, ctr_stride: int,
     carry2 = (c2 < carry1).astype(jnp.uint32)
     c3 = s3 + carry2
 
-    r0, r1, r2, r3 = philox4x32_words(c0, c1, c2, c3, k0, k1, 10)
+    if rng == "philox4x32":
+        r0, r1, r2, r3 = philox4x32_words(c0, c1, c2, c3,
+                                          seed_ref[0, 4], seed_ref[0, 5],
+                                          10)
+    elif rng == "threefry4x32":
+        from ..rng.threefry import threefry4x32_words
+        r0, r1, r2, r3 = threefry4x32_words(
+            c0, c1, c2, c3, seed_ref[0, 4], seed_ref[0, 5],
+            seed_ref[0, 6], seed_ref[0, 7], 20)
+    else:
+        raise NotImplementedError(f"fused kernel: unsupported rng {rng}")
     s0 = pltpu.bitcast(r0, jnp.int32)
     s1 = pltpu.bitcast(r1, jnp.int32)
     s2 = pltpu.bitcast(r2, jnp.int32)
@@ -107,7 +115,8 @@ def _gen_panel_words(seed_ref, d: int, tk: int, ctr_stride: int,
 
 def _kernel(seed_ref, a0, a1, a2, a3, *refs, ti, tk,
             ctr_stride, gaussian, alpha, row_chunks=1, deep_dot=False,
-            nogen=False, alias_acc=False, fast_cos=False):
+            nogen=False, alias_acc=False, fast_cos=False,
+            rng="philox4x32", junk=0):
     # refs is (out_ref,) normally, (zeros_in_ref, out_ref) when the
     # accumulator is zero-initialized through input aliasing (the in ref
     # aliases the same buffer and is never read directly)
@@ -162,6 +171,25 @@ def _kernel(seed_ref, a0, a1, a2, a3, *refs, ti, tk,
         a_cat = jnp.concatenate([a0b, a1b, a2b, a3b], axis=0)
 
     def gen(r):
+        if nogen == "rawbits":
+            # diagnostic: Philox only, no float transform — bitcast the
+            # raw words (garbage values, valid timing)
+            row_off = base_row + jnp.uint32(r * chunk)
+            k_blocks2 = k_blocks
+            nb = tk // 4
+            i_ids = jax.lax.broadcasted_iota(jnp.uint32, (chunk, nb), 0)
+            i_ids = i_ids + row_off
+            b_ids = jax.lax.broadcasted_iota(jnp.uint32, (chunk, nb), 1)
+            off_hi, off_lo = mul32_wide(i_ids,
+                                        jnp.uint32(ctr_stride & 0xFFFFFFFF))
+            c0 = seed_ref[0, 0] + off_lo + k_blocks2 + b_ids
+            c1 = seed_ref[0, 1] + off_hi
+            r0, r1, r2, r3 = philox4x32_words(
+                c0, c1, seed_ref[0, 2], seed_ref[0, 3],
+                seed_ref[0, 4], seed_ref[0, 5], 10)
+            scale = jnp.float32(2.0 ** -32)
+            return tuple(pltpu.bitcast(x, jnp.int32).astype(jnp.float32)
+                         * scale for x in (r0, r1, r2, r3))
         if nogen:  # diagnostic: dots-only upper bound of this schedule.
             # must depend on the seed ref or XLA hoists the whole call
             # out of timing loops as loop-invariant (measured: "2.6x
@@ -175,7 +203,7 @@ def _kernel(seed_ref, a0, a1, a2, a3, *refs, ti, tk,
         row_off = base_row + jnp.uint32(r * chunk)
         return _gen_panel_words(seed_ref, chunk, tk, ctr_stride,
                                 k_blocks, gaussian, row_off,
-                                fast_cos=fast_cos)
+                                fast_cos=fast_cos, rng=rng)
 
     def dots(v):
         v0, v1, v2, v3 = v
@@ -204,6 +232,15 @@ def _kernel(seed_ref, a0, a1, a2, a3, *refs, ti, tk,
         contrib = dots(v)
         if r + 1 < row_chunks:
             v = gen(r + 1)
+        if junk:
+            # diagnostic: VPU work INDEPENDENT of the dots — measures
+            # whether Mosaic/the core can overlap VPU with MXU at all
+            xj = jnp.full((chunk, tk // 4), seed_ref[0, 4] & jnp.uint32(1),
+                          jnp.uint32)
+            x = pltpu.bitcast(xj, jnp.int32).astype(jnp.float32)
+            for _ in range(junk):
+                x = x * jnp.float32(0.99990001) + jnp.float32(1e-6)
+            contrib = contrib + x[:, :1] * jnp.float32(1e-30)
         sl = pl.ds(r * chunk, chunk)
 
         if alias_acc:
@@ -394,12 +431,12 @@ def _plan(d: int, m: int, n: int):
 @functools.partial(jax.jit, static_argnames=(
     "d", "m", "gaussian", "alpha", "ti", "tk", "tn", "ctr_stride",
     "interpret", "pipelined", "row_chunks", "deep_dot", "nogen",
-    "pipeline2", "alias_acc", "dimsem", "fast_cos"))
+    "pipeline2", "alias_acc", "dimsem", "fast_cos", "rng", "junk"))
 def _fused_call(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
                 ctr_stride, interpret=False, pipelined=False,
                 row_chunks=1, deep_dot=False, nogen=False,
                 pipeline2=False, alias_acc=False, dimsem=False,
-                fast_cos=False):
+                fast_cos=False, rng="philox4x32", junk=0):
     n = A.shape[1]
     n_i = d // ti
     n_k = m // tk
@@ -489,7 +526,7 @@ def _fused_call(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
                                gaussian=gaussian, alpha=alpha,
                                row_chunks=row_chunks, deep_dot=deep_dot,
                                nogen=nogen, alias_acc=alias_acc,
-                               fast_cos=fast_cos)
+                               fast_cos=fast_cos, rng=rng, junk=junk)
 
     def lane_spec(lane):
         col_blocks = n // tn
@@ -534,7 +571,7 @@ def _fused_call(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
 
 
 def _kernel_T(seed_ref, a_ref, o0, o1, o2, o3, *, ti, tk, ctr_stride,
-              gaussian, alpha):
+              gaussian, alpha, rng="philox4x32"):
     """ColMajor-natural variant: grid (n_i, n_j, n_k), k innermost.
 
     A ColMajor-natural operator's counters walk DOWN columns (element
@@ -556,7 +593,8 @@ def _kernel_T(seed_ref, a_ref, o0, o1, o2, o3, *, ti, tk, ctr_stride,
     k_blocks = i.astype(jnp.uint32) * jnp.uint32(ti // 4)
     row_off = k.astype(jnp.uint32) * jnp.uint32(tk)
     v0, v1, v2, v3 = _gen_panel_words(seed_ref, tk, ti, ctr_stride,
-                                      k_blocks, gaussian, row_off)
+                                      k_blocks, gaussian, row_off,
+                                      rng=rng)
 
     a_bf = a_ref[:].astype(jnp.bfloat16)
     dn = (((0,), (0,)), ((), ()))
@@ -591,11 +629,24 @@ def _plan_T(d: int, m: int, n: int):
     return d_pad, m_pad, n_pad, ti, tk, tn
 
 
+_SUPPORTED_RNGS = ("philox4x32", "threefry4x32")
+
+
+def _seed_words(state) -> jax.Array:
+    """(1, 8) SMEM operand: 4 counter words, then key words, zero-padded.
+    Covers Philox4x32 (2-word key) and Threefry4x32 (4-word key)."""
+    pad = 8 - state.counter.shape[0] - state.key.shape[0]
+    parts = [state.counter, state.key]
+    if pad:
+        parts.append(jnp.zeros((pad,), jnp.uint32))
+    return jnp.concatenate(parts).reshape(1, 8)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "d", "m", "gaussian", "alpha", "ti", "tk", "tn", "ctr_stride",
-    "interpret"))
+    "interpret", "rng"))
 def _fused_call_T(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
-                  ctr_stride, interpret=False):
+                  ctr_stride, interpret=False, rng="philox4x32"):
     n = A.shape[1]
     n_i = d // ti
     n_j = n // tn
@@ -603,7 +654,7 @@ def _fused_call_T(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
 
     kernel = functools.partial(_kernel_T, ti=ti, tk=tk,
                                ctr_stride=ctr_stride, gaussian=gaussian,
-                               alpha=alpha)
+                               alpha=alpha, rng=rng)
     slab = jax.ShapeDtypeStruct((d // 4, n), jnp.float32)
     out_spec = pl.BlockSpec((ti // 4, tn), lambda i, j, k: (i, j),
                             memory_space=pltpu.VMEM)
@@ -663,16 +714,11 @@ def fused_sketch_colmajor(S, A, alpha=1.0, interpret=False, rows_s=None,
     if n_pad != n or m_pad != cols_s:
         A = jnp.pad(A, ((0, m_pad - cols_s), (0, n_pad - n)))
     base = S.seed_state.incr(co_s * ctr_stride + ro_al // ctr_size)
-    seed_words = jnp.concatenate([
-        base.counter,
-        base.key,
-        jnp.zeros((2,), jnp.uint32),
-    ]).reshape(1, 8)
     gaussian = S.dist.family == DenseDistName.Gaussian
-    out = _fused_call_T(seed_words, A, d=d_pad, m=m_pad,
+    out = _fused_call_T(_seed_words(base), A, d=d_pad, m=m_pad,
                         gaussian=gaussian, alpha=float(alpha), ti=ti,
                         tk=tk, tn=tn, ctr_stride=ctr_stride,
-                        interpret=interpret)
+                        interpret=interpret, rng=S.seed_state.rng)
     return out[fbs:fbs + rows_s, :n]
 
 
@@ -757,15 +803,12 @@ def fused_sketch(S, A, alpha=1.0, interpret=False, rows_s=None,
     if n_pad != n or m_pad != cols_s:
         A = jnp.pad(A, ((0, m_pad - cols_s), (0, n_pad - n)))
     base = S.seed_state.incr(ro_s * ctr_stride + co_s // ctr_size)
-    seed_words = jnp.concatenate([
-        base.counter,
-        base.key,
-        jnp.zeros((2,), jnp.uint32),
-    ]).reshape(1, 8)
     gaussian = S.dist.family == DenseDistName.Gaussian
-    out = _fused_call(seed_words, A, d=d_pad, m=m_pad, gaussian=gaussian,
+    out = _fused_call(_seed_words(base), A, d=d_pad, m=m_pad,
+                      gaussian=gaussian,
                       alpha=float(alpha), ti=ti, tk=tk, tn=tn,
-                      ctr_stride=ctr_stride, interpret=interpret)
+                      ctr_stride=ctr_stride, interpret=interpret,
+                      rng=S.seed_state.rng)
     if d_pad != rows_s or n_pad != n:
         out = out[:rows_s, :n]
     return out

@@ -93,7 +93,7 @@ def distributed_sketch(
     fused_ok = (
         use_fused is not False
         and dtype == jnp.float32
-        and seed.rng == "philox4x32"
+        and seed.rng in ("philox4x32", "threefry4x32")
         and dist.family in (DenseDistName.Gaussian, DenseDistName.Uniform)
         and dist_to_layout(dist) == Layout.RowMajor
         and m_per % 4 == 0
@@ -134,8 +134,11 @@ def distributed_sketch(
             lo, hi = mul64_u32(ro, jnp.uint32(ctr_stride_global))
             lo, hi = add64(lo, hi, co // jnp.uint32(4), jnp.uint32(0))
             ctr = ctr_add64(seed.counter, lo, hi)
-            seed_words = jnp.concatenate(
-                [ctr, seed.key, jnp.zeros((2,), jnp.uint32)]).reshape(1, 8)
+            pad = 8 - ctr.shape[0] - seed.key.shape[0]
+            parts = [ctr, seed.key]
+            if pad:
+                parts.append(jnp.zeros((pad,), jnp.uint32))
+            seed_words = jnp.concatenate(parts).reshape(1, 8)
             d_pad, m_pad, n_pad, ti, tk, tn = fs._plan(d_per, m_per, n)
             a_in = (jnp.pad(a_blk, ((0, m_pad - m_per), (0, n_pad - n)))
                     if (n_pad != n or m_pad != m_per) else a_blk)
@@ -143,7 +146,8 @@ def distributed_sketch(
                 seed_words, a_in, d=d_pad, m=m_pad,
                 gaussian=dist.family == DenseDistName.Gaussian,
                 alpha=float(alpha), ti=ti, tk=tk, tn=tn,
-                ctr_stride=ctr_stride_global, interpret=interpret)
+                ctr_stride=ctr_stride_global, interpret=interpret,
+                rng=seed.rng)
             if d_pad != d_per or n_pad != n:
                 part = part[:d_per, :n]
             return jax.lax.psum(part, "data")
@@ -229,7 +233,7 @@ def distributed_sketch_right(
     fused_ok = (
         use_fused is not False
         and dtype == jnp.float32
-        and seed.rng == "philox4x32"
+        and seed.rng in ("philox4x32", "threefry4x32")
         and dist_t is not None
         and dist_to_layout(dist_t) == Layout.RowMajor
         and m_per % 4 == 0
@@ -268,8 +272,11 @@ def distributed_sketch_right(
             lo, hi = mul64_u32(co, jnp.uint32(ctr_stride_global))
             lo, hi = add64(lo, hi, ro // jnp.uint32(4), jnp.uint32(0))
             ctr = ctr_add64(seed.counter, lo, hi)
-            seed_words = jnp.concatenate(
-                [ctr, seed.key, jnp.zeros((2,), jnp.uint32)]).reshape(1, 8)
+            pad = 8 - ctr.shape[0] - seed.key.shape[0]
+            parts = [ctr, seed.key]
+            if pad:
+                parts.append(jnp.zeros((pad,), jnp.uint32))
+            seed_words = jnp.concatenate(parts).reshape(1, 8)
             d_pad, m_pad, n_pad, ti, tk, tn = fs._plan(d_per, m_per, rows)
             at = a_blk.T
             if m_pad != m_per or n_pad != rows:
@@ -278,7 +285,8 @@ def distributed_sketch_right(
                 seed_words, at, d=d_pad, m=m_pad,
                 gaussian=dist.family == DenseDistName.Gaussian,
                 alpha=float(alpha), ti=ti, tk=tk, tn=tn,
-                ctr_stride=ctr_stride_global, interpret=interpret)
+                ctr_stride=ctr_stride_global, interpret=interpret,
+                rng=seed.rng)
             part = part_t[:d_per, :rows].T
             return jax.lax.psum(part, "data")
         s_blk = fill_dense_submat_traced(dist, seed, m_per, d_per, ro, co,

@@ -39,6 +39,32 @@ def threefry2x32(ctr, key, rounds: int = 20):
     return jnp.stack([x0, x1], axis=-1)
 
 
+def threefry4x32_words(x0, x1, x2, x3, k0, k1, k2, k3, rounds: int = 20):
+    """Threefry-4x32 on separate u32 word arrays (shared by the jitted
+    JAX path and Pallas kernels, which cannot stack lanes)."""
+    ks = [k0, k1, k2, k3,
+          jnp.uint32(_PARITY32) ^ k0 ^ k1 ^ k2 ^ k3]
+    x = [x0 + k0, x1 + k1, x2 + k2, x3 + k3]
+    for r in range(rounds):
+        r0, r2 = _R_4x32[r % 8]
+        if r % 2 == 0:
+            x[0] = x[0] + x[1]
+            x[1] = rotl32(x[1], r0) ^ x[0]
+            x[2] = x[2] + x[3]
+            x[3] = rotl32(x[3], r2) ^ x[2]
+        else:
+            x[0] = x[0] + x[3]
+            x[3] = rotl32(x[3], r0) ^ x[0]
+            x[2] = x[2] + x[1]
+            x[1] = rotl32(x[1], r2) ^ x[2]
+        if (r + 1) % 4 == 0:
+            s = (r + 1) // 4
+            for i in range(4):
+                x[i] = x[i] + ks[(s + i) % 5]
+            x[3] = x[3] + jnp.uint32(s)
+    return x[0], x[1], x[2], x[3]
+
+
 def threefry4x32(ctr, key, rounds: int = 20):
     """Threefry-4x32. ctr: uint32[..., 4], key: uint32[..., 4]."""
     ctr = jnp.asarray(ctr, dtype=jnp.uint32)

@@ -120,8 +120,8 @@ def _fused_eligible(S: DenseSkOp, rows_s: int, cols_s: int, ro_s: int,
         return False
     if S.materialized is not None:
         return False
-    if S.seed_state.rng != "philox4x32":
-        return False  # the kernel hardcodes Philox4x32-10 rounds
+    if S.seed_state.rng not in ("philox4x32", "threefry4x32"):
+        return False  # kernels support the 4x32 CBRNGs
     from .ops.fused_sketch import fused_sketch_supported
     ok = fused_sketch_supported(S.dist, rows_s, cols_s, ro_s, co_s, op_s,
                                 dtype)
@@ -134,7 +134,8 @@ def _fused_eligible(S: DenseSkOp, rows_s: int, cols_s: int, ro_s: int,
 def _fused_gates_ok(S: DenseSkOp, dtype) -> bool:
     if S.materialized is not None or use_fused is False:
         return False
-    if S.seed_state.rng != "philox4x32" or dtype != jnp.float32:
+    if S.seed_state.rng not in ("philox4x32", "threefry4x32") \
+            or dtype != jnp.float32:
         return False
     return use_fused is True or _tpu_backend()
 
@@ -215,7 +216,8 @@ def _right_fused_or_none(S: DenseSkOp, a_mat, rows_s: int, cols_s: int,
     """
     if S.materialized is not None or use_fused is False:
         return None
-    if S.seed_state.rng != "philox4x32" or dtype != jnp.float32:
+    if S.seed_state.rng not in ("philox4x32", "threefry4x32") \
+            or dtype != jnp.float32:
         return None
     if not (use_fused is True or _tpu_backend()):
         return None

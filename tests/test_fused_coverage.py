@@ -176,3 +176,27 @@ def test_left_trans_wide_long_routes_colmajor(colmajor_route):
     got = sketch_general(S, A, side="left", op_s="T", d=mp)
     assert colmajor_route.calls == 1
     _close(got, np.asarray(S.materialize()).T @ np.asarray(A))
+
+
+def test_threefry_fused_routes(fused_route):
+    """Threefry4x32 operators run the fused kernel (4-word key in the
+    seed operand, 20-round schedule in-kernel)."""
+    from randblas_tpu import RNGState
+    d, m, n = 32, 256, 16
+    S = DenseSkOp(DenseDist(d, m),
+                  RNGState.from_key(21, rng="threefry4x32"))
+    A = _data(m, n, 21)
+    got = sketch_general(S, A, side="left", d=d)
+    assert fused_route.calls == 1, "threefry did not take the fused path"
+    _close(got, np.asarray(S.materialize()) @ np.asarray(A))
+
+
+def test_threefry_fused_colmajor(colmajor_route):
+    from randblas_tpu import RNGState
+    d, m, n = 128, 48, 16
+    S = DenseSkOp(DenseDist(d, m),
+                  RNGState.from_key(22, rng="threefry4x32"))
+    A = _data(m, n, 22)
+    got = sketch_general(S, A, side="left", d=d)
+    assert colmajor_route.calls == 1
+    _close(got, np.asarray(S.materialize()) @ np.asarray(A))
