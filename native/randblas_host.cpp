@@ -62,6 +62,50 @@ inline void philox4x32_block(const Ctr4 &ctr, uint32_t k0, uint32_t k1,
     out[3] = x3;
 }
 
+constexpr uint32_t TF_PARITY = 0x1BD11BDAu;
+constexpr int TF_R0[8] = {10, 11, 13, 23, 6, 17, 25, 18};
+constexpr int TF_R2[8] = {26, 21, 27, 5, 20, 11, 10, 20};
+
+inline uint32_t rotl32(uint32_t x, int r) {
+    return (x << r) | (x >> (32 - r));
+}
+
+inline void threefry4x32_block(const Ctr4 &ctr, const uint32_t key[4],
+                               int rounds, uint32_t out[4]) {
+    uint32_t ks[5] = {key[0], key[1], key[2], key[3],
+                      TF_PARITY ^ key[0] ^ key[1] ^ key[2] ^ key[3]};
+    uint32_t x[4];
+    for (int i = 0; i < 4; ++i)
+        x[i] = ctr.v[i] + ks[i];
+    for (int r = 0; r < rounds; ++r) {
+        int r0 = TF_R0[r % 8], r2 = TF_R2[r % 8];
+        if (r % 2 == 0) {
+            x[0] += x[1]; x[1] = rotl32(x[1], r0) ^ x[0];
+            x[2] += x[3]; x[3] = rotl32(x[3], r2) ^ x[2];
+        } else {
+            x[0] += x[3]; x[3] = rotl32(x[3], r0) ^ x[0];
+            x[2] += x[1]; x[1] = rotl32(x[1], r2) ^ x[2];
+        }
+        if ((r + 1) % 4 == 0) {
+            int s = (r + 1) / 4;
+            for (int i = 0; i < 4; ++i)
+                x[i] += ks[(s + i) % 5];
+            x[3] += (uint32_t)s;
+        }
+    }
+    for (int i = 0; i < 4; ++i)
+        out[i] = x[i];
+}
+
+// rng: 0 = Philox4x32-10 (key[2]), 1 = Threefry4x32-20 (key[4])
+inline void cbrng_block(const Ctr4 &ctr, const uint32_t *key, int rng,
+                        uint32_t out[4]) {
+    if (rng == 1)
+        threefry4x32_block(ctr, key, 20, out);
+    else
+        philox4x32_block(ctr, key[0], key[1], 10, out);
+}
+
 inline float u01f(uint32_t u) {
     return (float)u * 0x1p-32f + 0x1p-33f;
 }
@@ -78,10 +122,10 @@ inline void boxmul(uint32_t u0, uint32_t u1, float *a, float *b) {
     *b = std::cos(ang) * r;
 }
 
-inline void block_values(const Ctr4 &ctr, uint32_t k0, uint32_t k1,
+inline void block_values(const Ctr4 &ctr, const uint32_t *key, int rng,
                          int gaussian, float out[4]) {
     uint32_t rv[4];
-    philox4x32_block(ctr, k0, k1, 10, rv);
+    cbrng_block(ctr, key, rng, rv);
     if (gaussian) {
         boxmul(rv[0], rv[1], &out[0], &out[1]);
         boxmul(rv[2], rv[3], &out[2], &out[3]);
@@ -110,10 +154,12 @@ void rbt_philox4x32(const uint32_t *ctrs, const uint32_t *key, int rounds,
 // Mirrors ops/dense_fill.fill_rowmajor: element (r, c) of the submatrix
 // reads lane (fbs + c) % 4 of counter base + ctr_mat_start +
 // r*stride + (fbs + c)/4. family: 1 = gaussian, 0 = uniform(-1,1)
-// (unscaled). Parallel over rows; output independent of thread count.
-void rbt_fill_rowmajor(int64_t n_cols_parent, int64_t n_srows,
-                       int64_t n_scols, int64_t ptr, const uint32_t *ctr,
-                       const uint32_t *key, int gaussian, float *out) {
+// (unscaled). rng: 0 = Philox4x32-10, 1 = Threefry4x32-20.
+// Parallel over rows; output independent of thread count.
+void rbt_fill_rowmajor_g(int64_t n_cols_parent, int64_t n_srows,
+                         int64_t n_scols, int64_t ptr, const uint32_t *ctr,
+                         const uint32_t *key, int rng, int gaussian,
+                         float *out) {
     const int64_t w = 4;
     int64_t pad = (w - (n_cols_parent % w)) % w;
     int64_t ptr_padded = ptr + (ptr / n_cols_parent) * pad;
@@ -131,7 +177,7 @@ void rbt_fill_rowmajor(int64_t n_cols_parent, int64_t n_srows,
         float vals[4];
         int64_t written = 0;
         for (int64_t b = 0; b < nblk && written < n_scols; ++b) {
-            block_values(ctr_add64(row_ctr, (uint64_t)b), key[0], key[1],
+            block_values(ctr_add64(row_ctr, (uint64_t)b), key, rng,
                          gaussian, vals);
             int64_t lane0 = (b == 0) ? fbs : 0;
             for (int64_t l = lane0; l < 4 && written < n_scols; ++l)
@@ -140,13 +186,33 @@ void rbt_fill_rowmajor(int64_t n_cols_parent, int64_t n_srows,
     }
 }
 
+void rbt_fill_rowmajor(int64_t n_cols_parent, int64_t n_srows,
+                       int64_t n_scols, int64_t ptr, const uint32_t *ctr,
+                       const uint32_t *key, int gaussian, float *out) {
+    rbt_fill_rowmajor_g(n_cols_parent, n_srows, n_scols, ptr, ctr, key,
+                        0, gaussian, out);
+}
+
+// Raw Threefry4x32 blocks for n counters laid out as uint32[n][4];
+// key is uint32[4].
+void rbt_threefry4x32(const uint32_t *ctrs, const uint32_t *key,
+                      int rounds, int64_t n, uint32_t *out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        Ctr4 c;
+        std::memcpy(c.v, ctrs + 4 * i, sizeof(c.v));
+        threefry4x32_block(c, key, rounds, out + 4 * i);
+    }
+}
+
 // Repeated Fisher-Yates without replacement: dim_minor vectors of vec_nnz
 // indices from {0..dim_major-1} plus +-1 values. idxs: int64[dim_minor *
 // vec_nnz], vals: float[dim_minor * vec_nnz]. Work vector restored between
 // vectors (submatrix reproducibility), parallel over vectors.
-void rbt_fisher_yates(const uint32_t *ctr, const uint32_t *key,
-                      int64_t vec_nnz, int64_t dim_major,
-                      int64_t dim_minor, int64_t *idxs, float *vals) {
+// rng: 0 = Philox4x32-10, 1 = Threefry4x32-20.
+void rbt_fisher_yates_g(const uint32_t *ctr, const uint32_t *key, int rng,
+                        int64_t vec_nnz, int64_t dim_major,
+                        int64_t dim_minor, int64_t *idxs, float *vals) {
     Ctr4 seed;
     std::memcpy(seed.v, ctr, sizeof(seed.v));
 
@@ -164,7 +230,7 @@ void rbt_fisher_yates(const uint32_t *ctr, const uint32_t *key,
             Ctr4 c = ctr_add64(seed, (uint64_t)i * (uint64_t)vec_nnz);
             for (int64_t j = 0; j < vec_nnz; ++j) {
                 uint32_t rv[4];
-                philox4x32_block(c, key[0], key[1], 10, rv);
+                cbrng_block(c, key, rng, rv);
                 int64_t ell = j + (int64_t)(rv[0] % (uint32_t)(dim_major - j));
                 pivots[j] = ell;
                 int64_t swap = work[ell];
@@ -186,6 +252,13 @@ void rbt_fisher_yates(const uint32_t *ctr, const uint32_t *key,
         delete[] work;
         delete[] pivots;
     }
+}
+
+void rbt_fisher_yates(const uint32_t *ctr, const uint32_t *key,
+                      int64_t vec_nnz, int64_t dim_major,
+                      int64_t dim_minor, int64_t *idxs, float *vals) {
+    rbt_fisher_yates_g(ctr, key, 0, vec_nnz, dim_major, dim_minor, idxs,
+                       vals);
 }
 
 }  // extern "C"

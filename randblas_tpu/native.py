@@ -43,14 +43,41 @@ def _load() -> Optional[ctypes.CDLL]:
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.rbt_philox4x32.argtypes = [u32p, u32p, ctypes.c_int,
                                    ctypes.c_int64, u32p]
+    lib.rbt_threefry4x32.argtypes = [u32p, u32p, ctypes.c_int,
+                                     ctypes.c_int64, u32p]
     lib.rbt_fill_rowmajor.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         u32p, u32p, ctypes.c_int, f32p]
+    lib.rbt_fill_rowmajor_g.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        u32p, u32p, ctypes.c_int, ctypes.c_int, f32p]
     lib.rbt_fisher_yates.argtypes = [
         u32p, u32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         i64p, f32p]
+    lib.rbt_fisher_yates_g.argtypes = [
+        u32p, u32p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, i64p, f32p]
     _LIB = lib
     return _LIB
+
+
+_RNG_IDS = {"philox4x32": 0, "threefry4x32": 1}
+
+
+def _rng_id(rng: str) -> int:
+    if rng not in _RNG_IDS:
+        raise ValueError(f"native engine: unsupported rng {rng!r}")
+    return _RNG_IDS[rng]
+
+
+def _pad_key(key: np.ndarray, rng: str) -> np.ndarray:
+    """Threefry reads 4 key words; pad shorter keys with zeros."""
+    key = np.ascontiguousarray(key, dtype=np.uint32)
+    need = 4 if rng == "threefry4x32" else 2
+    if key.shape[0] < need:
+        key = np.concatenate(
+            [key, np.zeros(need - key.shape[0], np.uint32)])
+    return key
 
 
 def available() -> bool:
@@ -69,27 +96,40 @@ def philox4x32(ctrs: np.ndarray, key: np.ndarray,
     return out
 
 
+def threefry4x32(ctrs: np.ndarray, key: np.ndarray,
+                 rounds: int = 20) -> np.ndarray:
+    """Raw Threefry4x32 blocks for uint32 counters of shape (n, 4)."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    ctrs = np.ascontiguousarray(ctrs, dtype=np.uint32).reshape(-1, 4)
+    key = _pad_key(key, "threefry4x32")
+    out = np.empty_like(ctrs)
+    lib.rbt_threefry4x32(ctrs, key, rounds, ctrs.shape[0], out)
+    return out
+
+
 def fill_rowmajor(n_cols_parent: int, n_srows: int, n_scols: int,
                   ptr: int, ctr: np.ndarray, key: np.ndarray,
-                  gaussian: bool) -> np.ndarray:
+                  gaussian: bool, rng: str = "philox4x32") -> np.ndarray:
     lib = _load()
     assert lib is not None, "native library unavailable"
     ctr = np.ascontiguousarray(ctr, dtype=np.uint32)
-    key = np.ascontiguousarray(key, dtype=np.uint32)
+    key = _pad_key(key, rng)
     out = np.empty((n_srows, n_scols), dtype=np.float32)
-    lib.rbt_fill_rowmajor(n_cols_parent, n_srows, n_scols, ptr, ctr, key,
-                          int(gaussian), out)
+    lib.rbt_fill_rowmajor_g(n_cols_parent, n_srows, n_scols, ptr, ctr,
+                            key, _rng_id(rng), int(gaussian), out)
     return out
 
 
 def fisher_yates(ctr: np.ndarray, key: np.ndarray, vec_nnz: int,
-                 dim_major: int, dim_minor: int):
+                 dim_major: int, dim_minor: int,
+                 rng: str = "philox4x32"):
     lib = _load()
     assert lib is not None, "native library unavailable"
     ctr = np.ascontiguousarray(ctr, dtype=np.uint32)
-    key = np.ascontiguousarray(key, dtype=np.uint32)
+    key = _pad_key(key, rng)
     idxs = np.empty((dim_minor, vec_nnz), dtype=np.int64)
     vals = np.empty((dim_minor, vec_nnz), dtype=np.float32)
-    lib.rbt_fisher_yates(ctr, key, vec_nnz, dim_major, dim_minor,
-                         idxs.reshape(-1), vals.reshape(-1))
+    lib.rbt_fisher_yates_g(ctr, key, _rng_id(rng), vec_nnz, dim_major,
+                           dim_minor, idxs.reshape(-1), vals.reshape(-1))
     return idxs, vals

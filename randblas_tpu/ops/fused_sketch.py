@@ -393,6 +393,77 @@ def _kernel_u2(seed_ref, a0_a, a1_a, a2_a, a3_a, a0_b, a1_b, a2_b, a3_b,
     out_ref[:] = out_ref[:] + contrib_b
 
 
+def _kernel_ku(seed_ref, *refs, ti, tk, ctr_stride, gaussian, alpha,
+               k_unroll, row_chunks, fast_cos, rng, nogen=False):
+    """K-unrolled straight-line kernel: each grid step consumes k_unroll
+    consecutive operator panels in ONE basic block (accumulator arrives
+    zero-initialized via input aliasing, so there is no pl.when anywhere).
+    Panel u+1's generation is issued right after panel u's dots, and the
+    per-panel contributions join in a local accumulator — K times fewer
+    output read-modify-writes and K independent gen/dot pairs for the
+    scheduler to overlap."""
+    i = pl.program_id(0)
+    t = pl.program_id(2)
+    nb = tk // 4
+    a_refs = refs[:4 * k_unroll]
+    out_ref = refs[-1]
+    base_row = i.astype(jnp.uint32) * jnp.uint32(ti)
+    chunk = ti // row_chunks
+    assert chunk * row_chunks == ti
+
+    def gen(u, r):
+        if nogen == "rawbits":
+            row_off = base_row + jnp.uint32(r * chunk)
+            i_ids = jax.lax.broadcasted_iota(jnp.uint32, (chunk, nb), 0)
+            i_ids = i_ids + row_off
+            b_ids = jax.lax.broadcasted_iota(jnp.uint32, (chunk, nb), 1)
+            off_hi, off_lo = mul32_wide(
+                i_ids, jnp.uint32(ctr_stride & 0xFFFFFFFF))
+            kb = (t * jnp.int32(k_unroll) + jnp.int32(u)
+                  ).astype(jnp.uint32) * jnp.uint32(nb)
+            c0 = seed_ref[0, 0] + off_lo + kb + b_ids
+            c1 = seed_ref[0, 1] + off_hi
+            r0, r1, r2, r3 = philox4x32_words(
+                c0, c1, seed_ref[0, 2], seed_ref[0, 3],
+                seed_ref[0, 4], seed_ref[0, 5], 10)
+            scale = jnp.float32(2.0 ** -32)
+            return tuple(pltpu.bitcast(x, jnp.int32).astype(jnp.float32)
+                         * scale for x in (r0, r1, r2, r3))
+        k_blocks = (t * jnp.int32(k_unroll) + jnp.int32(u)
+                    ).astype(jnp.uint32) * jnp.uint32(nb)
+        row_off = base_row + jnp.uint32(r * chunk)
+        return _gen_panel_words(seed_ref, chunk, tk, ctr_stride,
+                                k_blocks, gaussian, row_off,
+                                fast_cos=fast_cos, rng=rng)
+
+    def dots(v, u):
+        v0, v1, v2, v3 = v
+        acc = None
+        for l in range(4):
+            c = jnp.dot(v[l].astype(jnp.bfloat16),
+                        a_refs[4 * u + l][:].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            acc = c if acc is None else acc + c
+        return acc
+
+    # (u, r) pairs in panel-major order; interleave gen_{next} after
+    # dots_{cur} so every gen is independent of the in-flight matmuls
+    pairs = [(u, r) for u in range(k_unroll) for r in range(row_chunks)]
+    v = gen(*pairs[0])
+    accs = [None] * row_chunks
+    for idx, (u, r) in enumerate(pairs):
+        c = dots(v, u)
+        if idx + 1 < len(pairs):
+            v = gen(*pairs[idx + 1])
+        accs[r] = c if accs[r] is None else accs[r] + c
+    for r in range(row_chunks):
+        acc = accs[r]
+        if alpha != 1.0:
+            acc = jnp.float32(alpha) * acc
+        sl = pl.ds(r * chunk, chunk)
+        out_ref[sl, :] = out_ref[sl, :] + acc
+
+
 def _largest_divisor_leq(x, start, mult):
     t = min(start, x)
     t -= t % mult
@@ -431,12 +502,13 @@ def _plan(d: int, m: int, n: int):
 @functools.partial(jax.jit, static_argnames=(
     "d", "m", "gaussian", "alpha", "ti", "tk", "tn", "ctr_stride",
     "interpret", "pipelined", "row_chunks", "deep_dot", "nogen",
-    "pipeline2", "alias_acc", "dimsem", "fast_cos", "rng", "junk"))
+    "pipeline2", "alias_acc", "dimsem", "fast_cos", "rng", "junk",
+    "k_unroll"))
 def _fused_call(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
                 ctr_stride, interpret=False, pipelined=False,
                 row_chunks=1, deep_dot=False, nogen=False,
                 pipeline2=False, alias_acc=False, dimsem=False,
-                fast_cos=False, rng="philox4x32", junk=0):
+                fast_cos=False, rng="philox4x32", junk=0, k_unroll=1):
     n = A.shape[1]
     n_i = d // ti
     n_k = m // tk
@@ -520,6 +592,49 @@ def _fused_call(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
                 transcendentals=d * m if gaussian else 0,
             ),
         )(seed_words, a4, a4, a4, a4, a4, a4, a4, a4)
+
+    if k_unroll > 1:
+        assert n_k % k_unroll == 0, "k_unroll must divide the panel count"
+        kernel = functools.partial(
+            _kernel_ku, ti=ti, tk=tk, ctr_stride=ctr_stride,
+            gaussian=gaussian, alpha=alpha, k_unroll=k_unroll,
+            row_chunks=row_chunks, fast_cos=fast_cos, rng=rng,
+            nogen=nogen)
+
+        def lane_spec_ku(lane, u):
+            col_blocks = n // tn
+            return pl.BlockSpec(
+                (nb, tn),
+                lambda i, j, t, _l=lane, _cb=col_blocks, _u=u: (
+                    k_unroll * t + _u, _l * _cb + j),
+                memory_space=pltpu.VMEM)
+
+        in_specs = [pl.BlockSpec((1, 8), lambda i, j, t: (0, 0),
+                                 memory_space=pltpu.SMEM)]
+        for u in range(k_unroll):
+            for lane in range(4):
+                in_specs.append(lane_spec_ku(lane, u))
+        in_specs.append(pl.BlockSpec((ti, tn), lambda i, j, t: (i, j),
+                                     memory_space=pltpu.VMEM))
+        operands = ([seed_words] + [a4] * (4 * k_unroll)
+                    + [jnp.zeros((d, n), jnp.float32)])
+        return pl.pallas_call(
+            kernel,
+            grid=(n_i, n_j, n_k // k_unroll),
+            interpret=interpret,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((ti, tn), lambda i, j, t: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((d, n), jnp.float32),
+            input_output_aliases={len(operands) - 1: 0},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=m * n * 4 + d * n * 4,
+                transcendentals=d * m if gaussian else 0,
+            ),
+        )(*operands)
 
     kernel = functools.partial(_kernel, ti=ti, tk=tk,
                                ctr_stride=ctr_stride,

@@ -78,3 +78,43 @@ def test_native_thread_count_invariance():
     # row-block consistency: rows [8:16] generated standalone
     part = native.fill_rowmajor(40, 8, 40, 8 * 40, ctr, key, True)
     np.testing.assert_array_equal(ref[8:16], part)
+
+
+def test_native_threefry_blocks_match_jax():
+    """Native Threefry4x32 is bit-identical to the JAX implementation."""
+    from randblas_tpu import native
+    from randblas_tpu.rng.threefry import threefry4x32
+    if not native.available():
+        pytest.skip("native library unavailable")
+    import jax.numpy as jnp
+    ctrs = np.random.default_rng(0).integers(
+        0, 2 ** 32, size=(256, 4), dtype=np.uint32)
+    key = np.asarray([11, 22, 33, 44], np.uint32)
+    got = native.threefry4x32(ctrs, key)
+    want = np.asarray(threefry4x32(jnp.asarray(ctrs), jnp.asarray(key)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native_threefry_fill_and_fy():
+    """Generator-parameterized fill + Fisher-Yates agree with the JAX
+    paths for threefry4x32 states."""
+    from randblas_tpu import native
+    from randblas_tpu.rng.state import RNGState
+    import randblas_tpu as rb
+    if not native.available():
+        pytest.skip("native library unavailable")
+    st = RNGState.from_key(9, rng="threefry4x32")
+    S = rb.DenseSkOp(rb.DenseDist(8, 20), st)
+    full = np.asarray(S.materialize())
+    nat = native.fill_rowmajor(20, 8, 20, 0, np.asarray(st.counter),
+                               np.asarray(st.key), True,
+                               rng="threefry4x32")
+    np.testing.assert_allclose(nat, full, rtol=2e-3, atol=2e-3)
+    Ss = rb.SparseSkOp(rb.SparseDist(4, 16, vec_nnz=3),
+                       RNGState.from_key(3, rng="threefry4x32"))
+    s = Ss.filled()
+    idxs, vals = native.fisher_yates(
+        np.asarray(Ss.seed_state.counter), np.asarray(Ss.seed_state.key),
+        3, 4, 16, rng="threefry4x32")
+    np.testing.assert_array_equal(idxs.reshape(-1), np.asarray(s.rows))
+    np.testing.assert_array_equal(vals.reshape(-1), np.asarray(s.vals))
