@@ -49,7 +49,8 @@ def main():
         out = jnp.matmul(x, a, preferred_element_type=jnp.float32)
         return jnp.sum(out) * jnp.float32(1e-20)
 
-    t_roof = time_loop(body_gemm, Smat, A, iters_large=6)
+    t_roof = time_loop(body_gemm, Smat, A, iters_small=4, iters_large=24,
+                       repeats=4)
 
     # --- fused sketch ------------------------------------------------------
     on_tpu = jax.devices()[0].platform == "tpu" or \
@@ -57,15 +58,18 @@ def main():
     _, _, _, ti, tk, tn = fs._plan(d, m, n)
 
     if on_tpu:
+        opts = fs.exec_opts(ti)
+
         def body_fused(i, carry, sw, a):
             sw2 = sw.at[0, 4].add(i.astype(jnp.uint32)
                                   + (carry * 1e-30).astype(jnp.uint32))
             out = fs._fused_call(sw2, a, d=d, m=m, gaussian=True,
                                  alpha=1.0, ti=ti, tk=tk, tn=tn,
-                                 ctr_stride=ctr_stride)
+                                 ctr_stride=ctr_stride, **opts)
             return jnp.sum(out) * jnp.float32(1e-20)
 
-        t_sketch = time_loop(body_fused, seed_words, A, iters_large=6)
+        t_sketch = time_loop(body_fused, seed_words, A, iters_small=4,
+                             iters_large=24, repeats=4)
     else:
         # CPU / no Pallas: time the lazy fill+GEMM path instead
         dist = S.dist

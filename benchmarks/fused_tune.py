@@ -76,22 +76,15 @@ def time_sweep():
     print(f"roofline: {roofs[0]:.1f} GFLOP/s", flush=True)
 
     configs = [
-        # baseline + true dots-only bound (rc=1: unique panel, no CSE)
         ("alias rc=16 gauss", dict(alias_acc=True, row_chunks=16)),
-        ("alias rc=1 nogen", dict(alias_acc=True, nogen=True)),
-        ("alias rc=1 rawbits", dict(alias_acc=True, nogen="rawbits")),
-        # k-unrolled straight-line kernel
-        ("ku=2 rc=4", dict(k_unroll=2, row_chunks=4)),
-        ("ku=2 rc=8", dict(k_unroll=2, row_chunks=8)),
-        ("ku=4 rc=4", dict(k_unroll=4, row_chunks=4)),
-        ("ku=4 rc=8", dict(k_unroll=4, row_chunks=8)),
-        ("ku=2 rc=16", dict(k_unroll=2, row_chunks=16)),
-        ("ku=4 rc=16", dict(k_unroll=4, row_chunks=16)),
-        ("ku=2 rc=8 rawbits", dict(k_unroll=2, row_chunks=8,
-                                   nogen="rawbits")),
-        # overlap probe, short chain (long chains SIGABRT the compiler)
-        ("alias rc=4 nogen junk10", dict(alias_acc=True, row_chunks=4,
-                                         nogen=True, junk=10)),
+        ("alias rc=32 gauss", dict(alias_acc=True, row_chunks=32)),
+        ("alias rc=64 gauss", dict(alias_acc=True, row_chunks=64)),
+        ("alias rc=32 fastcos", dict(alias_acc=True, row_chunks=32,
+                                     fast_cos=True)),
+        ("alias rc=32 rawbits", dict(alias_acc=True, row_chunks=32,
+                                     nogen="rawbits")),
+        ("alias rc=16 uniform", dict(alias_acc=True, row_chunks=16,
+                                     gaussian=False)),
     ]
     for label, over in configs:
         kw = dict(d=d, m=m, gaussian=over.pop("gaussian", True),

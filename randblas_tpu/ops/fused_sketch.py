@@ -685,8 +685,9 @@ def _fused_call(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
     return out
 
 
-def _kernel_T(seed_ref, a_ref, o0, o1, o2, o3, *, ti, tk, ctr_stride,
-              gaussian, alpha, rng="philox4x32"):
+def _kernel_T(seed_ref, a_ref, *refs, ti, tk, ctr_stride,
+              gaussian, alpha, rng="philox4x32", row_chunks=1,
+              alias_acc=False, fast_cos=False):
     """ColMajor-natural variant: grid (n_i, n_j, n_k), k innermost.
 
     A ColMajor-natural operator's counters walk DOWN columns (element
@@ -702,31 +703,53 @@ def _kernel_T(seed_ref, a_ref, o0, o1, o2, o3, *, ti, tk, ctr_stride,
     index is the G row axis, shared by all lanes)."""
     i = pl.program_id(0)
     k = pl.program_id(2)
+    outs = refs[-4:]
+    ci = ti // row_chunks
+    assert ci * row_chunks == ti and ci % 4 == 0
 
     # operator columns walked by this step: row_off (G rows) = k*tk along
-    # the m axis; lanes/counter blocks along d: k_blocks = i*ti/4
-    k_blocks = i.astype(jnp.uint32) * jnp.uint32(ti // 4)
+    # the m axis; lanes/counter blocks along d: k_blocks = i*ti/4 (+
+    # chunk offset c*ci/4 when chunking the d axis)
+    base_blocks = i.astype(jnp.uint32) * jnp.uint32(ti // 4)
     row_off = k.astype(jnp.uint32) * jnp.uint32(tk)
-    v0, v1, v2, v3 = _gen_panel_words(seed_ref, tk, ti, ctr_stride,
-                                      k_blocks, gaussian, row_off,
-                                      rng=rng)
+
+    def gen(c):
+        k_blocks = base_blocks + jnp.uint32(c * (ci // 4))
+        return _gen_panel_words(seed_ref, tk, ci, ctr_stride,
+                                k_blocks, gaussian, row_off,
+                                rng=rng, fast_cos=fast_cos)
 
     a_bf = a_ref[:].astype(jnp.bfloat16)
     dn = (((0,), (0,)), ((), ()))
 
-    for o_ref, v in ((o0, v0), (o1, v1), (o2, v2), (o3, v3)):
-        contrib = jax.lax.dot_general(v.astype(jnp.bfloat16), a_bf, dn,
-                                      preferred_element_type=jnp.float32)
-        if alpha != 1.0:
-            contrib = jnp.float32(alpha) * contrib
+    # chunk the d axis: each chunk owns disjoint slab rows, and chunk
+    # c+1's generation is issued before chunk c's dots are consumed
+    v = gen(0)
+    for c in range(row_chunks):
+        contribs = []
+        for l in range(4):
+            contrib = jax.lax.dot_general(
+                v[l].astype(jnp.bfloat16), a_bf, dn,
+                preferred_element_type=jnp.float32)
+            if alpha != 1.0:
+                contrib = jnp.float32(alpha) * contrib
+            contribs.append(contrib)
+        if c + 1 < row_chunks:
+            v = gen(c + 1)
+        sl = pl.ds(c * (ci // 4), ci // 4)
+        for l in range(4):
+            o_ref, contrib = outs[l], contribs[l]
+            if alias_acc:
+                o_ref[sl, :] = o_ref[sl, :] + contrib
+                continue
 
-        @pl.when(k == 0)
-        def _(o_ref=o_ref, contrib=contrib):
-            o_ref[:] = contrib
+            @pl.when(k == 0)
+            def _(o_ref=o_ref, contrib=contrib, sl=sl):
+                o_ref[sl, :] = contrib
 
-        @pl.when(k != 0)
-        def _(o_ref=o_ref, contrib=contrib):
-            o_ref[:] = o_ref[:] + contrib
+            @pl.when(k != 0)
+            def _(o_ref=o_ref, contrib=contrib, sl=sl):
+                o_ref[sl, :] = o_ref[sl, :] + contrib
 
 
 def _plan_T(d: int, m: int, n: int):
@@ -747,6 +770,30 @@ def _plan_T(d: int, m: int, n: int):
 _SUPPORTED_RNGS = ("philox4x32", "threefry4x32")
 
 
+def exec_opts_T(ti: int) -> dict:
+    """Execution options for the ColMajor (transposed-generation)
+    kernel: chunk the d axis in ~128-row pieces (32 slab rows) with the
+    same straight-line aliased accumulator as the RowMajor kernel."""
+    target = max(1, ti // 128)
+    rc = next((r for r in range(target, 0, -1)
+               if ti % r == 0 and (ti // r) % 4 == 0), 1)
+    return dict(alias_acc=True, row_chunks=rc, fast_cos=True)
+
+
+def exec_opts(ti: int) -> dict:
+    """Production execution options for the RowMajor kernel, from the
+    v5e tuning sweeps (benchmarks/fused_tune.py; full history in
+    ROADMAP.md): a pl.when-free straight-line body via the aliased
+    zero-initialized accumulator, ~32-row generation chunks interleaved
+    with the dots, and the sqrt-form Box-Muller cosine. Measured 0.90x
+    of the materialized-GEMM roofline at the headline shape vs 0.75 for
+    the round-1 schedule (uniform operators exceed the roofline, 1.05x).
+    """
+    target = max(1, ti // 32)
+    rc = next((r for r in range(target, 0, -1) if ti % r == 0), 1)
+    return dict(alias_acc=True, row_chunks=rc, fast_cos=True)
+
+
 def _seed_words(state) -> jax.Array:
     """(1, 8) SMEM operand: 4 counter words, then key words, zero-padded.
     Covers Philox4x32 (2-word key) and Threefry4x32 (4-word key)."""
@@ -759,9 +806,10 @@ def _seed_words(state) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=(
     "d", "m", "gaussian", "alpha", "ti", "tk", "tn", "ctr_stride",
-    "interpret", "rng"))
+    "interpret", "rng", "row_chunks", "alias_acc", "fast_cos"))
 def _fused_call_T(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
-                  ctr_stride, interpret=False, rng="philox4x32"):
+                  ctr_stride, interpret=False, rng="philox4x32",
+                  row_chunks=1, alias_acc=False, fast_cos=False):
     n = A.shape[1]
     n_i = d // ti
     n_j = n // tn
@@ -769,22 +817,35 @@ def _fused_call_T(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
 
     kernel = functools.partial(_kernel_T, ti=ti, tk=tk,
                                ctr_stride=ctr_stride, gaussian=gaussian,
-                               alpha=alpha, rng=rng)
+                               alpha=alpha, rng=rng,
+                               row_chunks=row_chunks, alias_acc=alias_acc,
+                               fast_cos=fast_cos)
     slab = jax.ShapeDtypeStruct((d // 4, n), jnp.float32)
     out_spec = pl.BlockSpec((ti // 4, tn), lambda i, j, k: (i, j),
                             memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 8), lambda i, j, k: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((tk, tn), lambda i, j, k: (k, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [seed_words, A]
+    alias = {}
+    if alias_acc:
+        for l in range(4):
+            in_specs.append(pl.BlockSpec((ti // 4, tn),
+                                         lambda i, j, k: (i, j),
+                                         memory_space=pltpu.VMEM))
+            operands.append(jnp.zeros((d // 4, n), jnp.float32))
+            alias[2 + l] = l
     o0, o1, o2, o3 = pl.pallas_call(
         kernel,
         grid=(n_i, n_j, n_k),
         interpret=interpret,
-        in_specs=[
-            pl.BlockSpec((1, 8), lambda i, j, k: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((tk, tn), lambda i, j, k: (k, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[out_spec] * 4,
         out_shape=[slab] * 4,
+        input_output_aliases=alias,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
@@ -792,7 +853,7 @@ def _fused_call_T(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
             bytes_accessed=m * n * 4 + d * n * 4,
             transcendentals=d * m if gaussian else 0,
         ),
-    )(seed_words, A)
+    )(*operands)
     # free interleave: B[4b + l] = o_l[b]
     return jnp.stack([o0, o1, o2, o3], axis=1).reshape(d, n)
 
@@ -833,7 +894,8 @@ def fused_sketch_colmajor(S, A, alpha=1.0, interpret=False, rows_s=None,
     out = _fused_call_T(_seed_words(base), A, d=d_pad, m=m_pad,
                         gaussian=gaussian, alpha=float(alpha), ti=ti,
                         tk=tk, tn=tn, ctr_stride=ctr_stride,
-                        interpret=interpret, rng=S.seed_state.rng)
+                        interpret=interpret, rng=S.seed_state.rng,
+                        **exec_opts_T(ti))
     return out[fbs:fbs + rows_s, :n]
 
 
@@ -923,7 +985,7 @@ def fused_sketch(S, A, alpha=1.0, interpret=False, rows_s=None,
                       gaussian=gaussian,
                       alpha=float(alpha), ti=ti, tk=tk, tn=tn,
                       ctr_stride=ctr_stride, interpret=interpret,
-                      rng=S.seed_state.rng)
+                      rng=S.seed_state.rng, **exec_opts(ti))
     if d_pad != rows_s or n_pad != n:
         out = out[:rows_s, :n]
     return out

@@ -147,7 +147,7 @@ def distributed_sketch(
                 gaussian=dist.family == DenseDistName.Gaussian,
                 alpha=float(alpha), ti=ti, tk=tk, tn=tn,
                 ctr_stride=ctr_stride_global, interpret=interpret,
-                rng=seed.rng)
+                rng=seed.rng, **fs.exec_opts(ti))
             if d_pad != d_per or n_pad != n:
                 part = part[:d_per, :n]
             return jax.lax.psum(part, "data")
@@ -286,7 +286,7 @@ def distributed_sketch_right(
                 gaussian=dist.family == DenseDistName.Gaussian,
                 alpha=float(alpha), ti=ti, tk=tk, tn=tn,
                 ctr_stride=ctr_stride_global, interpret=interpret,
-                rng=seed.rng)
+                rng=seed.rng, **fs.exec_opts(ti))
             part = part_t[:d_per, :rows].T
             return jax.lax.psum(part, "data")
         s_blk = fill_dense_submat_traced(dist, seed, m_per, d_per, ro, co,

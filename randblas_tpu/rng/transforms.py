@@ -75,28 +75,62 @@ def u01_i32(signed):
     return base + jnp.where(signed < 0, jnp.float32(1.0), jnp.float32(0.0))
 
 
+# minimax-style odd polynomial for sin(pi*w) on [-1/2, 1/2]
+# (least-squares fit, max abs error 9.9e-9 — below f32 eps, so the
+# value agrees with a correctly-rounded sin to ~1 ulp)
+_SINPI_C0 = 3.1415925995
+_SINPI_C1 = -5.1677080835
+_SINPI_C2 = 2.5500510188
+_SINPI_C3 = -0.59816166147
+_SINPI_C4 = 0.077447286579
+
+
+def _sinpi_half(w):
+    """sin(pi*w) for w in [-1/2, 1/2] (degree-9 odd polynomial)."""
+    w2 = w * w
+    p = jnp.float32(_SINPI_C4)
+    p = p * w2 + jnp.float32(_SINPI_C3)
+    p = p * w2 + jnp.float32(_SINPI_C2)
+    p = p * w2 + jnp.float32(_SINPI_C1)
+    p = p * w2 + jnp.float32(_SINPI_C0)
+    return w * p
+
+
+def _sincospi_fast(u):
+    """(sin(pi*u), cos(pi*u)) for u in (-1, 1) via half-range folds of
+    one polynomial: sin needs a fold for |u| > 1/2, and cos(pi*u) ==
+    sin(pi*(1/2 - |u|)) with the argument already in range. Skips the
+    general argument reduction inside the hardware sin/cos — measurably
+    cheaper on the TPU VPU for the Box-Muller hot path."""
+    au = jnp.abs(u)
+    w_s = jnp.where(au > jnp.float32(0.5),
+                    jnp.where(u >= 0, jnp.float32(1.0) - au,
+                              au - jnp.float32(1.0)),
+                    u)
+    return _sinpi_half(w_s), _sinpi_half(jnp.float32(0.5) - au)
+
+
 def boxmul_pair_i32(s_even, s_odd, fast_cos: bool = False):
     """Box-Muller on signed int32 word views (Pallas-safe).
 
-    fast_cos=True replaces the cosine evaluation with
-    sign(|u| < 1/2) * sqrt(1 - sin^2) — identical real-arithmetic value,
-    ~1 ulp f32 difference from the direct cosine, but one VPU
-    transcendental cheaper (sqrt is near-free next to the cos
-    polynomial). This stays inside the library's documented float
-    tolerance: XLA-CPU, XLA-TPU and Mosaic transcendentals already
-    differ at that level (module docstring), and the uint32 stream —
-    the bit-exactness contract — is untouched. Used by the fused
-    kernel's hot path; the staged/XLA paths keep the direct cosine.
+    fast_cos=True swaps the hardware sin/cos pair for the Box-Muller
+    specialization (_sincospi_fast): half-range folds of one degree-9
+    polynomial whose error is below f32 eps — identical real-arithmetic
+    values, ~1 ulp f32 difference from the direct evaluations, but far
+    fewer VPU ops (no general argument reduction). This stays inside
+    the library's documented float tolerance: XLA-CPU, XLA-TPU and
+    Mosaic transcendentals already differ at that level (module
+    docstring), and the uint32 stream — the bit-exactness contract —
+    is untouched. Used by the fused kernel's hot path; the staged/XLA
+    paths keep the direct evaluations.
     """
     u = uneg11_i32(s_even)
-    ang = jnp.float32(_PI) * u
     r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u01_i32(s_odd)))
-    s = jnp.sin(ang)
     if fast_cos:
-        mag = jnp.sqrt(jnp.maximum(jnp.float32(1.0) - s * s,
-                                   jnp.float32(0.0)))
-        c = jnp.where(jnp.abs(u) < jnp.float32(0.5), mag, -mag)
+        s, c = _sincospi_fast(u)
     else:
+        ang = jnp.float32(_PI) * u
+        s = jnp.sin(ang)
         c = jnp.cos(ang)
     return s * r, c * r
 
