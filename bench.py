@@ -49,9 +49,6 @@ def main():
         out = jnp.matmul(x, a, preferred_element_type=jnp.float32)
         return jnp.sum(out) * jnp.float32(1e-20)
 
-    t_roof = time_loop(body_gemm, Smat, A, iters_small=4, iters_large=24,
-                       repeats=4)
-
     # --- fused sketch ------------------------------------------------------
     on_tpu = jax.devices()[0].platform == "tpu" or \
         "TPU" in getattr(jax.devices()[0], "device_kind", "")
@@ -68,9 +65,21 @@ def main():
                                  ctr_stride=ctr_stride, **opts)
             return jnp.sum(out) * jnp.float32(1e-20)
 
-        t_sketch = time_loop(body_fused, seed_words, A, iters_small=4,
-                             iters_large=24, repeats=4)
+        # the chip's sustained clock drifts by several percent between
+        # runs; ALTERNATE roofline and fused measurements and take the
+        # min of each so the ratio compares like chip states
+        t_roof = float("inf")
+        t_sketch = float("inf")
+        for _ in range(3):
+            t_roof = min(t_roof, time_loop(
+                body_gemm, Smat, A, iters_small=4, iters_large=24,
+                repeats=2))
+            t_sketch = min(t_sketch, time_loop(
+                body_fused, seed_words, A, iters_small=4, iters_large=24,
+                repeats=2))
     else:
+        t_roof = time_loop(body_gemm, Smat, A, iters_small=4,
+                           iters_large=24, repeats=4)
         # CPU / no Pallas: time the lazy fill+GEMM path instead
         dist = S.dist
 
