@@ -76,19 +76,24 @@ def time_sweep():
     print(f"roofline: {roofs[0]:.1f} GFLOP/s", flush=True)
 
     configs = [
-        ("alias rc=16 gauss", dict(alias_acc=True, row_chunks=16)),
-        ("alias rc=32 gauss", dict(alias_acc=True, row_chunks=32)),
-        ("alias rc=64 gauss", dict(alias_acc=True, row_chunks=64)),
-        ("alias rc=32 fastcos", dict(alias_acc=True, row_chunks=32,
-                                     fast_cos=True)),
-        ("alias rc=32 rawbits", dict(alias_acc=True, row_chunks=32,
-                                     nogen="rawbits")),
-        ("alias rc=16 uniform", dict(alias_acc=True, row_chunks=16,
-                                     gaussian=False)),
+        # control: current production config
+        ("ti=1024 rc=32 ft", dict(alias_acc=True, row_chunks=32,
+                                  fast_cos=True)),
+        ("ti=512 rc=16 ft", dict(alias_acc=True, row_chunks=16,
+                                 fast_cos=True, ti=512)),
+        ("ti=512 rc=8 ft", dict(alias_acc=True, row_chunks=8,
+                                fast_cos=True, ti=512)),
+        ("ti=256 rc=8 ft", dict(alias_acc=True, row_chunks=8,
+                                fast_cos=True, ti=256)),
+        ("ti=1024 rc=32 tk=1024 ft", dict(alias_acc=True, row_chunks=32,
+                                          fast_cos=True, tk=1024)),
+        ("ti=512 rc=16 tk=1024 ft", dict(alias_acc=True, row_chunks=16,
+                                         fast_cos=True, ti=512, tk=1024)),
     ]
     for label, over in configs:
         kw = dict(d=d, m=m, gaussian=over.pop("gaussian", True),
-                  alpha=1.0, ti=ti, tk=over.pop("tk", tk), tn=tn,
+                  alpha=1.0, ti=over.pop("ti", ti),
+                  tk=over.pop("tk", tk), tn=tn,
                   ctr_stride=m // 4)
         kw.update(over)
 
