@@ -540,7 +540,7 @@ def _fused_call(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
             grid=(n_k, n_j),
             interpret=interpret,
             in_specs=[
-                pl.BlockSpec((1, 8), lambda k, j: (0, 0),
+                pl.BlockSpec((1, 8), lambda k, j: (k - k, k - k),
                              memory_space=pltpu.SMEM),
                 lane_spec2(0), lane_spec2(1), lane_spec2(2), lane_spec2(3),
             ],
@@ -572,7 +572,7 @@ def _fused_call(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
             grid=(n_i, n_j, n_k // 2),
             interpret=interpret,
             in_specs=[
-                pl.BlockSpec((1, 8), lambda i, j, t: (0, 0),
+                pl.BlockSpec((1, 8), lambda i, j, t: (i - i, i - i),
                              memory_space=pltpu.SMEM),
                 lane_spec_u2(0, 0), lane_spec_u2(1, 0),
                 lane_spec_u2(2, 0), lane_spec_u2(3, 0),
@@ -609,7 +609,7 @@ def _fused_call(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
                     k_unroll * t + _u, _l * _cb + j),
                 memory_space=pltpu.VMEM)
 
-        in_specs = [pl.BlockSpec((1, 8), lambda i, j, t: (0, 0),
+        in_specs = [pl.BlockSpec((1, 8), lambda i, j, t: (i - i, i - i),
                                  memory_space=pltpu.SMEM)]
         for u in range(k_unroll):
             for lane in range(4):
@@ -655,7 +655,7 @@ def _fused_call(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
         cp_kw["dimension_semantics"] = ("parallel", "parallel",
                                         "arbitrary")
     in_specs = [
-        pl.BlockSpec((1, 8), lambda i, j, k: (0, 0),
+        pl.BlockSpec((1, 8), lambda i, j, k: (i - i, i - i),
                      memory_space=pltpu.SMEM),
         lane_spec(0), lane_spec(1), lane_spec(2), lane_spec(3),
     ]
@@ -824,7 +824,7 @@ def _fused_call_T(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
     out_spec = pl.BlockSpec((ti // 4, tn), lambda i, j, k: (i, j),
                             memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, 8), lambda i, j, k: (0, 0),
+        pl.BlockSpec((1, 8), lambda i, j, k: (i - i, i - i),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((tk, tn), lambda i, j, k: (k, j),
                      memory_space=pltpu.VMEM),
