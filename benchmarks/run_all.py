@@ -64,6 +64,11 @@ def main():
     report("lskge3_tls_100kx2k_f64", time_loop(body1, A, iters_large=3),
            flops=2.0 * d * m * n)
 
+    # Only the fp64 config needs x64; leaving it on costs the f32/int32
+    # kernels real throughput (i64 index/iota math in Mosaic — BlockedELL
+    # measured ~2x slower under x64). Later configs retrace under f32.
+    jax.config.update("jax_enable_x64", False)
+
     # f32 variant of the same shape (round-1 metric, kept for trend)
     A1f = A.astype(jnp.float32)
 

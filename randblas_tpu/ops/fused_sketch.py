@@ -878,7 +878,9 @@ def fused_sketch_colmajor(S, A, alpha=1.0, interpret=False, rows_s=None,
     cols_s = S.dist.n_cols if cols_s is None else cols_s
     assert dist_to_layout(S.dist) == Layout.ColMajor
     assert major_axis_length(S.dist) == S.dist.n_rows
-    A = jnp.asarray(A, dtype=jnp.float32)
+    A = jnp.asarray(A)
+    if A.dtype != jnp.bfloat16:  # bf16 streams through uncast (half DMA)
+        A = A.astype(jnp.float32)
     ctr_size = 4
     parent_d = S.dist.n_rows
     ctr_stride = (parent_d + ((-parent_d) % ctr_size)) // ctr_size
@@ -896,7 +898,8 @@ def fused_sketch_colmajor(S, A, alpha=1.0, interpret=False, rows_s=None,
                         tk=tk, tn=tn, ctr_stride=ctr_stride,
                         interpret=interpret, rng=S.seed_state.rng,
                         **exec_opts_T(ti))
-    return out[fbs:fbs + rows_s, :n]
+    out = out[fbs:fbs + rows_s, :n]
+    return out.astype(A.dtype) if A.dtype == jnp.bfloat16 else out
 
 
 def fused_sketch_colmajor_supported(dist, n_rows: int, n_cols: int,
@@ -905,7 +908,8 @@ def fused_sketch_colmajor_supported(dist, n_rows: int, n_cols: int,
     """Static eligibility for the ColMajor-natural fused kernel."""
     from ..base import Layout, Op
     from ..dense import DenseDistName, dist_to_layout
-    if dtype != jnp.float32:
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                            jnp.dtype(jnp.bfloat16)):
         return False
     if dist.family not in (DenseDistName.Gaussian, DenseDistName.Uniform):
         return False
@@ -932,7 +936,8 @@ def fused_sketch_supported(dist, n_rows: int, n_cols: int, ro_s: int,
     """
     from ..base import Layout, Op
     from ..dense import DenseDistName, dist_to_layout
-    if dtype != jnp.float32:
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                            jnp.dtype(jnp.bfloat16)):
         return False
     if dist.family not in (DenseDistName.Gaussian, DenseDistName.Uniform):
         return False
@@ -961,7 +966,9 @@ def fused_sketch(S, A, alpha=1.0, interpret=False, rows_s=None,
 
     rows_s = S.dist.n_rows if rows_s is None else rows_s
     cols_s = S.dist.n_cols if cols_s is None else cols_s
-    A = jnp.asarray(A, dtype=jnp.float32)
+    A = jnp.asarray(A)
+    if A.dtype != jnp.bfloat16:  # bf16 streams through uncast (half DMA)
+        A = A.astype(jnp.float32)
     ma_len = major_axis_length(S.dist)
     assert ma_len == S.dist.n_cols, \
         "fused kernel requires natural-RowMajor operators"
@@ -988,4 +995,5 @@ def fused_sketch(S, A, alpha=1.0, interpret=False, rows_s=None,
                       rng=S.seed_state.rng, **exec_opts(ti))
     if d_pad != rows_s or n_pad != n:
         out = out[:rows_s, :n]
-    return out
+    # accumulation is always f32 in-kernel; match the data dtype out
+    return out.astype(A.dtype) if A.dtype == jnp.bfloat16 else out

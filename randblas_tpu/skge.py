@@ -135,7 +135,8 @@ def _fused_gates_ok(S: DenseSkOp, dtype) -> bool:
     if S.materialized is not None or use_fused is False:
         return False
     if S.seed_state.rng not in ("philox4x32", "threefry4x32") \
-            or dtype != jnp.float32:
+            or jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                        jnp.dtype(jnp.bfloat16)):
         return False
     return use_fused is True or _tpu_backend()
 
@@ -217,7 +218,8 @@ def _right_fused_or_none(S: DenseSkOp, a_mat, rows_s: int, cols_s: int,
     if S.materialized is not None or use_fused is False:
         return None
     if S.seed_state.rng not in ("philox4x32", "threefry4x32") \
-            or dtype != jnp.float32:
+            or jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                        jnp.dtype(jnp.bfloat16)):
         return None
     if not (use_fused is True or _tpu_backend()):
         return None

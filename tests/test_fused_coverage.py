@@ -200,3 +200,28 @@ def test_threefry_fused_colmajor(colmajor_route):
     got = sketch_general(S, A, side="left", d=d)
     assert colmajor_route.calls == 1
     _close(got, np.asarray(S.materialize()) @ np.asarray(A))
+
+
+def test_bf16_data_routes_fused(fused_route):
+    """bfloat16 data streams through the fused kernel uncast (half the
+    HBM traffic) and returns a bf16 sketch."""
+    d, m, n = 32, 256, 16
+    S = DenseSkOp(DenseDist(d, m), RNGState.from_key(31))
+    A = _data(m, n, 31).astype(jnp.bfloat16)
+    got = sketch_general(S, A, side="left", d=d)
+    assert fused_route.calls == 1
+    assert got.dtype == jnp.bfloat16
+    want = np.asarray(S.materialize()) @ np.asarray(A, dtype=np.float32)
+    _close(np.asarray(got, dtype=np.float32), want, atol=5e-2)
+
+
+def test_bf16_data_routes_colmajor(colmajor_route):
+    d, m, n = 32, 256, 16
+    S = DenseSkOp(DenseDist(d, m, major_axis=MajorAxis.Short),
+                  RNGState.from_key(32))
+    A = _data(m, n, 32).astype(jnp.bfloat16)
+    got = sketch_general(S, A, side="left", d=d)
+    assert colmajor_route.calls == 1
+    assert got.dtype == jnp.bfloat16
+    want = np.asarray(S.materialize()) @ np.asarray(A, dtype=np.float32)
+    _close(np.asarray(got, dtype=np.float32), want, atol=5e-2)
