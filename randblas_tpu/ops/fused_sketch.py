@@ -114,13 +114,9 @@ def _gen_panel_words(seed_ref, d: int, tk: int, ctr_stride: int,
 
 
 def _kernel(seed_ref, a0, a1, a2, a3, *refs, ti, tk,
-            ctr_stride, gaussian, alpha, row_chunks=1, deep_dot=False,
+            ctr_stride, gaussian, alpha, row_chunks=1,
             nogen=False, alias_acc=False, fast_cos=False,
-            rng="philox4x32", junk=0):
-    # refs is (out_ref,) normally, (zeros_in_ref, out_ref) when the
-    # accumulator is zero-initialized through input aliasing (the in ref
-    # aliases the same buffer and is never read directly)
-    out_ref = refs[-1]
+            rng="philox4x32"):
     """Grid (n_i, n_j, n_k), k INNERMOST. The (ti, tn) output block's index
     (i, j) is constant across the k sweep, so it stays VMEM-resident and is
     written back to HBM exactly once per (i, j) — zero accumulator traffic.
@@ -128,32 +124,30 @@ def _kernel(seed_ref, a0, a1, a2, a3, *refs, ti, tk,
     (row offset i*ti folds into the counter math) and contracts it with
     the matching data rows.
 
-    Lane structure: Philox lane l of counter block b is operator column
+    Lane structure: CBRNG lane l of counter block b is operator column
     4b + l; the matching data rows arrive pre-split as a0..a3 (lane slabs
     of A viewed as (m//4, 4n)), avoiding any in-kernel minor-dim
     interleave — the contraction is four MXU dots, one per lane.
 
     bf16 casts happen at dot time (the effective precision XLA picks for
     f32 GEMMs under --xla_allow_excess_precision — the roofline GEMM);
-    casting A outside the kernel would cost a full extra HBM pass.
+    casting A outside the kernel would cost a full extra HBM pass, except
+    for bf16 data, which streams through uncast.
 
-    row_chunks > 1 software-pipelines the VPU against the MXU *within* a
-    step: the panel is generated in row chunks, and chunk r+1's Philox/
-    Box-Muller instructions are issued right after chunk r's dots, so the
-    VPU fills while the MXU drains — no scratch, no lax.cond, no
-    write-after-read hazard (each chunk is a disjoint row range of the
-    panel and of the output block). This recovers the generation time the
-    serial variant exposes (~13% at the headline shape).
+    Production schedule (exec_opts; measured on v5e — see ROADMAP.md for
+    the sweep history and dead ends): alias_acc=True removes ALL control
+    flow from the body (the accumulator arrives zero-initialized through
+    input aliasing), and the panel is generated in ~32-row chunks with
+    chunk r+1's generation issued between chunk r's dots and accumulate.
+    VPU and MXU costs are strictly additive on this chip (matmul
+    streaming occupies the issue pipeline), so the wins come from the
+    straight-line schedule and cheaper generation math (fast_cos), not
+    from overlap.
 
-    Cost model: generation runs once per (i, j, k) = n_j full-operator
-    generations (gen is cheap: ~1ms per 64M elements on v5e); A streams
-    n_i times; the output moves once. Plan() sizes tn to keep n_j == 1 for
-    realistic shapes. Measured variants that LOST on v5e: k-outer with
-    HBM-accumulated output (1GB+ of accumulator traffic), k-inner with
-    full-width out tiles for large d (tiny MXU contraction + giant gen
-    temporaries), double-buffered panels with dynamic slot indexing,
-    lax.cond-selected buffers, whole-A bf16 pre-cast, bf16 panel scratch.
-    """
+    refs is (out_ref,) normally, (zeros_in_ref, out_ref) under
+    alias_acc (the input ref aliases the same buffer, never read).
+    nogen/"rawbits" are timing diagnostics (dots-only / Philox-only)."""
+    out_ref = refs[-1]
     i = pl.program_id(0)
     k = pl.program_id(2)
     nb = tk // 4
@@ -167,8 +161,6 @@ def _kernel(seed_ref, a0, a1, a2, a3, *refs, ti, tk,
     a1b = a1[:].astype(jnp.bfloat16)
     a2b = a2[:].astype(jnp.bfloat16)
     a3b = a3[:].astype(jnp.bfloat16)
-    if deep_dot:
-        a_cat = jnp.concatenate([a0b, a1b, a2b, a3b], axis=0)
 
     def gen(r):
         if nogen == "rawbits":
@@ -207,20 +199,14 @@ def _kernel(seed_ref, a0, a1, a2, a3, *refs, ti, tk,
 
     def dots(v):
         v0, v1, v2, v3 = v
-        if deep_dot:
-            s_cat = jnp.concatenate(
-                [v0.astype(jnp.bfloat16), v1.astype(jnp.bfloat16),
-                 v2.astype(jnp.bfloat16), v3.astype(jnp.bfloat16)], axis=1)
-            acc = jnp.dot(s_cat, a_cat, preferred_element_type=jnp.float32)
-        else:
-            acc = jnp.dot(v0.astype(jnp.bfloat16), a0b,
-                          preferred_element_type=jnp.float32)
-            acc += jnp.dot(v1.astype(jnp.bfloat16), a1b,
-                           preferred_element_type=jnp.float32)
-            acc += jnp.dot(v2.astype(jnp.bfloat16), a2b,
-                           preferred_element_type=jnp.float32)
-            acc += jnp.dot(v3.astype(jnp.bfloat16), a3b,
-                           preferred_element_type=jnp.float32)
+        acc = jnp.dot(v0.astype(jnp.bfloat16), a0b,
+                      preferred_element_type=jnp.float32)
+        acc += jnp.dot(v1.astype(jnp.bfloat16), a1b,
+                       preferred_element_type=jnp.float32)
+        acc += jnp.dot(v2.astype(jnp.bfloat16), a2b,
+                       preferred_element_type=jnp.float32)
+        acc += jnp.dot(v3.astype(jnp.bfloat16), a3b,
+                       preferred_element_type=jnp.float32)
         if alpha != 1.0:
             acc = jnp.float32(alpha) * acc
         return acc
@@ -232,15 +218,6 @@ def _kernel(seed_ref, a0, a1, a2, a3, *refs, ti, tk,
         contrib = dots(v)
         if r + 1 < row_chunks:
             v = gen(r + 1)
-        if junk:
-            # diagnostic: VPU work INDEPENDENT of the dots — measures
-            # whether Mosaic/the core can overlap VPU with MXU at all
-            xj = jnp.full((chunk, tk // 4), seed_ref[0, 4] & jnp.uint32(1),
-                          jnp.uint32)
-            x = pltpu.bitcast(xj, jnp.int32).astype(jnp.float32)
-            for _ in range(junk):
-                x = x * jnp.float32(0.99990001) + jnp.float32(1e-6)
-            contrib = contrib + x[:, :1] * jnp.float32(1e-30)
         sl = pl.ds(r * chunk, chunk)
 
         if alias_acc:
@@ -257,211 +234,6 @@ def _kernel(seed_ref, a0, a1, a2, a3, *refs, ti, tk,
         @pl.when(k != 0)
         def _(sl=sl, contrib=contrib):
             out_ref[sl, :] = out_ref[sl, :] + contrib
-
-
-def _kernel_pipelined(seed_ref, a0, a1, a2, a3, out_ref, s_a, s_b, *, d,
-                      tk, n_k, n_j, ctr_stride, gaussian, alpha):
-    """Double-buffered variant: panel k+1 is generated into the buffer the
-    NEXT step will read, while this step's dots consume the other buffer —
-    no write-after-read hazard on the panel, so the VPU generation can
-    overlap the in-flight MXU dots. Buffers are separate refs selected by
-    k parity (dynamic indexing into one big scratch measured much slower).
-    """
-    k = pl.program_id(0)
-    j = pl.program_id(1)
-    nb = tk // 4
-    even = (k % 2) == 0
-
-    def gen_into(ref, panel_idx):
-        k_blocks = panel_idx.astype(jnp.uint32) * jnp.uint32(nb)
-        v0, v1, v2, v3 = _gen_panel_words(seed_ref, d, tk, ctr_stride,
-                                          k_blocks, gaussian)
-        ref[0] = v0
-        ref[1] = v1
-        ref[2] = v2
-        ref[3] = v3
-
-    @pl.when((k == 0) & (j == 0))
-    def _():
-        gen_into(s_a, k)
-
-    def dots(ref):
-        acc = jnp.dot(ref[0].astype(jnp.bfloat16),
-                      a0[:].astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
-        acc += jnp.dot(ref[1].astype(jnp.bfloat16),
-                       a1[:].astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
-        acc += jnp.dot(ref[2].astype(jnp.bfloat16),
-                       a2[:].astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
-        acc += jnp.dot(ref[3].astype(jnp.bfloat16),
-                       a3[:].astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
-        return acc
-
-    contrib = jax.lax.cond(even, lambda: dots(s_a), lambda: dots(s_b))
-    if alpha != 1.0:
-        contrib = jnp.float32(alpha) * contrib
-
-    # generate the next panel into the other buffer while dots drain
-    last_j = j == (n_j - 1)
-
-    @pl.when(last_j & (k + 1 < n_k) & even)
-    def _():
-        gen_into(s_b, k + 1)
-
-    @pl.when(last_j & (k + 1 < n_k) & jnp.logical_not(even))
-    def _():
-        gen_into(s_a, k + 1)
-
-    @pl.when(k == 0)
-    def _():
-        out_ref[:] = contrib
-
-    @pl.when(k != 0)
-    def _():
-        out_ref[:] = out_ref[:] + contrib
-
-
-def _kernel_u2(seed_ref, a0_a, a1_a, a2_a, a3_a, a0_b, a1_b, a2_b, a3_b,
-               out_ref, p_a, p_b, *, ti, tk, n_k2, ctr_stride, gaussian,
-               alpha):
-    """Unroll-by-2 cross-step software pipeline. Grid (n_i, n_j, n_k2)
-    with each step t consuming operator panels k = 2t and 2t+1.
-
-    Program order per step:
-        dots(P_a = panel 2t)            <- MXU starts draining
-        gen panel 2t+1 into P_b         <- VPU fills while MXU busy
-        accumulate contribution 2t
-        dots(P_b = panel 2t+1)
-        gen panel 2t+2 into P_a         <- overlaps second dot group
-        accumulate contribution 2t+1
-    Buffer names are STATIC (no lax.cond / dynamic slot indexing — both
-    measured much slower), so Mosaic can list-schedule the independent
-    VPU generation past the in-flight matmuls. The prologue (panel 0)
-    runs under pl.when(t == 0), once per (i, j) block.
-
-    Requires n_k even; the a*_a refs carry the k=2t data block and a*_b
-    the k=2t+1 block (same array, shifted index maps)."""
-    i = pl.program_id(0)
-    t = pl.program_id(2)
-    nb = tk // 4
-    base_row = i.astype(jnp.uint32) * jnp.uint32(ti)
-
-    def gen_into(refs, panel_idx):
-        k_blocks = panel_idx.astype(jnp.uint32) * jnp.uint32(nb)
-        v0, v1, v2, v3 = _gen_panel_words(seed_ref, ti, tk, ctr_stride,
-                                          k_blocks, gaussian, base_row)
-        refs[0] = v0
-        refs[1] = v1
-        refs[2] = v2
-        refs[3] = v3
-
-    @pl.when(t == 0)
-    def _():
-        gen_into(p_a, 2 * t)  # panel 0 of this (i, j) block
-
-    def dots(refs, slabs):
-        acc = None
-        for l in range(4):
-            c = jnp.dot(refs[l].astype(jnp.bfloat16),
-                        slabs[l][:].astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
-            acc = c if acc is None else acc + c
-        if alpha != 1.0:
-            acc = jnp.float32(alpha) * acc
-        return acc
-
-    contrib_a = dots(p_a, (a0_a, a1_a, a2_a, a3_a))
-    gen_into(p_b, 2 * t + 1)
-
-    @pl.when(t == 0)
-    def _():
-        out_ref[:] = contrib_a
-
-    @pl.when(t != 0)
-    def _():
-        out_ref[:] = out_ref[:] + contrib_a
-
-    contrib_b = dots(p_b, (a0_b, a1_b, a2_b, a3_b))
-
-    @pl.when(t + 1 < n_k2)
-    def _():
-        gen_into(p_a, 2 * t + 2)
-
-    out_ref[:] = out_ref[:] + contrib_b
-
-
-def _kernel_ku(seed_ref, *refs, ti, tk, ctr_stride, gaussian, alpha,
-               k_unroll, row_chunks, fast_cos, rng, nogen=False):
-    """K-unrolled straight-line kernel: each grid step consumes k_unroll
-    consecutive operator panels in ONE basic block (accumulator arrives
-    zero-initialized via input aliasing, so there is no pl.when anywhere).
-    Panel u+1's generation is issued right after panel u's dots, and the
-    per-panel contributions join in a local accumulator — K times fewer
-    output read-modify-writes and K independent gen/dot pairs for the
-    scheduler to overlap."""
-    i = pl.program_id(0)
-    t = pl.program_id(2)
-    nb = tk // 4
-    a_refs = refs[:4 * k_unroll]
-    out_ref = refs[-1]
-    base_row = i.astype(jnp.uint32) * jnp.uint32(ti)
-    chunk = ti // row_chunks
-    assert chunk * row_chunks == ti
-
-    def gen(u, r):
-        if nogen == "rawbits":
-            row_off = base_row + jnp.uint32(r * chunk)
-            i_ids = jax.lax.broadcasted_iota(jnp.uint32, (chunk, nb), 0)
-            i_ids = i_ids + row_off
-            b_ids = jax.lax.broadcasted_iota(jnp.uint32, (chunk, nb), 1)
-            off_hi, off_lo = mul32_wide(
-                i_ids, jnp.uint32(ctr_stride & 0xFFFFFFFF))
-            kb = (t * jnp.int32(k_unroll) + jnp.int32(u)
-                  ).astype(jnp.uint32) * jnp.uint32(nb)
-            c0 = seed_ref[0, 0] + off_lo + kb + b_ids
-            c1 = seed_ref[0, 1] + off_hi
-            r0, r1, r2, r3 = philox4x32_words(
-                c0, c1, seed_ref[0, 2], seed_ref[0, 3],
-                seed_ref[0, 4], seed_ref[0, 5], 10)
-            scale = jnp.float32(2.0 ** -32)
-            return tuple(pltpu.bitcast(x, jnp.int32).astype(jnp.float32)
-                         * scale for x in (r0, r1, r2, r3))
-        k_blocks = (t * jnp.int32(k_unroll) + jnp.int32(u)
-                    ).astype(jnp.uint32) * jnp.uint32(nb)
-        row_off = base_row + jnp.uint32(r * chunk)
-        return _gen_panel_words(seed_ref, chunk, tk, ctr_stride,
-                                k_blocks, gaussian, row_off,
-                                fast_cos=fast_cos, rng=rng)
-
-    def dots(v, u):
-        v0, v1, v2, v3 = v
-        acc = None
-        for l in range(4):
-            c = jnp.dot(v[l].astype(jnp.bfloat16),
-                        a_refs[4 * u + l][:].astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
-            acc = c if acc is None else acc + c
-        return acc
-
-    # (u, r) pairs in panel-major order; interleave gen_{next} after
-    # dots_{cur} so every gen is independent of the in-flight matmuls
-    pairs = [(u, r) for u in range(k_unroll) for r in range(row_chunks)]
-    v = gen(*pairs[0])
-    accs = [None] * row_chunks
-    for idx, (u, r) in enumerate(pairs):
-        c = dots(v, u)
-        if idx + 1 < len(pairs):
-            v = gen(*pairs[idx + 1])
-        accs[r] = c if accs[r] is None else accs[r] + c
-    for r in range(row_chunks):
-        acc = accs[r]
-        if alpha != 1.0:
-            acc = jnp.float32(alpha) * acc
-        sl = pl.ds(r * chunk, chunk)
-        out_ref[sl, :] = out_ref[sl, :] + acc
 
 
 def _largest_divisor_leq(x, start, mult):
@@ -501,14 +273,10 @@ def _plan(d: int, m: int, n: int):
 
 @functools.partial(jax.jit, static_argnames=(
     "d", "m", "gaussian", "alpha", "ti", "tk", "tn", "ctr_stride",
-    "interpret", "pipelined", "row_chunks", "deep_dot", "nogen",
-    "pipeline2", "alias_acc", "dimsem", "fast_cos", "rng", "junk",
-    "k_unroll"))
+    "interpret", "row_chunks", "nogen", "alias_acc", "fast_cos", "rng"))
 def _fused_call(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
-                ctr_stride, interpret=False, pipelined=False,
-                row_chunks=1, deep_dot=False, nogen=False,
-                pipeline2=False, alias_acc=False, dimsem=False,
-                fast_cos=False, rng="philox4x32", junk=0, k_unroll=1):
+                ctr_stride, interpret=False, row_chunks=1, nogen=False,
+                alias_acc=False, fast_cos=False, rng="philox4x32"):
     n = A.shape[1]
     n_i = d // ti
     n_k = m // tk
@@ -520,128 +288,12 @@ def _fused_call(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
     a4 = A.reshape(m // 4, 4 * n)
     flops = 2 * d * m * n
 
-    if pipelined:
-        # legacy 2-D-grid double-buffered variant (measured slower; kept
-        # for comparison runs). Requires n_i == 1.
-        assert n_i == 1
-        kernel = functools.partial(_kernel_pipelined, d=d, tk=tk, n_k=n_k,
-                                   n_j=n_j, ctr_stride=ctr_stride,
-                                   gaussian=gaussian, alpha=alpha)
-
-        def lane_spec2(lane):
-            col_blocks = n // tn
-            return pl.BlockSpec(
-                (nb, tn),
-                lambda k, j, _l=lane, _cb=col_blocks: (k, _l * _cb + j),
-                memory_space=pltpu.VMEM)
-
-        return pl.pallas_call(
-            kernel,
-            grid=(n_k, n_j),
-            interpret=interpret,
-            in_specs=[
-                pl.BlockSpec((1, 8), lambda k, j: (k - k, k - k),
-                             memory_space=pltpu.SMEM),
-                lane_spec2(0), lane_spec2(1), lane_spec2(2), lane_spec2(3),
-            ],
-            out_specs=pl.BlockSpec((d, tn), lambda k, j: (0, j),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((d, n), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((4, d, nb), jnp.float32),
-                            pltpu.VMEM((4, d, nb), jnp.float32)],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-        )(seed_words, a4, a4, a4, a4)
-
-    if pipeline2:
-        assert n_k % 2 == 0, "pipeline2 requires an even panel count"
-        kernel = functools.partial(_kernel_u2, ti=ti, tk=tk,
-                                   n_k2=n_k // 2, ctr_stride=ctr_stride,
-                                   gaussian=gaussian, alpha=alpha)
-
-        def lane_spec_u2(lane, odd):
-            col_blocks = n // tn
-            return pl.BlockSpec(
-                (nb, tn),
-                lambda i, j, t, _l=lane, _cb=col_blocks, _o=odd: (
-                    2 * t + _o, _l * _cb + j),
-                memory_space=pltpu.VMEM)
-
-        return pl.pallas_call(
-            kernel,
-            grid=(n_i, n_j, n_k // 2),
-            interpret=interpret,
-            in_specs=[
-                pl.BlockSpec((1, 8), lambda i, j, t: (i - i, i - i),
-                             memory_space=pltpu.SMEM),
-                lane_spec_u2(0, 0), lane_spec_u2(1, 0),
-                lane_spec_u2(2, 0), lane_spec_u2(3, 0),
-                lane_spec_u2(0, 1), lane_spec_u2(1, 1),
-                lane_spec_u2(2, 1), lane_spec_u2(3, 1),
-            ],
-            out_specs=pl.BlockSpec((ti, tn), lambda i, j, t: (i, j),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((d, n), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((4, ti, nb), jnp.float32),
-                            pltpu.VMEM((4, ti, nb), jnp.float32)],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=110 * 1024 * 1024),
-            cost_estimate=pl.CostEstimate(
-                flops=flops,
-                bytes_accessed=m * n * 4 + d * n * 4,
-                transcendentals=d * m if gaussian else 0,
-            ),
-        )(seed_words, a4, a4, a4, a4, a4, a4, a4, a4)
-
-    if k_unroll > 1:
-        assert n_k % k_unroll == 0, "k_unroll must divide the panel count"
-        kernel = functools.partial(
-            _kernel_ku, ti=ti, tk=tk, ctr_stride=ctr_stride,
-            gaussian=gaussian, alpha=alpha, k_unroll=k_unroll,
-            row_chunks=row_chunks, fast_cos=fast_cos, rng=rng,
-            nogen=nogen)
-
-        def lane_spec_ku(lane, u):
-            col_blocks = n // tn
-            return pl.BlockSpec(
-                (nb, tn),
-                lambda i, j, t, _l=lane, _cb=col_blocks, _u=u: (
-                    k_unroll * t + _u, _l * _cb + j),
-                memory_space=pltpu.VMEM)
-
-        in_specs = [pl.BlockSpec((1, 8), lambda i, j, t: (i - i, i - i),
-                                 memory_space=pltpu.SMEM)]
-        for u in range(k_unroll):
-            for lane in range(4):
-                in_specs.append(lane_spec_ku(lane, u))
-        in_specs.append(pl.BlockSpec((ti, tn), lambda i, j, t: (i, j),
-                                     memory_space=pltpu.VMEM))
-        operands = ([seed_words] + [a4] * (4 * k_unroll)
-                    + [jnp.zeros((d, n), jnp.float32)])
-        return pl.pallas_call(
-            kernel,
-            grid=(n_i, n_j, n_k // k_unroll),
-            interpret=interpret,
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((ti, tn), lambda i, j, t: (i, j),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((d, n), jnp.float32),
-            input_output_aliases={len(operands) - 1: 0},
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=110 * 1024 * 1024),
-            cost_estimate=pl.CostEstimate(
-                flops=flops,
-                bytes_accessed=m * n * 4 + d * n * 4,
-                transcendentals=d * m if gaussian else 0,
-            ),
-        )(*operands)
-
     kernel = functools.partial(_kernel, ti=ti, tk=tk,
                                ctr_stride=ctr_stride,
                                gaussian=gaussian, alpha=alpha,
-                               row_chunks=row_chunks, deep_dot=deep_dot,
+                               row_chunks=row_chunks,
                                nogen=nogen, alias_acc=alias_acc,
-                               fast_cos=fast_cos, rng=rng, junk=junk)
+                               fast_cos=fast_cos, rng=rng)
 
     def lane_spec(lane):
         col_blocks = n // tn
@@ -651,9 +303,6 @@ def _fused_call(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
             memory_space=pltpu.VMEM)
 
     cp_kw = dict(vmem_limit_bytes=100 * 1024 * 1024)
-    if dimsem:
-        cp_kw["dimension_semantics"] = ("parallel", "parallel",
-                                        "arbitrary")
     in_specs = [
         pl.BlockSpec((1, 8), lambda i, j, k: (i - i, i - i),
                      memory_space=pltpu.SMEM),
