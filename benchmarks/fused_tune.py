@@ -118,9 +118,83 @@ def time_sweep():
           f"(drift {roofs[-1] / roofs[0]:.3f})", flush=True)
 
 
+def time_colmajor():
+    """ColMajor (transposed-generation) kernel at a lifting shape
+    (d > m) vs the staged fill+GEMM path and the materialized roofline."""
+    import jax
+    import jax.numpy as jnp
+    import randblas_tpu as rb
+    from randblas_tpu.base import MajorAxis
+    from randblas_tpu.bench_util import time_loop
+    from randblas_tpu.ops import fused_sketch as fs
+
+    d, m, n = 4096, 1024, 4096   # tall + Long = ColMajor natural
+    flops = 2.0 * d * m * n
+    S = rb.DenseSkOp(rb.DenseDist(d, m), rb.RNGState.from_key(0))
+    from randblas_tpu.dense import dist_to_layout
+    print("layout:", dist_to_layout(S.dist))
+    A = jnp.asarray(
+        np.random.default_rng(0).normal(size=(m, n)).astype(np.float32))
+    Smat = S.materialize()
+
+    def body_gemm(i, carry, s, a):
+        x = s.at[0, 0].add(carry)
+        out = jnp.matmul(x, a, preferred_element_type=jnp.float32)
+        return jnp.sum(out) * jnp.float32(1e-20)
+
+    t_roof = time_loop(body_gemm, Smat, A, iters_small=4, iters_large=24,
+                       repeats=3)
+    roof = flops / t_roof / 1e9
+    print(f"roofline: {roof:.1f} GFLOP/s", flush=True)
+
+    d_pad, m_pad, n_pad, ti, tk, tn = fs._plan_T(d, m, n)
+    base = S.seed_state
+    sw = fs._seed_words(base)
+    for label, opts in [
+        ("exec_opts_T (production)", fs.exec_opts_T(ti)),
+        ("plain (rc=1, pl.when)", dict()),
+        ("alias rc=1", dict(alias_acc=True)),
+    ]:
+        def body(i, carry, s, a, opts=opts):
+            s2 = s.at[0, 4].add(i.astype(jnp.uint32)
+                                + (carry * 1e-30).astype(jnp.uint32))
+            out = fs._fused_call_T(s2, a, d=d_pad, m=m_pad, gaussian=True,
+                                   alpha=1.0, ti=ti, tk=tk, tn=tn,
+                                   ctr_stride=(d + (-d) % 4) // 4, **opts)
+            return jnp.sum(out) * jnp.float32(1e-20)
+
+        try:
+            t = time_loop(body, sw, A, iters_small=4, iters_large=24,
+                          repeats=3)
+            g = flops / t / 1e9
+            print(f"{label:28s}: {g:9.1f} GFLOP/s  vs_roof={g/roof:.4f}",
+                  flush=True)
+        except Exception as e:
+            print(f"{label:28s}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:160]}", flush=True)
+
+    # staged comparison: fill + GEMM each call
+    dist = S.dist
+
+    def body_staged(i, carry, a):
+        st = rb.RNGState.from_arrays(
+            jnp.zeros(4, jnp.uint32).at[0].set(
+                (carry * 1e-30).astype(jnp.uint32) + i.astype(jnp.uint32)),
+            jnp.zeros(2, jnp.uint32))
+        s_mat = rb.fill_dense_submat(dist, st, d, m)
+        out = jnp.matmul(s_mat, a, preferred_element_type=jnp.float32)
+        return jnp.sum(out) * jnp.float32(1e-20)
+
+    t_staged = time_loop(body_staged, A, iters_small=2, iters_large=10)
+    print(f"staged fill+GEMM             : {flops/t_staged/1e9:9.1f} "
+          f"GFLOP/s  vs_roof={t_roof/t_staged:.4f}", flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "check"
     if mode == "check":
         check()
+    elif mode == "colmajor":
+        time_colmajor()
     else:
         time_sweep()

@@ -421,12 +421,14 @@ _SUPPORTED_RNGS = ("philox4x32", "threefry4x32")
 
 def exec_opts_T(ti: int) -> dict:
     """Execution options for the ColMajor (transposed-generation)
-    kernel: chunk the d axis in ~128-row pieces (32 slab rows) with the
-    same straight-line aliased accumulator as the RowMajor kernel."""
-    target = max(1, ti // 128)
-    rc = next((r for r in range(target, 0, -1)
-               if ti % r == 0 and (ti // r) % 4 == 0), 1)
-    return dict(alias_acc=True, row_chunks=rc, fast_cos=True)
+    kernel. Measured on v5e (benchmarks/fused_tune.py colmajor, lifting
+    shape 4096x1024 @ 4096): the plain pl.when schedule beats both the
+    aliased-accumulator variant (~1.6x slower — four separate slab
+    outputs quadruple the zero-init/alias traffic) and d-axis chunking
+    (~2.7x slower), the opposite of the RowMajor kernel's tuning. Only
+    the polynomial Box-Muller carries over."""
+    del ti
+    return dict(fast_cos=True)
 
 
 def exec_opts(ti: int) -> dict:

@@ -99,3 +99,48 @@ def test_fuzz_config(i):
         want = cfg["alpha"] * a_eff @ s_eff + cfg["beta"] * B0
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4,
                                err_msg=str(cfg))
+
+
+@pytest.mark.parametrize("i", range(12))
+def test_fuzz_forced_fused_left(i, monkeypatch):
+    """Left-side dense f32 lattice with the fused kernels FORCED (both
+    RowMajor and ColMajor routes, interpret mode): every natural layout x
+    op_s combination must route through a Pallas kernel and match the
+    densify oracle."""
+    from randblas_tpu import skge
+    from randblas_tpu.ops import fused_sketch as fs
+    monkeypatch.setattr(skge, "use_fused", True)
+    calls = {"n": 0}
+    for name in ("fused_sketch", "fused_sketch_colmajor"):
+        orig = getattr(fs, name)
+
+        def interp(*a, _orig=orig, **kw):
+            calls["n"] += 1
+            kw["interpret"] = True
+            return _orig(*a, **kw)
+
+        monkeypatch.setattr(fs, name, interp)
+
+    rng = np.random.default_rng(5000 + i)
+    d = int(rng.integers(2, 24))
+    m = int(rng.integers(8, 64))
+    n = int(rng.integers(1, 12))
+    op_s = rng.choice(["N", "T"])
+    ro = int(rng.integers(0, 4))
+    co = int(rng.integers(0, 4))
+    ma = MajorAxis.Long if i % 2 else MajorAxis.Short
+    fam = DenseDistName.Gaussian if i % 3 else DenseDistName.Uniform
+    blk = (d, m) if op_s == "N" else (m, d)
+    S = DenseSkOp(DenseDist(blk[0] + ro, blk[1] + co, fam, ma),
+                  RNGState.from_key(300 + i))
+    A = jnp.asarray(
+        rng.normal(size=(m, n)).astype(np.float32))
+    got = sketch_general(S, A, side="left", op_s=op_s, d=d, ro_s=ro,
+                         co_s=co)
+    assert calls["n"] == 1, f"config {i} did not route through a kernel"
+    sub = np.asarray(S.materialize())[ro:ro + blk[0], co:co + blk[1]]
+    blkm = sub if op_s == "N" else sub.T
+    want = blkm @ np.asarray(A)
+    scale = np.abs(want).max() or 1.0
+    np.testing.assert_allclose(np.asarray(got) / scale, want / scale,
+                               atol=2e-2)
