@@ -142,8 +142,8 @@ def time_colmajor():
         out = jnp.matmul(x, a, preferred_element_type=jnp.float32)
         return jnp.sum(out) * jnp.float32(1e-20)
 
-    t_roof = time_loop(body_gemm, Smat, A, iters_small=4, iters_large=24,
-                       repeats=3)
+    t_roof = time_loop(body_gemm, Smat, A, iters_small=20,
+                       iters_large=220, repeats=3)
     roof = flops / t_roof / 1e9
     print(f"roofline: {roof:.1f} GFLOP/s", flush=True)
 
@@ -164,7 +164,7 @@ def time_colmajor():
             return jnp.sum(out) * jnp.float32(1e-20)
 
         try:
-            t = time_loop(body, sw, A, iters_small=4, iters_large=24,
+            t = time_loop(body, sw, A, iters_small=20, iters_large=220,
                           repeats=3)
             g = flops / t / 1e9
             print(f"{label:28s}: {g:9.1f} GFLOP/s  vs_roof={g/roof:.4f}",
@@ -185,7 +185,7 @@ def time_colmajor():
         out = jnp.matmul(s_mat, a, preferred_element_type=jnp.float32)
         return jnp.sum(out) * jnp.float32(1e-20)
 
-    t_staged = time_loop(body_staged, A, iters_small=2, iters_large=10)
+    t_staged = time_loop(body_staged, A, iters_small=10, iters_large=60)
     print(f"staged fill+GEMM             : {flops/t_staged/1e9:9.1f} "
           f"GFLOP/s  vs_roof={t_roof/t_staged:.4f}", flush=True)
 

@@ -421,14 +421,23 @@ _SUPPORTED_RNGS = ("philox4x32", "threefry4x32")
 
 def exec_opts_T(ti: int) -> dict:
     """Execution options for the ColMajor (transposed-generation)
-    kernel. Measured on v5e (benchmarks/fused_tune.py colmajor, lifting
-    shape 4096x1024 @ 4096): the plain pl.when schedule beats both the
-    aliased-accumulator variant (~1.6x slower — four separate slab
-    outputs quadruple the zero-init/alias traffic) and d-axis chunking
-    (~2.7x slower), the opposite of the RowMajor kernel's tuning. Only
-    the polynomial Box-Muller carries over."""
-    del ti
-    return dict(fast_cos=True)
+    kernel: the RowMajor kernel's treatment carries over (aliased
+    zero-initialized slab accumulators + ~128-row d-axis generation
+    chunks + polynomial Box-Muller). Measured on v5e at the lifting
+    shape 4096x1024 @ 4096 with 220-iteration loops (shorter loops sit
+    under the tunnel's noise floor and mislead): 85.7 TFLOP/s vs 77.6
+    for the plain pl.when schedule and 67.1 for alias without chunks.
+
+    NOTE the kernel reaches ~0.50 of the materialized-GEMM roofline at
+    that shape while the staged fill+GEMM path reaches 0.56 — the
+    4-slab-output structure caps MXU efficiency, so auto dispatch
+    prefers the staged path except where generation-in-kernel wins
+    outright (very wide sketches or operators too big to materialize;
+    see skge._left_colmajor_fused_or_none)."""
+    target = max(1, ti // 128)
+    rc = next((r for r in range(target, 0, -1)
+               if ti % r == 0 and (ti // r) % 4 == 0), 1)
+    return dict(alias_acc=True, row_chunks=rc, fast_cos=True)
 
 
 def exec_opts(ti: int) -> dict:

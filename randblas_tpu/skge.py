@@ -145,7 +145,15 @@ def _left_colmajor_fused_or_none(S: DenseSkOp, a_mat, rows_s: int,
                                  cols_s: int, ro_s: int, co_s: int,
                                  op_s: Op, dtype, alpha):
     """Left NoTrans sketch of a ColMajor-natural operator (wide+Short or
-    tall+Long) through the transposed-generation kernel, or None."""
+    tall+Long) through the transposed-generation kernel, or None.
+
+    In auto mode the kernel only takes shapes where in-kernel generation
+    wins: the staged fill+GEMM path measured FASTER at ordinary shapes
+    (0.56 vs 0.50 of the roofline at 4096x1024 @ 4096 — the 4-slab
+    output structure caps the kernel's MXU efficiency), and the fused
+    advantage (no materialized operator, no fill pass) only outgrows
+    that gap for very wide sketches or operators too big to keep in
+    HBM. use_fused=True forces the kernel regardless (tests)."""
     if op_s != Op.NoTrans or not _fused_gates_ok(S, dtype):
         return None
     from .ops import fused_sketch as fs
@@ -155,6 +163,11 @@ def _left_colmajor_fused_or_none(S: DenseSkOp, a_mat, rows_s: int,
     if not fs.fused_sketch_colmajor_supported(
             S.dist, rows_s, cols_s, ro_s, co_s, op_s, dtype):
         return None
+    if use_fused != True:  # noqa: E712  ("auto" must not compare equal)
+        n = a_mat.shape[1]
+        op_bytes = 4 * rows_s * cols_s
+        if n < 16384 and op_bytes <= (2 << 30):
+            return None
     return fs.fused_sketch_colmajor(S, a_mat, alpha=float(alpha),
                                     rows_s=rows_s, cols_s=cols_s,
                                     ro_s=ro_s, co_s=co_s)
@@ -195,6 +208,11 @@ def _left_trans_fused_or_none(S: DenseSkOp, a_mat, rows_s: int,
                                               co_s, ro_s, Op.NoTrans,
                                               dtype):
         return None
+    if use_fused != True:  # noqa: E712  (same shape gate as the NoTrans
+        # ColMajor route: staged fill+transposed-GEMM measured faster at
+        # ordinary shapes)
+        if a_mat.shape[1] < 16384 and 4 * rows_s * cols_s <= (2 << 30):
+            return None
     return fs.fused_sketch_colmajor(S_t, a_mat, alpha=float(alpha),
                                     rows_s=cols_s, cols_s=rows_s,
                                     ro_s=co_s, co_s=ro_s)
