@@ -170,8 +170,11 @@ def main():
            flops=2.0 * d4 * nnz4)
 
     # ---- config 5: wrappers + QB rangefinder pipeline -------------------
-    nq = 4_000 // scale
-    kq = 64
+    # sized so the per-iteration time clears the ~0.5 ms differencing
+    # floor of the tunneled chip (the smaller round-1 shape measured as
+    # "noise-limited")
+    nq = 12_288 // scale
+    kq = 256
     Aq_np = np.random.default_rng(4).normal(size=(nq, nq)).astype(
         np.float32)
     Aq_np = Aq_np + Aq_np.T

@@ -30,6 +30,14 @@ def time_loop(make_body, *operands, iters_small: int = 1,
     The chip behind the tunnel shows multi-percent run-to-run drift;
     raise iters_large/repeats (min-of-N estimator) when a stable number
     matters more than harness latency.
+
+    SIZE THE LOOPS TO THE OP: the differencing signal is
+    (iters_large - iters_small) * t_op, and the tunnel's fixed-overhead
+    noise is several ms. A signal under ~50 ms produces garbage —
+    including absurd rates like "19.7 PFLOP/s" when a min-of-N small
+    run lands slow and a large run lands fast (measured; see
+    benchmarks/fused_tune.py time_colmajor, which uses 220-iteration
+    loops for a ~0.3 ms op).
     """
 
     def runner(iters):
