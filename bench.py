@@ -70,7 +70,7 @@ def main():
         # min of each so the ratio compares like chip states
         t_roof = float("inf")
         t_sketch = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t_roof = min(t_roof, time_loop(
                 body_gemm, Smat, A, iters_small=4, iters_large=24,
                 repeats=2))

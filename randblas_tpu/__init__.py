@@ -33,7 +33,8 @@ from .sparse_data import (
 )
 from .util import (
     weights_to_cdf, sample_indices_iid, sample_indices_iid_uniform,
-    symmetrize, overwrite_triangle,
+    symmetrize, overwrite_triangle, transpose_square, safe_scal,
+    print_colmaj,
 )
 
 __all__ = [
@@ -47,5 +48,6 @@ __all__ = [
     "COOMatrix", "CSRMatrix", "CSCMatrix", "IndexBase", "NonzeroSort",
     "left_spmm", "right_spmm", "spmm",
     "weights_to_cdf", "sample_indices_iid", "sample_indices_iid_uniform",
-    "symmetrize", "overwrite_triangle",
+    "symmetrize", "overwrite_triangle", "transpose_square",
+    "safe_scal", "print_colmaj",
 ]

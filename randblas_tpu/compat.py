@@ -209,3 +209,28 @@ def fill_dense(layout, dist, n_rows, n_cols, ro_s, co_s, buff, seed):
     else:
         n_rows_, n_cols_, ptr = n_rows, n_cols, ro_s * ma_len + co_s
     return fill_next_state(ma_len, n_rows_, n_cols_, ptr, seed)
+
+
+def omatcopy(m: int, n: int, a, irs_a: int, ics_a: int, b, irs_b: int,
+             ics_b: int) -> None:
+    """Strided out-of-place matrix copy (util.hh omatcopy): element
+    (i, j) of the logical m x n matrix is read at a[i*irs_a + j*ics_a]
+    and written to b[i*irs_b + j*ics_b]. a, b are flat numpy buffers
+    (host-side, like the reference)."""
+    import numpy as np
+    a = np.asarray(a).reshape(-1)
+    i = np.arange(m)[:, None]
+    j = np.arange(n)[None, :]
+    vals = a[i * irs_a + j * ics_a]
+    b.reshape(-1)[i * irs_b + j * ics_b] = vals
+
+
+def flip_layout(layout_in, m: int, n: int, a, lda: int, b, ldb: int
+                ) -> None:
+    """Copy an m x n matrix stored in `layout_in` with leading dimension
+    lda into the OPPOSITE layout with leading dimension ldb
+    (util.hh flip_layout). Flat numpy buffers, host-side."""
+    lin = _as_layout(layout_in)
+    mat = read_mat(lin, a, m, n, lda)
+    lout = Layout.ColMajor if lin == Layout.RowMajor else Layout.RowMajor
+    write_mat(lout, b, mat, ldb)

@@ -67,3 +67,10 @@ def to_coo(a) -> COOMatrix:
                          s.cols.astype(jnp.int32), s.vals,
                          s.n_rows, s.n_cols, NonzeroSort.NONE)
     raise TypeError(f"not a sparse matrix: {type(a)!r}")
+
+
+def sort_coo_data(a, order) -> "COOMatrix":
+    """Free-function name parity with sort_coo_data
+    (coo_matrix.hh:268-318): returns a COOMatrix with triplets in CSR-
+    or CSC-style order (functional; see COOMatrix.sorted)."""
+    return a.sorted(order)

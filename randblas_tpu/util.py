@@ -142,3 +142,38 @@ def overwrite_triangle(a, uplo: str, strict_offset: int = 1, val=0.0):
     else:
         mask = i >= j + strict_offset
     return jnp.where(mask, jnp.asarray(val, a.dtype), a)
+
+
+def transpose_square(a):
+    """Transpose of a square matrix (util.hh transpose_square).
+
+    The reference transposes in place; JAX arrays are immutable, so the
+    functional form returns a.T (an O(1) view under jit — XLA fuses the
+    transpose into consumers)."""
+    a = jnp.asarray(a)
+    require(a.ndim == 2 and a.shape[0] == a.shape[1], "a must be square")
+    return a.T
+
+
+def safe_scal(alpha, x):
+    """alpha * x that OVERWRITES with zeros when alpha == 0, never
+    multiplies (util.hh safe_scal): 0 * inf/NaN must yield 0, matching
+    the library's beta == 0 contract (ops/accumulate.py)."""
+    x = jnp.asarray(x)
+    if isinstance(alpha, (int, float)):
+        if alpha == 0:
+            return jnp.zeros_like(x)
+        return jnp.asarray(alpha, x.dtype) * x
+    alpha = jnp.asarray(alpha, x.dtype)
+    return jnp.where(alpha == 0, jnp.zeros_like(x),
+                     alpha * jnp.where(alpha == 0, jnp.zeros_like(x), x))
+
+
+def print_colmaj(a, label: str = ""):
+    """Debug printer in column-major order (util.hh print_colmaj)."""
+    import numpy as np
+    a = np.asarray(a)
+    if label:
+        print(label)
+    for r in range(a.shape[0]):
+        print("  " + "  ".join(f"{a[r, c]: .6f}" for c in range(a.shape[1])))
