@@ -43,7 +43,8 @@ _SQRT3 = math.sqrt(3.0)
 
 def _gen_panel_words(seed_ref, d: int, tk: int, ctr_stride: int,
                      k_blocks, gaussian: bool, row_off=0,
-                     fast_cos: bool = False, rng: str = "philox4x32"):
+                     fast_cos: bool = False, rng: str = "philox4x32",
+                     stride_axis: int = 0):
     """Generate the (d, tk) operator panel whose first column lives at
     counter offset ``k_blocks`` blocks from the seed, starting at operator
     row ``row_off``.
@@ -52,11 +53,21 @@ def _gen_panel_words(seed_ref, d: int, tk: int, ctr_stride: int,
       element (i, c) of the panel -> counter = seed + (row_off + i) *
       ctr_stride + k_blocks + c // 4, lane c % 4.
     All math on separate u32 word arrays of shape (d, tk // 4).
+
+    stride_axis selects which ARRAY axis walks the counter stride — the
+    iotas are free-form, so the same formula yields either orientation:
+    - 0 (RowMajor kernel): axis 0 strides, axis 1 counts blocks; output
+      word l of element (i, b) is operator element (row_off+i, 4b+l).
+    - 1 (ColMajor kernel): axis 1 strides, axis 0 counts blocks; output
+      word l of element (b, c) is operator element (4(k_blocks+b)+l,
+      row_off+c) — i.e. the four outputs are LANE SLABS of the operator
+      itself, ready for standard (M,K)x(K,N) MXU dots.
     """
-    nb = tk // 4
-    i_ids = jax.lax.broadcasted_iota(jnp.uint32, (d, nb), 0)
+    nb = tk // 4 if stride_axis == 0 else tk
+    shape = (d, nb)
+    i_ids = jax.lax.broadcasted_iota(jnp.uint32, shape, stride_axis)
     i_ids = i_ids + jnp.asarray(row_off, dtype=jnp.uint32)
-    b_ids = jax.lax.broadcasted_iota(jnp.uint32, (d, nb), 1)
+    b_ids = jax.lax.broadcasted_iota(jnp.uint32, shape, 1 - stride_axis)
 
     stride_lo = jnp.uint32(ctr_stride & 0xFFFFFFFF)
     off_hi, off_lo = mul32_wide(i_ids, stride_lo)
@@ -340,16 +351,18 @@ def _kernel_T(seed_ref, a_ref, *refs, ti, tk, ctr_stride,
     """ColMajor-natural variant: grid (n_i, n_j, n_k), k innermost.
 
     A ColMajor-natural operator's counters walk DOWN columns (element
-    (i, c) -> counter c*stride + i//4, lane i%4), so the naturally
-    generated panel is a tile of S^T: v_l has shape (tk, ti/4) with G
-    rows = operator columns (the m axis) and lanes along the operator's d
-    axis. The contraction B = S @ A is then four dot_generals in the
-    MXU-native ((0,),(0,)) form — no transposes anywhere — and lane l's
-    result lands in output slab l (rows 4b + l of B), interleaved outside
-    the kernel by a free reshape.
+    (i, c) -> counter c*stride + i//4, lane i%4). The counter iotas are
+    free-form, so generation produces the operator's four LANE SLABS
+    directly — v_l (ti/4, tk) with v_l[b, c] = S[4b + l, c] — by
+    striding along the ARRAY COLUMNS (stride_axis=1 in
+    _gen_panel_words). The contraction B = S @ A is then four STANDARD
+    (M,K)x(K,N) MXU dots (an earlier revision generated S^T tiles and
+    contracted in the ((0,),(0,)) form, which measured ~2x slower), and
+    lane l's result lands in output slab l (rows 4b + l of B),
+    interleaved outside the kernel by a free reshape.
 
-    A arrives as plain (tk, tn) tiles (no lane pre-split: the contraction
-    index is the G row axis, shared by all lanes)."""
+    A arrives as plain (tk, tn) tiles (no lane pre-split: the
+    contraction index is the m axis, shared by all lanes)."""
     i = pl.program_id(0)
     k = pl.program_id(2)
     outs = refs[-4:]
@@ -363,13 +376,18 @@ def _kernel_T(seed_ref, a_ref, *refs, ti, tk, ctr_stride,
     row_off = k.astype(jnp.uint32) * jnp.uint32(tk)
 
     def gen(c):
+        # lane-slab orientation (stride_axis=1): one call yields the
+        # four (ci/4, tk) slabs v_l with v_l[b, col] = S[4b + l + chunk
+        # row offset, k*tk + col] — the counter stride walks the ARRAY
+        # COLUMNS, so the dots below run in the standard (M,K)x(K,N)
+        # MXU form with no transposed operand anywhere
         k_blocks = base_blocks + jnp.uint32(c * (ci // 4))
-        return _gen_panel_words(seed_ref, tk, ci, ctr_stride,
+        return _gen_panel_words(seed_ref, ci // 4, tk, ctr_stride,
                                 k_blocks, gaussian, row_off,
-                                rng=rng, fast_cos=fast_cos)
+                                rng=rng, fast_cos=fast_cos,
+                                stride_axis=1)
 
     a_bf = a_ref[:].astype(jnp.bfloat16)
-    dn = (((0,), (0,)), ((), ()))
 
     # chunk the d axis: each chunk owns disjoint slab rows, and chunk
     # c+1's generation is issued before chunk c's dots are consumed
@@ -377,8 +395,8 @@ def _kernel_T(seed_ref, a_ref, *refs, ti, tk, ctr_stride,
     for c in range(row_chunks):
         contribs = []
         for l in range(4):
-            contrib = jax.lax.dot_general(
-                v[l].astype(jnp.bfloat16), a_bf, dn,
+            contrib = jnp.dot(
+                v[l].astype(jnp.bfloat16), a_bf,
                 preferred_element_type=jnp.float32)
             if alpha != 1.0:
                 contrib = jnp.float32(alpha) * contrib
@@ -420,24 +438,22 @@ _SUPPORTED_RNGS = ("philox4x32", "threefry4x32")
 
 
 def exec_opts_T(ti: int) -> dict:
-    """Execution options for the ColMajor (transposed-generation)
-    kernel: the RowMajor kernel's treatment carries over (aliased
-    zero-initialized slab accumulators + ~128-row d-axis generation
-    chunks + polynomial Box-Muller). Measured on v5e at the lifting
-    shape 4096x1024 @ 4096 with 220-iteration loops (shorter loops sit
-    under the tunnel's noise floor and mislead): 85.7 TFLOP/s vs 77.6
-    for the plain pl.when schedule and 67.1 for alias without chunks.
+    """Execution options for the ColMajor (lane-slab generation)
+    kernel. Measured on v5e at the lifting shape 4096x1024 @ 4096 with
+    220-iteration loops (shorter loops sit under the tunnel's noise
+    floor and mislead): for the slab form the plain pl.when schedule is
+    best (78.8 TFLOP/s vs 73.0 with alias+chunks, 66.0 with alias
+    alone) — the RowMajor kernel's alias/chunk tuning does not carry
+    over to the 4-slab-output structure. Only the polynomial Box-Muller
+    does.
 
-    NOTE the kernel reaches ~0.50 of the materialized-GEMM roofline at
-    that shape while the staged fill+GEMM path reaches 0.56 — the
-    4-slab-output structure caps MXU efficiency, so auto dispatch
-    prefers the staged path except where generation-in-kernel wins
-    outright (very wide sketches or operators too big to materialize;
-    see skge._left_colmajor_fused_or_none)."""
-    target = max(1, ti // 128)
-    rc = next((r for r in range(target, 0, -1)
-               if ti % r == 0 and (ti // r) % 4 == 0), 1)
-    return dict(alias_acc=True, row_chunks=rc, fast_cos=True)
+    NOTE the kernel reaches ~0.45 of the materialized-GEMM roofline at
+    that shape while the staged fill+GEMM path reaches 0.58, so auto
+    dispatch prefers the staged path except where generation-in-kernel
+    wins outright (very wide sketches or operators too big to
+    materialize; see skge._left_colmajor_fused_or_none)."""
+    del ti
+    return dict(fast_cos=True)
 
 
 def exec_opts(ti: int) -> dict:
