@@ -125,6 +125,13 @@ def _fused_eligible(S: DenseSkOp, rows_s: int, cols_s: int, ro_s: int,
     from .ops.fused_sketch import fused_sketch_supported
     ok = fused_sketch_supported(S.dist, rows_s, cols_s, ro_s, co_s, op_s,
                                 dtype)
+    # short contractions don't amortize the kernel's panel machinery:
+    # measured on v5e, fused wins 1.4-1.5x over staged fill+GEMM for
+    # m >= 4096 but LOSES at the m=1024 lifting shape (71 vs 86
+    # TFLOP/s, a 2-step k sweep). Auto mode hands short-m calls to the
+    # staged path; forcing still works.
+    if use_fused != True and cols_s < 2048:  # noqa: E712
+        return False
     # use_fused is True ("forced") must not raise here: other fused
     # routes (left-Trans autotranspose) may still apply; the final
     # fallback enforces it.
@@ -187,6 +194,10 @@ def _left_trans_fused_or_none(S: DenseSkOp, a_mat, rows_s: int,
     ColMajor-natural. Either way: no extra data passes at all.
     """
     if op_s != Op.Trans or not _fused_gates_ok(S, dtype):
+        return None
+    if use_fused != True and rows_s < 2048:  # noqa: E712
+        # the fused call's contraction length is rows_s; short sweeps
+        # lose to staged fill+GEMM (see _fused_eligible)
         return None
     from .dense import DenseDist, DenseDistName, dist_to_layout
     from .base import Layout
