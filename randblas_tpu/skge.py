@@ -104,7 +104,11 @@ def _matmul(a, b, dtype):
         from .ops.f64gemm import matmul_hiprec
         # an f32 operand here means "f32-exact values under fp64 GEMM
         # semantics" (lazily generated operator blocks): slice to full
-        # f64 depth, not the 4-level f32-accuracy default.
+        # f64 depth, not the 4-level f32-accuracy default. NOTE 4
+        # slices are NOT enough even though each value has only 24
+        # mantissa bits: slice levels align to the ROW max, so a
+        # small-magnitude entry's bits extend into slices 4..7
+        # (measured: sa=4 costs 8 digits of accuracy).
         kw = {}
         if a.dtype == jnp.float32:
             kw["slices_a"] = 8
