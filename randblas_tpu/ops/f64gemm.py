@@ -25,10 +25,12 @@ This module implements an Ozaki-style error-free slicing scheme:
 Accuracy: slices cover q*S bits of each operand's significand and levels
 t+u <= cutoff contribute down to 2^(-q*cutoff) relative; with the f64
 defaults (S=8, cutoff=8) the result matches a true f64 GEMM to ~1 ulp of
-the f64 rounding of the final level sum. f32-exact operands (e.g. dense
-sketching operators, whose values the reference also generates in f32
-and promotes — dense_skops.hh:50-55) need only 4 slices, cutting the
-slice-pair count from 43 to 29.
+the f64 rounding of the final level sum. NOTE f32-exact operands (e.g.
+dense sketching operators, whose values the reference also generates in
+f32 and promotes — dense_skops.hh:50-55) still need the full 8 slices:
+slice levels align to the ROW max, so a small-magnitude entry's 24
+mantissa bits extend into slices 4..7 (a 4-slice attempt measurably
+lost 8 digits; see skge._matmul).
 
 Not supported: Inf/NaN entries (like every slicing scheme); row/column
 maxima outside float32's exponent range (~2^-126 .. 2^127) — the
