@@ -347,7 +347,7 @@ def _fused_call(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
 
 def _kernel_T(seed_ref, a_ref, *refs, ti, tk, ctr_stride,
               gaussian, alpha, rng="philox4x32", row_chunks=1,
-              alias_acc=False, fast_cos=False):
+              alias_acc=False, fast_cos=False, nogen=False):
     """ColMajor-natural variant: grid (n_i, n_j, n_k), k innermost.
 
     A ColMajor-natural operator's counters walk DOWN columns (element
@@ -376,6 +376,12 @@ def _kernel_T(seed_ref, a_ref, *refs, ti, tk, ctr_stride,
     row_off = k.astype(jnp.uint32) * jnp.uint32(tk)
 
     def gen(c):
+        if nogen:  # timing diagnostic: dots-only bound (see _kernel)
+            s2d = jnp.full((ci // 4, tk),
+                           seed_ref[0, 4] & jnp.uint32(1), jnp.uint32)
+            s = pltpu.bitcast(s2d, jnp.int32).astype(jnp.float32)
+            z = jnp.float32(0.5) + s + jnp.float32(c)
+            return z, z + 1.0, z + 2.0, z + 3.0
         # lane-slab orientation (stride_axis=1): one call yields the
         # four (ci/4, tk) slabs v_l with v_l[b, col] = S[4b + l + chunk
         # row offset, k*tk + col] — the counter stride walks the ARRAY
@@ -482,10 +488,11 @@ def _seed_words(state) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=(
     "d", "m", "gaussian", "alpha", "ti", "tk", "tn", "ctr_stride",
-    "interpret", "rng", "row_chunks", "alias_acc", "fast_cos"))
+    "interpret", "rng", "row_chunks", "alias_acc", "fast_cos", "nogen"))
 def _fused_call_T(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
                   ctr_stride, interpret=False, rng="philox4x32",
-                  row_chunks=1, alias_acc=False, fast_cos=False):
+                  row_chunks=1, alias_acc=False, fast_cos=False,
+                  nogen=False):
     n = A.shape[1]
     n_i = d // ti
     n_j = n // tn
@@ -495,7 +502,7 @@ def _fused_call_T(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
                                ctr_stride=ctr_stride, gaussian=gaussian,
                                alpha=alpha, rng=rng,
                                row_chunks=row_chunks, alias_acc=alias_acc,
-                               fast_cos=fast_cos)
+                               fast_cos=fast_cos, nogen=nogen)
     slab = jax.ShapeDtypeStruct((d // 4, n), jnp.float32)
     out_spec = pl.BlockSpec((ti // 4, tn), lambda i, j, k: (i, j),
                             memory_space=pltpu.VMEM)
