@@ -393,3 +393,56 @@ def distributed_sparse_sketch(
         check_vma=False,
     )
     return fn(A, rows, cols, vals)
+
+
+def distributed_sketch_cols(
+    S: DenseSkOp,
+    A: jax.Array,
+    mesh: Mesh,
+    *,
+    alpha=1.0,
+    use_fused="auto",
+    interpret: bool = False,
+) -> jax.Array:
+    """B = alpha * S @ A with A column-sharded over 'data' — the
+    "sequence-parallel" layout for huge n (the analog of sequence/context
+    sharding in training frameworks; SURVEY.md §2.3).
+
+    Zero communication: every device holds its own n-columns of A,
+    generates the SAME implicit operator from counters (bitwise identical
+    across devices — no broadcast needed), and computes its B columns
+    locally. The output stays column-sharded, P(None, 'data'), ready to
+    feed further column-sharded stages. The 'model' axis, if larger than
+    1, replicates (use distributed_sketch for d-sharding instead).
+    """
+    require(isinstance(S, DenseSkOp), "takes a DenseSkOp")
+    from ..skge import sketch_general
+    from .. import skge as skge_mod
+
+    d, m = S.shape
+    require(A.shape[0] == m, "A row count must equal S.n_cols")
+    pd = mesh.shape["data"]
+    require(A.shape[1] % pd == 0, "n must divide the 'data' axis size")
+
+    dist, seed, dtype = S.dist, S.seed_state, S.dtype
+
+    def shard_fn(a_blk):
+        S_local = DenseSkOp(dist, seed, dtype=dtype)
+        if interpret:
+            # CPU testing: run the same dispatch but force the fused
+            # kernel's interpreter when requested
+            old = skge_mod.use_fused
+            try:
+                skge_mod.use_fused = False if use_fused is False else old
+                return sketch_general(S_local, a_blk, alpha=alpha)
+            finally:
+                skge_mod.use_fused = old
+        return sketch_general(S_local, a_blk, alpha=alpha)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=P(None, "data"),
+        out_specs=P(None, "data"),
+        check_vma=False,
+    )
+    return fn(A)

@@ -138,3 +138,20 @@ def test_jit_distributed():
     got = np.asarray(f(S, A))
     want = np.asarray(sketch_general(S, A))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("model,data", [(1, 8), (1, 4), (2, 4)])
+def test_distributed_sketch_cols(model, data):
+    """Column ("sequence") sharding: zero-collective layout — every
+    device generates the same operator from counters and sketches its
+    own columns; output stays column-sharded."""
+    from randblas_tpu.parallel.distributed import distributed_sketch_cols
+    S, A = _setup(key=17)
+    devices = jax.devices()[:model * data]
+    mesh = make_sketch_mesh(model, data, devices)
+    out = distributed_sketch_cols(S, A, mesh)
+    assert out.sharding.spec[1] == ("data" if data > 1
+                                    else out.sharding.spec[1])
+    want = np.asarray(sketch_general(S, A))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5,
+                               atol=1e-5)
