@@ -97,6 +97,117 @@ inline void threefry4x32_block(const Ctr4 &ctr, const uint32_t key[4],
         out[i] = x[i];
 }
 
+// ---------------------------------------------------------------------------
+// 64-bit CBRNG variants. TPU has no 64-bit integer lanes, so these live only
+// in the host engine; they close the reference's Random123 x64 surface
+// (vendored Random123 philox.h/threefry.h; KAT vectors replayed in
+// tests/test_rng_kat.py). All constants are the published Random123
+// algorithm parameters (golden-ratio/sqrt-2 Weyl words, Threefish rotation
+// tables).
+// ---------------------------------------------------------------------------
+
+constexpr uint64_t P2x64_M = 0xD2B74407B1CE6E93ull;
+constexpr uint64_t P64_W0 = 0x9E3779B97F4A7C15ull;
+constexpr uint64_t P64_W1 = 0xBB67AE8584CAA73Bull;
+constexpr uint64_t P4x64_M0 = 0xD2E7470EE14C6C93ull;
+constexpr uint64_t P4x64_M1 = 0xCA5A826395121157ull;
+
+inline void mul64_wide(uint64_t a, uint64_t b, uint64_t *hi, uint64_t *lo) {
+    unsigned __int128 p = (unsigned __int128)a * b;
+    *hi = (uint64_t)(p >> 64);
+    *lo = (uint64_t)p;
+}
+
+inline void philox2x64_block(const uint64_t ctr[2], const uint64_t key[1],
+                             int rounds, uint64_t out[2]) {
+    uint64_t x0 = ctr[0], x1 = ctr[1], k0 = key[0];
+    for (int r = 0; r < rounds; ++r) {
+        if (r > 0) k0 += P64_W0;
+        uint64_t hi, lo;
+        mul64_wide(P2x64_M, x0, &hi, &lo);
+        x0 = hi ^ k0 ^ x1;
+        x1 = lo;
+    }
+    out[0] = x0;
+    out[1] = x1;
+}
+
+inline void philox4x64_block(const uint64_t ctr[4], const uint64_t key[2],
+                             int rounds, uint64_t out[4]) {
+    uint64_t x0 = ctr[0], x1 = ctr[1], x2 = ctr[2], x3 = ctr[3];
+    uint64_t k0 = key[0], k1 = key[1];
+    for (int r = 0; r < rounds; ++r) {
+        if (r > 0) {
+            k0 += P64_W0;
+            k1 += P64_W1;
+        }
+        uint64_t hi0, lo0, hi1, lo1;
+        mul64_wide(P4x64_M0, x0, &hi0, &lo0);
+        mul64_wide(P4x64_M1, x2, &hi1, &lo1);
+        x0 = hi1 ^ x1 ^ k0;
+        x1 = lo1;
+        x2 = hi0 ^ x3 ^ k1;
+        x3 = lo0;
+    }
+    out[0] = x0;
+    out[1] = x1;
+    out[2] = x2;
+    out[3] = x3;
+}
+
+constexpr uint64_t TF64_PARITY = 0x1BD11BDAA9FC1A22ull;
+constexpr int TF64_2_ROT[8] = {16, 42, 12, 31, 16, 32, 24, 21};
+constexpr int TF64_4_R0[8] = {14, 52, 23, 5, 25, 46, 58, 32};
+constexpr int TF64_4_R1[8] = {16, 57, 40, 37, 33, 12, 22, 32};
+
+inline uint64_t rotl64(uint64_t x, int r) {
+    return (x << r) | (x >> (64 - r));
+}
+
+inline void threefry2x64_block(const uint64_t ctr[2], const uint64_t key[2],
+                               int rounds, uint64_t out[2]) {
+    uint64_t ks[3] = {key[0], key[1], TF64_PARITY ^ key[0] ^ key[1]};
+    uint64_t x0 = ctr[0] + ks[0], x1 = ctr[1] + ks[1];
+    for (int r = 0; r < rounds; ++r) {
+        x0 += x1;
+        x1 = rotl64(x1, TF64_2_ROT[r % 8]) ^ x0;
+        if ((r + 1) % 4 == 0) {
+            int s = (r + 1) / 4;
+            x0 += ks[s % 3];
+            x1 += ks[(s + 1) % 3] + (uint64_t)s;
+        }
+    }
+    out[0] = x0;
+    out[1] = x1;
+}
+
+inline void threefry4x64_block(const uint64_t ctr[4], const uint64_t key[4],
+                               int rounds, uint64_t out[4]) {
+    uint64_t ks[5] = {key[0], key[1], key[2], key[3],
+                      TF64_PARITY ^ key[0] ^ key[1] ^ key[2] ^ key[3]};
+    uint64_t x[4];
+    for (int i = 0; i < 4; ++i)
+        x[i] = ctr[i] + ks[i];
+    for (int r = 0; r < rounds; ++r) {
+        int r0 = TF64_4_R0[r % 8], r1 = TF64_4_R1[r % 8];
+        if (r % 2 == 0) {
+            x[0] += x[1]; x[1] = rotl64(x[1], r0) ^ x[0];
+            x[2] += x[3]; x[3] = rotl64(x[3], r1) ^ x[2];
+        } else {
+            x[0] += x[3]; x[3] = rotl64(x[3], r0) ^ x[0];
+            x[2] += x[1]; x[1] = rotl64(x[1], r1) ^ x[2];
+        }
+        if ((r + 1) % 4 == 0) {
+            int s = (r + 1) / 4;
+            for (int i = 0; i < 4; ++i)
+                x[i] += ks[(s + i) % 5];
+            x[3] += (uint64_t)s;
+        }
+    }
+    for (int i = 0; i < 4; ++i)
+        out[i] = x[i];
+}
+
 // rng: 0 = Philox4x32-10 (key[2]), 1 = Threefry4x32-20 (key[4])
 inline void cbrng_block(const Ctr4 &ctr, const uint32_t *key, int rng,
                         uint32_t out[4]) {
@@ -191,6 +302,25 @@ void rbt_fill_rowmajor(int64_t n_cols_parent, int64_t n_srows,
                        const uint32_t *key, int gaussian, float *out) {
     rbt_fill_rowmajor_g(n_cols_parent, n_srows, n_scols, ptr, ctr, key,
                         0, gaussian, out);
+}
+
+// Raw 64-bit CBRNG blocks. gen: 0 = philox2x64 (width 2, key 1 word),
+// 1 = philox4x64 (width 4, key 2), 2 = threefry2x64 (width 2, key 2),
+// 3 = threefry4x64 (width 4, key 4). ctrs: uint64[n][width].
+void rbt_cbrng64(int gen, const uint64_t *ctrs, const uint64_t *key,
+                 int rounds, int64_t n, uint64_t *out) {
+    int width = (gen == 0 || gen == 2) ? 2 : 4;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        const uint64_t *c = ctrs + width * i;
+        uint64_t *o = out + width * i;
+        switch (gen) {
+            case 0: philox2x64_block(c, key, rounds, o); break;
+            case 1: philox4x64_block(c, key, rounds, o); break;
+            case 2: threefry2x64_block(c, key, rounds, o); break;
+            default: threefry4x64_block(c, key, rounds, o); break;
+        }
+    }
 }
 
 // Raw Threefry4x32 blocks for n counters laid out as uint32[n][4];

@@ -57,6 +57,9 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.rbt_fisher_yates_g.argtypes = [
         u32p, u32p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, i64p, f32p]
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    lib.rbt_cbrng64.argtypes = [ctypes.c_int, u64p, u64p, ctypes.c_int,
+                                ctypes.c_int64, u64p]
     _LIB = lib
     return _LIB
 
@@ -105,6 +108,29 @@ def threefry4x32(ctrs: np.ndarray, key: np.ndarray,
     key = _pad_key(key, "threefry4x32")
     out = np.empty_like(ctrs)
     lib.rbt_threefry4x32(ctrs, key, rounds, ctrs.shape[0], out)
+    return out
+
+
+_CBRNG64 = {"philox2x64": (0, 2, 1), "philox4x64": (1, 4, 2),
+            "threefry2x64": (2, 2, 2), "threefry4x64": (3, 4, 4)}
+
+
+def cbrng64(name: str, ctrs: np.ndarray, key: np.ndarray,
+            rounds: int) -> np.ndarray:
+    """Raw 64-bit CBRNG blocks (host-only: TPU has no 64-bit lanes).
+
+    name: philox2x64 | philox4x64 | threefry2x64 | threefry4x64;
+    ctrs: uint64 of shape (n, width). Closes the reference's Random123 x64
+    surface (KAT-replayed in tests/test_rng_kat.py).
+    """
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    gen, width, key_words = _CBRNG64[name]
+    ctrs = np.ascontiguousarray(ctrs, dtype=np.uint64).reshape(-1, width)
+    key = np.ascontiguousarray(key, dtype=np.uint64)
+    assert key.shape[0] >= key_words, f"{name} needs {key_words} key words"
+    out = np.empty_like(ctrs)
+    lib.rbt_cbrng64(gen, ctrs, key, rounds, ctrs.shape[0], out)
     return out
 
 

@@ -44,6 +44,21 @@ def u01(bits):
             + jnp.float32(_U01_HALF))
 
 
+def u01fixedpt(bits):
+    """uint32 -> float32 "fixed point" uniform on (0, 1): odd multiples of
+    2^-B with B = min(mantissa bits, word width) = 24, i.e.
+    ((u >> 8) | 1) * 2^-24.
+
+    Matches r123::u01fixedpt<float, uint32_t> (Random123 uniform.hpp):
+    every output is exactly representable (no rounding), the smallest is
+    2^-24 and the largest 1 - 2^-24, all equally likely. The reference
+    exercises it in test_r123.cc:607-625 (fixed-histogram tier).
+    """
+    bits = jnp.asarray(bits, dtype=jnp.uint32)
+    odd = (bits >> jnp.uint32(8)) | jnp.uint32(1)
+    return odd.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+
+
 def uneg11(bits):
     """uint32 -> float32 uniform on (-1, 1): int32(u) * 2^-31 + 2^-32.
 

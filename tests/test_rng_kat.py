@@ -197,30 +197,38 @@ _KAT_FILE = "/root/reference/test/test_basic_rng/r123_kat_vectors.txt"
 
 
 def _parse_kat_file(path):
+    """Returns (x32_vectors, x64_vectors) parsed from the upstream file.
+
+    x32 vectors replay through the JAX generators; x64 vectors (the
+    Random123 2x64/4x64 variants — TPU has no 64-bit integer lanes) replay
+    through the native host engine's implementations instead.
+    """
     import os
+    import re
     if not os.path.exists(path):
-        return []
-    vectors = []
+        return [], []
+    x32, x64 = [], []
     for line in open(path):
         line = line.split("#")[0].strip()
         if not line:
             continue
         toks = line.split()
         name, rounds = toks[0], int(toks[1])
-        if name not in _FNS:
-            continue  # 2x64/4x64 variants: no 64-bit lanes on TPU
-        import re
-        n = int(re.fullmatch(r"(?:philox|threefry)(\d)x32", name).group(1))
+        m = re.fullmatch(r"(?:philox|threefry)(\d)x(32|64)", name)
+        if not m:
+            continue
+        n, width = int(m.group(1)), int(m.group(2))
         n_key = n // 2 if name.startswith("philox") else n
         words = toks[2:]
         assert len(words) == 2 * n + n_key, line
-        vectors.append((name, rounds, " ".join(words[:n]),
-                        " ".join(words[n:n + n_key]),
-                        " ".join(words[n + n_key:])))
-    return vectors
+        vec = (name, rounds, " ".join(words[:n]),
+               " ".join(words[n:n + n_key]),
+               " ".join(words[n + n_key:]))
+        (x32 if width == 32 else x64).append(vec)
+    return x32, x64
 
 
-_FILE_VECTORS = _parse_kat_file(_KAT_FILE)
+_FILE_VECTORS, _FILE_VECTORS_64 = _parse_kat_file(_KAT_FILE)
 
 
 @pytest.mark.skipif(not _FILE_VECTORS, reason="upstream vector file absent")
@@ -231,4 +239,29 @@ def test_kat_full_file_replay():
                         jnp.asarray(_hex_words(key)), rounds)
         np.testing.assert_array_equal(
             np.asarray(out), _hex_words(expected),
+            err_msg=f"{gen} rounds={rounds} ctr={ctr}")
+
+
+def _hex_words64(s):
+    return np.array([int(w, 16) for w in s.split()], dtype=np.uint64)
+
+
+@pytest.mark.skipif(not _FILE_VECTORS_64,
+                    reason="upstream vector file absent")
+def test_kat_x64_native_replay():
+    """Replay every 64-bit vector through the native host engine.
+
+    The 2x64/4x64 CBRNGs have no TPU-side implementation (no 64-bit
+    integer lanes on the VPU); the native C++ engine carries them so the
+    full Random123 surface of the reference stays covered.
+    """
+    from randblas_tpu import native
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    assert len(_FILE_VECTORS_64) >= 30
+    for gen, rounds, ctr, key, expected in _FILE_VECTORS_64:
+        out = native.cbrng64(gen, _hex_words64(ctr), _hex_words64(key),
+                             rounds)
+        np.testing.assert_array_equal(
+            out.reshape(-1), _hex_words64(expected),
             err_msg=f"{gen} rounds={rounds} ctr={ctr}")
