@@ -150,17 +150,33 @@ def time_colmajor():
     d_pad, m_pad, n_pad, ti, tk, tn = fs._plan_T(d, m, n)
     base = S.seed_state
     sw = fs._seed_words(base)
-    for label, opts in [
-        ("exec_opts_T (production)", fs.exec_opts_T(ti)),
-        ("plain (rc=1, pl.when)", dict()),
-        ("alias rc=1", dict(alias_acc=True)),
-    ]:
-        def body(i, carry, s, a, opts=opts):
+    variants = [
+        ("T slab: exec_opts_T (prod)", fs._fused_call_T, ti, tk, tn,
+         fs.exec_opts_T(ti)),
+        ("T slab: plain", fs._fused_call_T, ti, tk, tn, dict()),
+        ("T2 stk: plain", fs._fused_call_T2, ti, tk, tn,
+         dict(fast_cos=True)),
+        ("T2 stk: alias", fs._fused_call_T2, ti, tk, tn,
+         dict(fast_cos=True, alias_acc=True)),
+        ("T2 stk: alias rc4", fs._fused_call_T2, ti, tk, tn,
+         dict(fast_cos=True, alias_acc=True, row_chunks=4)),
+        ("T2 stk: alias tk=m", fs._fused_call_T2, ti, 1024, tn,
+         dict(fast_cos=True, alias_acc=True)),
+        ("T2 stk: ti512 alias", fs._fused_call_T2, 512, tk, tn,
+         dict(fast_cos=True, alias_acc=True)),
+        ("T2 stk: dots-only", fs._fused_call_T2, ti, tk, tn,
+         dict(nogen=True)),
+        ("T slab: dots-only", fs._fused_call_T, ti, tk, tn,
+         dict(nogen=True)),
+    ]
+    for label, call, ti_v, tk_v, tn_v, opts in variants:
+        def body(i, carry, s, a, call=call, ti_v=ti_v, tk_v=tk_v,
+                 tn_v=tn_v, opts=opts):
             s2 = s.at[0, 4].add(i.astype(jnp.uint32)
                                 + (carry * 1e-30).astype(jnp.uint32))
-            out = fs._fused_call_T(s2, a, d=d_pad, m=m_pad, gaussian=True,
-                                   alpha=1.0, ti=ti, tk=tk, tn=tn,
-                                   ctr_stride=(d + (-d) % 4) // 4, **opts)
+            out = call(s2, a, d=d_pad, m=m_pad, gaussian=True,
+                       alpha=1.0, ti=ti_v, tk=tk_v, tn=tn_v,
+                       ctr_stride=(d + (-d) % 4) // 4, **opts)
             return jnp.sum(out) * jnp.float32(1e-20)
 
         try:

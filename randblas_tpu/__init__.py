@@ -21,7 +21,8 @@ from .dense import (
     isometry_scale_factor,
 )
 from .sparse import (
-    SparseDist, SparseSkOp, fill_sparse, repeated_fisher_yates,
+    SparseDist, SparseSkOp, fill_sparse, print_sparse,
+    repeated_fisher_yates,
 )
 from .skge import sketch_general, sketch
 from .skve import sketch_vector
@@ -49,5 +50,5 @@ __all__ = [
     "left_spmm", "right_spmm", "spmm",
     "weights_to_cdf", "sample_indices_iid", "sample_indices_iid_uniform",
     "symmetrize", "overwrite_triangle", "transpose_square",
-    "safe_scal", "print_colmaj",
+    "safe_scal", "print_colmaj", "print_sparse",
 ]

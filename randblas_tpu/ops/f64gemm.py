@@ -203,14 +203,33 @@ def matmul_hiprec(a, b, *, slices_a: int = None, slices_b: int = None,
     sb = _slices_for_dtype(b.dtype) if slices_b is None else slices_b
     if cutoff is None:
         cutoff = min(sa + sb - 2, -(-60 // _Q))
-    k = a.shape[1]
-    kb = _K_BLOCK if k_block is None else k_block
     a = jnp.asarray(a)
     b = jnp.asarray(b)
+    # pad every dimension to an MXU-friendly multiple: zero rows/columns
+    # are EXACT under the slicing scheme (a zero row's axis max is 0 ->
+    # scale 1, all its slices are 0, and zero int8 products contribute
+    # nothing), and odd shapes measurably starve the int8 MXU (config 1's
+    # 4002x2000 ran at half the clean-shape rate before this).
+    m_true, k_true = a.shape
+    n_true = b.shape[1]
+    mp = -(-m_true // 128) * 128
+    np_ = -(-n_true // 128) * 128
+    kp = -(-k_true // 128) * 128
+    if mp != m_true or kp != k_true:
+        a = jnp.pad(a, ((0, mp - m_true), (0, kp - k_true)))
+    if np_ != n_true or kp != k_true:
+        b = jnp.pad(b, ((0, kp - k_true), (0, np_ - n_true)))
+    k = a.shape[1]
+    kb = _K_BLOCK if k_block is None else k_block
+    def unpad(out):
+        return (out[:m_true, :n_true]
+                if (mp != m_true or np_ != n_true) else out)
+
     if k <= kb:
         a_sl, a_scale = _slice_operand(a, sa, axis=1)
         b_sl, b_scale = _slice_operand(b, sb, axis=0)
-        return _recombine(a_sl, a_scale, b_sl, b_scale, sa, sb, cutoff)
+        return unpad(_recombine(a_sl, a_scale, b_sl, b_scale, sa, sb,
+                                cutoff))
 
     # blocked path: the slicing grid comes from the FULL-axis max so all
     # blocks share it. The tail (k % kb) is processed separately rather
@@ -240,4 +259,4 @@ def matmul_hiprec(a, b, *, slices_a: int = None, slices_b: int = None,
     if tail:
         thi, tlo = block_products(a[:, n_full * kb:], b[n_full * kb:])
         hi, lo = hi + thi, lo + tlo
-    return _combine_levels(hi, lo, a_scale, b_scale)
+    return unpad(_combine_levels(hi, lo, a_scale, b_scale))

@@ -425,6 +425,129 @@ def _kernel_T(seed_ref, a_ref, *refs, ti, tk, ctr_stride,
                 o_ref[sl, :] = o_ref[sl, :] + contrib
 
 
+def _kernel_T2(seed_ref, a_ref, *refs, ti, tk, ctr_stride,
+               gaussian, alpha, rng="philox4x32", row_chunks=1,
+               alias_acc=False, fast_cos=False, nogen=False):
+    """ColMajor-natural variant with STACKED slabs: one full-M dot.
+
+    Same lane-slab generation as _kernel_T (v_l[b, c] = S[4b+l, c]), but
+    instead of four M=ti/4 dots into four slab outputs, the slabs are
+    concatenated along the sublane axis (ti/4 is a multiple of the 8-row
+    tile, so the concat is pure register placement) and contracted in ONE
+    (ti, tk) x (tk, tn) MXU dot — the same shape the RowMajor kernel
+    runs. The single (ti, tn) accumulator holds rows in slab-scrambled
+    order (tile row l*(ti/4)+b = operator row 4b+l); the caller
+    unscrambles with the same one-pass XLA epilogue the slab kernel
+    already paid for its 4-output interleave."""
+    i = pl.program_id(0)
+    k = pl.program_id(2)
+    out_ref = refs[-1]
+    ci = ti // row_chunks
+    assert ci * row_chunks == ti and ci % 4 == 0
+
+    base_blocks = i.astype(jnp.uint32) * jnp.uint32(ti // 4)
+    row_off = k.astype(jnp.uint32) * jnp.uint32(tk)
+
+    def gen(c):
+        if nogen:  # timing diagnostic: dots-only bound (see _kernel)
+            s2d = jnp.full((ci // 4, tk),
+                           seed_ref[0, 4] & jnp.uint32(1), jnp.uint32)
+            s = pltpu.bitcast(s2d, jnp.int32).astype(jnp.float32)
+            z = jnp.float32(0.5) + s + jnp.float32(c)
+            return z, z + 1.0, z + 2.0, z + 3.0
+        k_blocks = base_blocks + jnp.uint32(c * (ci // 4))
+        return _gen_panel_words(seed_ref, ci // 4, tk, ctr_stride,
+                                k_blocks, gaussian, row_off,
+                                rng=rng, fast_cos=fast_cos,
+                                stride_axis=1)
+
+    a_bf = a_ref[:].astype(jnp.bfloat16)
+
+    v = gen(0)
+    for c in range(row_chunks):
+        s_tile = jnp.concatenate(
+            [v[0].astype(jnp.bfloat16), v[1].astype(jnp.bfloat16),
+             v[2].astype(jnp.bfloat16), v[3].astype(jnp.bfloat16)],
+            axis=0)                                   # (ci, tk) scrambled
+        if c + 1 < row_chunks:
+            v = gen(c + 1)
+        contrib = jnp.dot(s_tile, a_bf,
+                          preferred_element_type=jnp.float32)
+        if alpha != 1.0:
+            contrib = jnp.float32(alpha) * contrib
+        sl = pl.ds(c * ci, ci)
+        if alias_acc:
+            out_ref[sl, :] = out_ref[sl, :] + contrib
+            continue
+
+        @pl.when(k == 0)
+        def _(contrib=contrib, sl=sl):
+            out_ref[sl, :] = contrib
+
+        @pl.when(k != 0)
+        def _(contrib=contrib, sl=sl):
+            out_ref[sl, :] = out_ref[sl, :] + contrib
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "d", "m", "gaussian", "alpha", "ti", "tk", "tn", "ctr_stride",
+    "interpret", "rng", "row_chunks", "alias_acc", "fast_cos", "nogen"))
+def _fused_call_T2(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
+                   ctr_stride, interpret=False, rng="philox4x32",
+                   row_chunks=1, alias_acc=False, fast_cos=False,
+                   nogen=False):
+    """pallas_call wrapper for the stacked ColMajor kernel. Returns the
+    UNSCRAMBLED (d, n) sketch; the row permutation (per i-tile and per
+    row-chunk, tile row c*ci + l*(ci/4)+b <-> operator row
+    i*ti + c*ci + 4b+l) is undone by one reshape/transpose epilogue."""
+    n = A.shape[1]
+    n_i = d // ti
+    n_j = n // tn
+    n_k = m // tk
+
+    kernel = functools.partial(_kernel_T2, ti=ti, tk=tk,
+                               ctr_stride=ctr_stride, gaussian=gaussian,
+                               alpha=alpha, rng=rng,
+                               row_chunks=row_chunks, alias_acc=alias_acc,
+                               fast_cos=fast_cos, nogen=nogen)
+    in_specs = [
+        pl.BlockSpec((1, 8), lambda i, j, k: (i - i, i - i),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((tk, tn), lambda i, j, k: (k, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [seed_words, A]
+    alias = {}
+    if alias_acc:
+        in_specs.append(pl.BlockSpec((ti, tn), lambda i, j, k: (i, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(jnp.zeros((d, n), jnp.float32))
+        alias = {2: 0}
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_i, n_j, n_k),
+        interpret=interpret,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((ti, tn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, n), jnp.float32),
+        input_output_aliases=alias,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * d * m * n,
+            bytes_accessed=m * n * 4 + d * n * 4,
+            transcendentals=d * m if gaussian else 0,
+        ),
+    )(*operands)
+    # unscramble: within each (i, chunk) group, tile row l*(ci/4)+b is
+    # operator row 4b+l
+    ci = ti // row_chunks
+    out = out.reshape(d // ci, 4, ci // 4, n)
+    out = jnp.swapaxes(out, 1, 2).reshape(d, n)
+    return out
+
+
 def _plan_T(d: int, m: int, n: int):
     """Plan for the ColMajor kernel: (d_pad, m_pad, n_pad, ti, tk, tn).
 

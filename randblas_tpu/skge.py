@@ -119,7 +119,7 @@ def _matmul(a, b, dtype):
 
 
 def _fused_eligible(S: DenseSkOp, rows_s: int, cols_s: int, ro_s: int,
-                    co_s: int, op_s: Op, dtype, n: int) -> bool:
+                    co_s: int, op_s: Op, dtype) -> bool:
     if use_fused is False:
         return False
     if S.materialized is not None:
@@ -390,7 +390,7 @@ def sketch_general(
         if isinstance(S, SparseSkOp):
             prod = _sparse_left_apply(S, d, m, ro_s, co_s, op_s, a_mat,
                                       alpha)
-        elif _fused_eligible(S, rows_s, cols_s, ro_s, co_s, op_s, dtype, n):
+        elif _fused_eligible(S, rows_s, cols_s, ro_s, co_s, op_s, dtype):
             from .ops import fused_sketch as fs
             prod = fs.fused_sketch(S, a_mat, alpha=float(alpha),
                                    rows_s=rows_s, cols_s=cols_s,

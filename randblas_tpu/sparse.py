@@ -295,3 +295,25 @@ class SparseSkOp:
 def fill_sparse(S: SparseSkOp) -> SparseSkOp:
     """Functional counterpart of fill_sparse(S) (sparse_skops.hh:390-413)."""
     return S.filled()
+
+
+def print_sparse(S: SparseSkOp, file=None) -> None:
+    """Debug printer for sparse sketching operators, mirroring
+    print_sparse (sparse_skops.hh:416-443): operator kind (SASO/LASO),
+    dimensions, then the row-index / column-index / value triplet vectors.
+    """
+    import sys
+    out = sys.stdout if file is None else file
+    s = S.filled()
+    kind = ("SASO: short-axis-sparse operator"
+            if S.dist.major_axis == MajorAxis.Short
+            else "LASO: long-axis-sparse operator")
+    print("SparseSkOp information", file=out)
+    print(f"\t{kind}", file=out)
+    print(f"\tn_rows = {S.dist.n_rows}", file=out)
+    print(f"\tn_cols = {S.dist.n_cols}", file=out)
+    import numpy as np
+    for label, arr in (("row indices", s.rows), ("column indices", s.cols),
+                       ("values", s.vals)):
+        body = ", ".join(str(v) for v in np.asarray(arr).tolist())
+        print(f"\tvector of {label}\n\t\t{body}", file=out)

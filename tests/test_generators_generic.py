@@ -62,5 +62,4 @@ def test_threefry_never_hits_philox_kernel():
 
     S = DenseSkOp(DenseDist(64, 1024),
                   RNGState.from_key(1, rng="threefry4x32"))
-    assert not _fused_eligible(S, 64, 1024, 0, 0, Op.NoTrans, jnp.float32,
-                               256)
+    assert not _fused_eligible(S, 64, 1024, 0, 0, Op.NoTrans, jnp.float32)
