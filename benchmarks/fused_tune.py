@@ -153,21 +153,26 @@ def time_colmajor():
     variants = [
         ("T slab: exec_opts_T (prod)", fs._fused_call_T, ti, tk, tn,
          fs.exec_opts_T(ti)),
-        ("T slab: plain", fs._fused_call_T, ti, tk, tn, dict()),
-        ("T2 stk: plain", fs._fused_call_T2, ti, tk, tn,
+        ("T2 ti128 dots-only", fs._fused_call_T2, 128, tk, tn,
+         dict(nogen=True)),
+        ("T2 ti256 dots-only", fs._fused_call_T2, 256, tk, tn,
+         dict(nogen=True)),
+        ("T2 ti512 dots-only", fs._fused_call_T2, 512, tk, tn,
+         dict(nogen=True)),
+        ("T2 ti256 tk1024 dots-only", fs._fused_call_T2, 256, 1024, tn,
+         dict(nogen=True)),
+        ("T2 ti128 tk1024 dots-only", fs._fused_call_T2, 128, 1024, tn,
+         dict(nogen=True)),
+        ("T2 ti256 plain", fs._fused_call_T2, 256, tk, tn,
          dict(fast_cos=True)),
-        ("T2 stk: alias", fs._fused_call_T2, ti, tk, tn,
+        ("T2 ti256 tk1024 plain", fs._fused_call_T2, 256, 1024, tn,
+         dict(fast_cos=True)),
+        ("T2 ti256 tk1024 alias", fs._fused_call_T2, 256, 1024, tn,
          dict(fast_cos=True, alias_acc=True)),
-        ("T2 stk: alias rc4", fs._fused_call_T2, ti, tk, tn,
-         dict(fast_cos=True, alias_acc=True, row_chunks=4)),
-        ("T2 stk: alias tk=m", fs._fused_call_T2, ti, 1024, tn,
-         dict(fast_cos=True, alias_acc=True)),
-        ("T2 stk: ti512 alias", fs._fused_call_T2, 512, tk, tn,
-         dict(fast_cos=True, alias_acc=True)),
-        ("T2 stk: dots-only", fs._fused_call_T2, ti, tk, tn,
-         dict(nogen=True)),
-        ("T slab: dots-only", fs._fused_call_T, ti, tk, tn,
-         dict(nogen=True)),
+        ("T2 ti128 tk1024 plain", fs._fused_call_T2, 128, 1024, tn,
+         dict(fast_cos=True)),
+        ("T2 ti512 tk1024 plain", fs._fused_call_T2, 512, 1024, tn,
+         dict(fast_cos=True)),
     ]
     for label, call, ti_v, tk_v, tn_v, opts in variants:
         def body(i, carry, s, a, call=call, ti_v=ti_v, tk_v=tk_v,

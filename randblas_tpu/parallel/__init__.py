@@ -10,9 +10,11 @@ contraction reduces (psum over ICI).
 
 from .distributed import (
     distributed_sketch, distributed_sketch_right, distributed_sketch_cols,
-    distributed_sparse_sketch, make_sketch_mesh, distributed_sketch_jit,
+    distributed_sparse_sketch, distributed_sketch_sparse_data,
+    make_sketch_mesh, distributed_sketch_jit,
 )
 
 __all__ = ["distributed_sketch", "distributed_sketch_right",
            "distributed_sketch_cols", "distributed_sparse_sketch",
-           "make_sketch_mesh", "distributed_sketch_jit"]
+           "distributed_sketch_sparse_data", "make_sketch_mesh",
+           "distributed_sketch_jit"]

@@ -49,6 +49,19 @@ def make_sketch_mesh(model: int = 1, data: Optional[int] = None,
     return Mesh(arr, ("model", "data"))
 
 
+def _shard_extent(total: int, parts: int, align: int = 1) -> int:
+    """Per-shard extent covering `total` over `parts` shards, rounded up
+    to `align`: the pad-and-shard scheme. Phantom rows/columns beyond
+    `total` either multiply zero-padded data or are sliced off the
+    output; alignment keeps every shard's counter offset on a block
+    boundary (the same trick the fused kernel's _plan uses — the counter
+    stride always comes from the TRUE parent extent, never the padded
+    one). Counterpart of fill_dense's any-submatrix generality
+    (dense_skops.hh:487-532)."""
+    per = -(-total // parts)
+    return -(-per // align) * align
+
+
 def distributed_sketch(
     S: DenseSkOp,
     A: jax.Array,
@@ -61,10 +74,11 @@ def distributed_sketch(
     """B = alpha * S @ A with A m-sharded over 'data' and B d-sharded over
     'model'. Returns a global jax.Array with sharding P('model', None).
 
-    Alignment: d must divide by mesh 'model' size, m by 'data' size, and
-    the per-shard extent along the distribution's major axis must be a
-    multiple of the counter width (4) — i.e. shard sizes stay MXU-friendly
-    anyway.
+    Any (d, m, mesh) combination runs: per-shard extents are padded up to
+    counter-aligned sizes (pad-and-shard) — phantom operator columns
+    multiply zero-padded data rows, phantom output rows are sliced off,
+    and every counter stride comes from the TRUE parent dimensions, so the
+    values are bit-identical to the single-device sketch.
 
     use_fused: 'auto' runs the Pallas RNG-in-GEMM kernel per shard on TPU
     when the shard shape qualifies (each device generates its tile of the
@@ -83,12 +97,18 @@ def distributed_sketch(
     n = A.shape[1]
     pm = mesh.shape["model"]
     pd = mesh.shape["data"]
-    require(d % pm == 0, "d must divide the 'model' axis size")
-    require(m % pd == 0, "m must divide the 'data' axis size")
-    d_per, m_per = d // pm, m // pd
     require(A.shape[0] == m, "A row count must equal S.n_cols")
 
     dist, seed, dtype = S.dist, S.seed_state, S.dtype
+
+    # pad-and-shard: align every shard offset to the counter width so the
+    # traced fill / fused kernel stays on block boundaries in BOTH layouts
+    # (RowMajor lanes walk m; ColMajor lanes walk d).
+    d_per = _shard_extent(d, pm, seed.len_c)
+    m_per = _shard_extent(m, pd, seed.len_c)
+    d_pad_g, m_pad_g = pm * d_per, pd * m_per
+    if m_pad_g != m:
+        A = jnp.pad(A, ((0, m_pad_g - m), (0, 0)))
 
     fused_ok = (
         use_fused is not False
@@ -97,28 +117,11 @@ def distributed_sketch(
         and dist.family in (DenseDistName.Gaussian, DenseDistName.Uniform)
         and dist_to_layout(dist) == Layout.RowMajor
         and m_per % 4 == 0
-        and True  # _plan always yields a padded feasible config now
     )
     if use_fused == "auto":
         fused_ok = fused_ok and (interpret or _tpu_platform())
     elif use_fused is True:
         require(fused_ok, "fused distributed path forced but unsupported")
-
-    if not fused_ok:
-        # traced-fill alignment contract: the per-shard offset along the
-        # generation's lane (minor) dimension must be a counter multiple,
-        # or the shard's counters silently misalign and the sketch is
-        # WRONG. The fused path checks its own m_per % 4 above.
-        if dist_to_layout(dist) == Layout.RowMajor:
-            require(pd == 1 or m_per % seed.len_c == 0,
-                    f"per-'data' shard width m/{pd} = {m_per} must be a "
-                    f"multiple of the counter width {seed.len_c} "
-                    "(RowMajor-natural operator)")
-        else:
-            require(pm == 1 or d_per % seed.len_c == 0,
-                    f"per-'model' shard height d/{pm} = {d_per} must be a "
-                    f"multiple of the counter width {seed.len_c} "
-                    "(ColMajor-natural operator)")
 
     ctr_stride_global = (m + ((-m) % 4)) // 4
 
@@ -164,7 +167,8 @@ def distributed_sketch(
         # pallas_call outputs carry no varying-mesh-axes metadata
         check_vma=not fused_ok,
     )
-    return fn(A)
+    out = fn(A)
+    return out[:d] if d_pad_g != d else out
 
 
 def _tpu_platform() -> bool:
@@ -200,10 +204,10 @@ def distributed_sketch_right(
     Each device generates its (m/data x d/model) tile of the global
     operator from counters (row offset = data index, column offset =
     model index — both fold into the traced fill) and contributes a
-    partial product; partials psum over 'data'. For tall-Long operators
-    (natural ColMajor) the traced fill's alignment contract requires the
-    per-shard extent along the operator's major axis (its rows, m) to be
-    a multiple of the counter width — i.e. m/data % 4 == 0.
+    partial product; partials psum over 'data'. Any shape runs: shard
+    extents pad up to counter-aligned sizes (see _shard_extent) with
+    phantom rows multiplying zero-padded data columns and phantom output
+    columns sliced off.
 
     use_fused: on TPU (or with interpret=True), tall-Long shard tiles run
     through the fused Pallas kernel on their TRANSPOSE: by the
@@ -221,9 +225,11 @@ def distributed_sketch_right(
     require(A.shape[1] == m, "A column count must equal S.n_rows")
     pm = mesh.shape["model"]
     pd = mesh.shape["data"]
-    require(d % pm == 0, "d must divide the 'model' axis size")
-    require(m % pd == 0, "m must divide the 'data' axis size")
-    d_per, m_per = d // pm, m // pd
+    d_per = _shard_extent(d, pm, S.seed_state.len_c)
+    m_per = _shard_extent(m, pd, S.seed_state.len_c)
+    d_pad_g, m_pad_g = pm * d_per, pd * m_per
+    if m_pad_g != m:
+        A = jnp.pad(A, ((0, 0), (0, m_pad_g - m)))
 
     dist, seed, dtype = S.dist, S.seed_state, S.dtype
 
@@ -242,19 +248,6 @@ def distributed_sketch_right(
         fused_ok = fused_ok and (interpret or _tpu_platform())
     elif use_fused is True:
         require(fused_ok, "fused distributed path forced but unsupported")
-
-    if not fused_ok:
-        if dist_to_layout(dist) == Layout.ColMajor:
-            # lane offset = row offset (m rows are the major axis)
-            require(pd == 1 or m_per % seed.len_c == 0,
-                    f"per-'data' shard height m/{pd} = {m_per} must be a "
-                    f"multiple of the counter width {seed.len_c} "
-                    "(ColMajor-natural operator)")
-        else:
-            require(pm == 1 or d_per % seed.len_c == 0,
-                    f"per-'model' shard width d/{pm} = {d_per} must be a "
-                    f"multiple of the counter width {seed.len_c} "
-                    "(RowMajor-natural operator)")
 
     from ..rng.bits import mul64_u32, add64, ctr_add64
     ctr_stride_global = (m + ((-m) % 4)) // 4  # S_t parent width = m
@@ -301,7 +294,8 @@ def distributed_sketch_right(
         out_specs=P(None, "model"),
         check_vma=not fused_ok,
     )
-    return fn(A)
+    out = fn(A)
+    return out[:, :d] if d_pad_g != d else out
 
 
 def distributed_sparse_sketch(
@@ -335,9 +329,14 @@ def distributed_sparse_sketch(
     d, m = S.shape
     pm = mesh.shape["model"]
     pd = mesh.shape["data"]
-    require(m % pd == 0, "m must divide the 'data' axis size")
-    require(d % pm == 0, "d must divide the 'model' axis size")
-    m_per, d_per = m // pd, d // pm
+    # pad-and-shard: no counter math here (triplets are explicit), so the
+    # only padding needed is up to divisibility; phantom data rows carry
+    # row index -1 / value 0 and phantom output rows are sliced off.
+    m_per = _shard_extent(m, pd)
+    d_per = _shard_extent(d, pm)
+    m_pad_g, d_pad_g = pd * m_per, pm * d_per
+    if m_pad_g != m:
+        A = jnp.pad(A, ((0, m_pad_g - m), (0, 0)))
     k = S.dist.vec_nnz
     canonical_wide = (s.canonical and S.dist.major_axis == MajorAxis.Short
                       and d < m)
@@ -345,6 +344,10 @@ def distributed_sparse_sketch(
     if canonical_wide:
         rows_mk = s.rows.reshape(m, k).astype(jnp.int32)
         vals_mk = s.vals.reshape(m, k)
+        if m_pad_g != m:
+            rows_mk = jnp.pad(rows_mk, ((0, m_pad_g - m), (0, 0)),
+                              constant_values=-1)
+            vals_mk = jnp.pad(vals_mk, ((0, m_pad_g - m), (0, 0)))
         on_tpu = _tpu_platform()
 
         def shard_fn(a_blk, rows_blk, vals_blk):
@@ -373,7 +376,8 @@ def distributed_sparse_sketch(
             # inits joined with varying contributions
             check_vma=False,
         )
-        return fn(A, rows_mk, vals_mk)
+        out = fn(A, rows_mk, vals_mk)
+        return out[:d] if d_pad_g != d else out
 
     rows, cols, vals = s.rows, s.cols, s.vals
 
@@ -392,7 +396,8 @@ def distributed_sparse_sketch(
         out_specs=P("model", None),
         check_vma=False,
     )
-    return fn(A, rows, cols, vals)
+    out = fn(A, rows, cols, vals)
+    return out[:d] if d_pad_g != d else out
 
 
 def distributed_sketch_cols(
@@ -408,41 +413,148 @@ def distributed_sketch_cols(
     "sequence-parallel" layout for huge n (the analog of sequence/context
     sharding in training frameworks; SURVEY.md §2.3).
 
-    Zero communication: every device holds its own n-columns of A,
-    generates the SAME implicit operator from counters (bitwise identical
-    across devices — no broadcast needed), and computes its B columns
-    locally. The output stays column-sharded, P(None, 'data'), ready to
-    feed further column-sharded stages. The 'model' axis, if larger than
-    1, replicates (use distributed_sketch for d-sharding instead).
+    Zero communication: every device holds its own n-columns of A and a
+    row-block of the implicit operator (d sharded over 'model', generated
+    from counters at its global row offset — bit-identical to the
+    single-device operator), and computes its (d/model, n/data) output
+    block locally. The output is 2-D sharded, P('model', 'data'), ready
+    to feed further sharded stages; on a mesh with model == 1 this reduces
+    to the pure column-sharded layout. Shapes need not divide the mesh:
+    pad-and-shard (see _shard_extent) slices phantom rows/columns off.
     """
     require(isinstance(S, DenseSkOp), "takes a DenseSkOp")
-    from ..skge import sketch_general
-    from .. import skge as skge_mod
+    from ..base import Layout
+    from ..dense import DenseDistName, dist_to_layout
+    from ..ops import fused_sketch as fs
+    from ..rng.bits import mul64_u32, add64, ctr_add64
 
     d, m = S.shape
+    n = A.shape[1]
     require(A.shape[0] == m, "A row count must equal S.n_cols")
+    pm = mesh.shape["model"]
     pd = mesh.shape["data"]
-    require(A.shape[1] % pd == 0, "n must divide the 'data' axis size")
-
     dist, seed, dtype = S.dist, S.seed_state, S.dtype
+    d_per = _shard_extent(d, pm, seed.len_c)
+    n_per = _shard_extent(n, pd)
+    d_pad_g, n_pad_g = pm * d_per, pd * n_per
+    if n_pad_g != n:
+        A = jnp.pad(A, ((0, 0), (0, n_pad_g - n)))
+
+    fused_ok = (
+        use_fused is not False
+        and dtype == jnp.float32
+        and seed.rng in ("philox4x32", "threefry4x32")
+        and dist.family in (DenseDistName.Gaussian, DenseDistName.Uniform)
+        and dist_to_layout(dist) == Layout.RowMajor
+        and m % 4 == 0
+    )
+    if use_fused == "auto":
+        fused_ok = fused_ok and (interpret or _tpu_platform())
+    elif use_fused is True:
+        require(fused_ok, "fused distributed path forced but unsupported")
+
+    ctr_stride_global = (m + ((-m) % 4)) // 4
 
     def shard_fn(a_blk):
-        S_local = DenseSkOp(dist, seed, dtype=dtype)
-        if interpret:
-            # CPU testing: run the same dispatch but force the fused
-            # kernel's interpreter when requested
-            old = skge_mod.use_fused
-            try:
-                skge_mod.use_fused = False if use_fused is False else old
-                return sketch_general(S_local, a_blk, alpha=alpha)
-            finally:
-                skge_mod.use_fused = old
-        return sketch_general(S_local, a_blk, alpha=alpha)
+        mi = jax.lax.axis_index("model")
+        ro = mi.astype(jnp.uint32) * jnp.uint32(d_per)
+        if fused_ok:
+            lo, hi = mul64_u32(ro, jnp.uint32(ctr_stride_global))
+            ctr = ctr_add64(seed.counter, lo, hi)
+            pad = 8 - ctr.shape[0] - seed.key.shape[0]
+            parts = [ctr, seed.key]
+            if pad:
+                parts.append(jnp.zeros((pad,), jnp.uint32))
+            seed_words = jnp.concatenate(parts).reshape(1, 8)
+            d_pad, m_pad, n_pad, ti, tk, tn = fs._plan(d_per, m, n_per)
+            a_in = (jnp.pad(a_blk, ((0, m_pad - m), (0, n_pad - n_per)))
+                    if (n_pad != n_per or m_pad != m) else a_blk)
+            part = fs._fused_call(
+                seed_words, a_in, d=d_pad, m=m_pad,
+                gaussian=dist.family == DenseDistName.Gaussian,
+                alpha=float(alpha), ti=ti, tk=tk, tn=tn,
+                ctr_stride=ctr_stride_global, interpret=interpret,
+                rng=seed.rng, **fs.exec_opts(ti))
+            return part[:d_per, :n_per]
+        s_blk = fill_dense_submat_traced(dist, seed, d_per, m, ro,
+                                         jnp.uint32(0), dtype)
+        part = jnp.matmul(s_blk, a_blk.astype(dtype),
+                          preferred_element_type=dtype)
+        return jnp.asarray(alpha, dtype) * part
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=P(None, "data"),
-        out_specs=P(None, "data"),
+        out_specs=P("model", "data"),
         check_vma=False,
     )
-    return fn(A)
+    out = fn(A)
+    if d_pad_g != d or n_pad_g != n:
+        out = out[:d, :n]
+    return out
+
+
+def distributed_sketch_sparse_data(
+    S: DenseSkOp,
+    A,  # sparse matrix (COO/CSR/CSC), shape (m, n)
+    mesh: Mesh,
+    *,
+    alpha=1.0,
+) -> jax.Array:
+    """B = alpha * S @ A for a *dense* operator applied to *sparse data*,
+    distributed over the mesh — the multi-device counterpart of
+    sketch_sparse/lsksp3 (sparse_data/sksp.hh:148-345; SURVEY.md §7.8).
+
+    Sharding: the operator's d rows shard over 'model' (each device
+    generates its counter-addressed row block of the one global operator
+    — zero communication), and the contraction axis m (the sparse data's
+    long axis) shards over 'data': the tiny triplet arrays are replicated
+    and each device masks to its column window (the same shape-static
+    filtering coo_left_apply uses, the analog of set_filtered_coo), so
+    partial products psum over 'data' exactly like the dense path. Any
+    shape runs (pad-and-shard).
+
+    Returns B (d, n) with sharding P('model', None).
+    """
+    require(isinstance(S, DenseSkOp), "takes a DenseSkOp operator")
+    from ..ops.coo_apply import coo_left_apply
+    from ..sparse_data.conversions import to_coo
+
+    coo = to_coo(A)
+    m, n = coo.n_rows, coo.n_cols
+    d = S.n_rows
+    require(S.n_cols == m, "operator width must equal data row count")
+    pm = mesh.shape["model"]
+    pd = mesh.shape["data"]
+    dist, seed, dtype = S.dist, S.seed_state, S.dtype
+    d_per = _shard_extent(d, pm, seed.len_c)
+    m_per = _shard_extent(m, pd, seed.len_c)
+    d_pad_g = pm * d_per
+
+    rows, cols = coo.rows, coo.cols
+    vals = coo.vals.astype(dtype)
+
+    def shard_fn(rows, cols, vals):
+        mi = jax.lax.axis_index("model")
+        di = jax.lax.axis_index("data")
+        ro = mi.astype(jnp.uint32) * jnp.uint32(d_per)
+        co = di.astype(jnp.uint32) * jnp.uint32(m_per)
+        s_blk = fill_dense_submat_traced(dist, seed, d_per, m_per, ro, co,
+                                         dtype)
+        # part = s_blk @ A[co:co+m_per, :]; with the sparse operand on the
+        # right, apply through the transpose: part^T = A_window^T @
+        # s_blk^T, a sparse-left product with the COO index roles swapped
+        # (the zero-copy transposed-view trick, spmm_dispatch.hh:74-76).
+        part_t = coo_left_apply(cols, rows, vals, s_blk.T, d=n, m=m_per,
+                                ro=0, co=co.astype(jnp.int32),
+                                alpha=alpha)
+        return jax.lax.psum(part_t.T, "data")
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P("model", None),
+        check_vma=False,
+    )
+    out = fn(rows, cols, vals)
+    return out[:d] if d_pad_g != d else out

@@ -155,3 +155,176 @@ def test_distributed_sketch_cols(model, data):
     want = np.asarray(sketch_general(S, A))
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5,
                                atol=1e-5)
+
+
+# -------------------- round-3 additions (VERDICT items 3, 4, 8) ------------
+
+@pytest.mark.parametrize("model,data", [(1, 8), (2, 4), (8, 1)])
+def test_distributed_sparse_data(model, data):
+    """Dense operator x sparse DATA over the mesh (the distributed
+    counterpart of sketch_sparse/lsksp3)."""
+    from randblas_tpu.parallel import distributed_sketch_sparse_data
+    from randblas_tpu.sparse_data import COOMatrix
+    rng = np.random.default_rng(11)
+    m, n, d = 64, 24, 16
+    nnz = 150
+    rows = rng.integers(0, m, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.normal(size=nnz).astype(np.float32)
+    A = COOMatrix.from_arrays(m, n, rows, cols, vals)
+    S = DenseSkOp(DenseDist(d, m), RNGState.from_key(23))
+    mesh = make_sketch_mesh(model, data)
+    got = np.asarray(distributed_sketch_sparse_data(S, A, mesh))
+    from randblas_tpu.sksp import sketch_sparse
+    want = np.asarray(sketch_sparse(S, A))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("fn_kind", ["left", "right", "sparse_op",
+                                     "sparse_data", "cols"])
+def test_pad_and_shard_non_divisible(fn_kind):
+    """d=12, m=40 (and friends) on a 2x4 mesh: nothing divides, the
+    pad-and-shard scheme must still match the single-device oracle
+    exactly (generation) / to reduction tolerance (contraction)."""
+    from randblas_tpu.parallel import (
+        distributed_sketch_right, distributed_sketch_sparse_data,
+        distributed_sketch_cols,
+    )
+    mesh = make_sketch_mesh(2, 4)
+    rng = np.random.default_rng(5)
+    if fn_kind == "left":
+        d, m, n = 12, 40, 7
+        S = DenseSkOp(DenseDist(d, m), RNGState.from_key(31))
+        A = jnp.asarray(rng.normal(size=(m, n)).astype(np.float32))
+        got = np.asarray(distributed_sketch(S, A, mesh))
+        want = np.asarray(sketch_general(S, A))
+    elif fn_kind == "right":
+        m, d, rows = 40, 12, 5
+        S = DenseSkOp(DenseDist(m, d), RNGState.from_key(32))
+        A = jnp.asarray(rng.normal(size=(rows, m)).astype(np.float32))
+        got = np.asarray(distributed_sketch_right(S, A, mesh))
+        want = np.asarray(sketch_general(S, A, side="right"))
+    elif fn_kind == "sparse_op":
+        d, m, n = 12, 40, 7
+        Ss = SparseSkOp(SparseDist(d, m, vec_nnz=3), RNGState.from_key(33))
+        A = jnp.asarray(rng.normal(size=(m, n)).astype(np.float32))
+        got = np.asarray(distributed_sparse_sketch(Ss, A, mesh))
+        want = np.asarray(sketch_general(Ss, A))
+    elif fn_kind == "sparse_data":
+        from randblas_tpu.sparse_data import COOMatrix
+        from randblas_tpu.sksp import sketch_sparse
+        d, m, n = 12, 40, 9
+        nnz = 77
+        A = COOMatrix.from_arrays(
+            m, n, rng.integers(0, m, nnz), rng.integers(0, n, nnz),
+            rng.normal(size=nnz).astype(np.float32))
+        S = DenseSkOp(DenseDist(d, m), RNGState.from_key(34))
+        got = np.asarray(distributed_sketch_sparse_data(S, A, mesh))
+        want = np.asarray(sketch_sparse(S, A))
+    else:  # cols
+        d, m, n = 12, 40, 13
+        S = DenseSkOp(DenseDist(d, m), RNGState.from_key(35))
+        A = jnp.asarray(rng.normal(size=(m, n)).astype(np.float32))
+        got = np.asarray(distributed_sketch_cols(S, A, mesh))
+        want = np.asarray(sketch_general(S, A))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_cols_composes_with_model_axis():
+    """distributed_sketch_cols shards d over 'model' too (no replication):
+    the output is 2-D sharded P('model', 'data')."""
+    from randblas_tpu.parallel import distributed_sketch_cols
+    S = DenseSkOp(DenseDist(16, 64), RNGState.from_key(41))
+    A = jnp.asarray(np.random.default_rng(4).normal(
+        size=(64, 32)).astype(np.float32))
+    mesh = make_sketch_mesh(2, 4)
+    out = distributed_sketch_cols(S, A, mesh)
+    spec = out.sharding.spec
+    assert spec[0] == "model" and spec[1] == "data"
+    want = np.asarray(sketch_general(S, A))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-5)
+    # bitwise generation invariance: identity data
+    eye = jnp.eye(64, dtype=jnp.float32)
+    got = np.asarray(distributed_sketch_cols(S, eye, mesh))
+    np.testing.assert_array_equal(got, np.asarray(S.materialize()))
+
+
+# -------------------- distributed update scenarios 1-4 ---------------------
+# updates.rst:1-128 run ACROSS the mesh: seed-chained growth of d and m
+# with sharded operands must equal the sharded one-shot sketch exactly
+# (generation) / to psum reassociation tolerance (contraction).
+
+def _dop(n_rows, n_cols, ma, state):
+    from randblas_tpu import DenseDistName, MajorAxis
+    return DenseSkOp(DenseDist(n_rows, n_cols, DenseDistName.Gaussian, ma),
+                     state)
+
+
+def test_distributed_update_scenario_1_grow_d():
+    from randblas_tpu import MajorAxis
+    mesh = make_sketch_mesh(2, 4)
+    m, n, d1, d2 = 32, 6, 8, 12
+    A = jnp.asarray(np.random.default_rng(0).normal(
+        size=(m, n)).astype(np.float32))
+    c = RNGState.from_key(51)
+    S1 = _dop(d1, m, MajorAxis.Long, c)
+    S2 = _dop(d2, m, MajorAxis.Long, S1.next_state)
+    S = _dop(d1 + d2, m, MajorAxis.Long, c)
+    two_step = np.vstack([np.asarray(distributed_sketch(S1, A, mesh)),
+                          np.asarray(distributed_sketch(S2, A, mesh))])
+    one_shot = np.asarray(distributed_sketch(S, A, mesh))
+    np.testing.assert_allclose(two_step, one_shot, rtol=1e-6, atol=1e-6)
+
+
+def test_distributed_update_scenario_2_grow_m():
+    from randblas_tpu import MajorAxis
+    mesh = make_sketch_mesh(2, 4)
+    d, n, m1, m2 = 8, 6, 32, 24
+    rng = np.random.default_rng(1)
+    A1 = jnp.asarray(rng.normal(size=(m1, n)).astype(np.float32))
+    A2 = jnp.asarray(rng.normal(size=(m2, n)).astype(np.float32))
+    c = RNGState.from_key(52)
+    S1 = _dop(d, m1, MajorAxis.Short, c)
+    S2 = _dop(d, m2, MajorAxis.Short, S1.next_state)
+    S = _dop(d, m1 + m2, MajorAxis.Short, c)
+    B = (np.asarray(distributed_sketch(S1, A1, mesh))
+         + np.asarray(distributed_sketch(S2, A2, mesh)))
+    one_shot = np.asarray(distributed_sketch(S, jnp.vstack([A1, A2]), mesh))
+    np.testing.assert_allclose(B, one_shot, rtol=1e-5, atol=1e-5)
+
+
+def test_distributed_update_scenario_3_grow_d_right():
+    from randblas_tpu import MajorAxis
+    from randblas_tpu.parallel import distributed_sketch_right
+    mesh = make_sketch_mesh(2, 4)
+    n, rows, d1, d2 = 32, 5, 8, 12
+    A = jnp.asarray(np.random.default_rng(2).normal(
+        size=(rows, n)).astype(np.float32))
+    c = RNGState.from_key(53)
+    S1 = _dop(n, d1, MajorAxis.Long, c)
+    S2 = _dop(n, d2, MajorAxis.Long, S1.next_state)
+    S = _dop(n, d1 + d2, MajorAxis.Long, c)
+    two_step = np.hstack([
+        np.asarray(distributed_sketch_right(S1, A, mesh)),
+        np.asarray(distributed_sketch_right(S2, A, mesh))])
+    one_shot = np.asarray(distributed_sketch_right(S, A, mesh))
+    np.testing.assert_allclose(two_step, one_shot, rtol=1e-6, atol=1e-6)
+
+
+def test_distributed_update_scenario_4_new_data_right():
+    from randblas_tpu import MajorAxis
+    from randblas_tpu.parallel import distributed_sketch_right
+    mesh = make_sketch_mesh(2, 4)
+    d, rows, n1, n2 = 8, 5, 32, 24
+    rng = np.random.default_rng(3)
+    A1 = jnp.asarray(rng.normal(size=(rows, n1)).astype(np.float32))
+    A2 = jnp.asarray(rng.normal(size=(rows, n2)).astype(np.float32))
+    c = RNGState.from_key(54)
+    S1 = _dop(n1, d, MajorAxis.Short, c)
+    S2 = _dop(n2, d, MajorAxis.Short, S1.next_state)
+    S = _dop(n1 + n2, d, MajorAxis.Short, c)
+    B = (np.asarray(distributed_sketch_right(S1, A1, mesh))
+         + np.asarray(distributed_sketch_right(S2, A2, mesh)))
+    one_shot = np.asarray(
+        distributed_sketch_right(S, jnp.hstack([A1, A2]), mesh))
+    np.testing.assert_allclose(B, one_shot, rtol=1e-5, atol=1e-5)
