@@ -150,31 +150,24 @@ def time_colmajor():
     d_pad, m_pad, n_pad, ti, tk, tn = fs._plan_T(d, m, n)
     base = S.seed_state
     sw = fs._seed_words(base)
+    A16 = A.astype(jnp.bfloat16)
     variants = [
         ("T slab: exec_opts_T (prod)", fs._fused_call_T, ti, tk, tn,
-         fs.exec_opts_T(ti)),
-        ("T2 ti128 dots-only", fs._fused_call_T2, 128, tk, tn,
-         dict(nogen=True)),
-        ("T2 ti256 dots-only", fs._fused_call_T2, 256, tk, tn,
-         dict(nogen=True)),
-        ("T2 ti512 dots-only", fs._fused_call_T2, 512, tk, tn,
-         dict(nogen=True)),
-        ("T2 ti256 tk1024 dots-only", fs._fused_call_T2, 256, 1024, tn,
-         dict(nogen=True)),
-        ("T2 ti128 tk1024 dots-only", fs._fused_call_T2, 128, 1024, tn,
-         dict(nogen=True)),
-        ("T2 ti256 plain", fs._fused_call_T2, 256, tk, tn,
-         dict(fast_cos=True)),
-        ("T2 ti256 tk1024 plain", fs._fused_call_T2, 256, 1024, tn,
-         dict(fast_cos=True)),
-        ("T2 ti256 tk1024 alias", fs._fused_call_T2, 256, 1024, tn,
-         dict(fast_cos=True, alias_acc=True)),
-        ("T2 ti128 tk1024 plain", fs._fused_call_T2, 128, 1024, tn,
-         dict(fast_cos=True)),
-        ("T2 ti512 tk1024 plain", fs._fused_call_T2, 512, 1024, tn,
-         dict(fast_cos=True)),
+         dict(fs.exec_opts_T(ti)), False),
+        ("T slab ti256tk1024 bf16", fs._fused_call_T, 256, 1024, tn,
+         dict(fast_cos=True), True),
+        ("T slab ti512tk1024 bf16", fs._fused_call_T, 512, 1024, tn,
+         dict(fast_cos=True), True),
+        ("T slab ti512tk1024 bf16 rc2", fs._fused_call_T, 512, 1024, tn,
+         dict(fast_cos=True, row_chunks=2), True),
+        ("T slab ti256tk512 bf16", fs._fused_call_T, 256, 512, tn,
+         dict(fast_cos=True), True),
+        ("T slab ti1024tk1024 bf16", fs._fused_call_T, 1024, 1024, tn,
+         dict(fast_cos=True), True),
     ]
-    for label, call, ti_v, tk_v, tn_v, opts in variants:
+    for label, call, ti_v, tk_v, tn_v, opts, use16 in variants:
+        a_op = A16 if use16 else A
+
         def body(i, carry, s, a, call=call, ti_v=ti_v, tk_v=tk_v,
                  tn_v=tn_v, opts=opts):
             s2 = s.at[0, 4].add(i.astype(jnp.uint32)
@@ -182,10 +175,10 @@ def time_colmajor():
             out = call(s2, a, d=d_pad, m=m_pad, gaussian=True,
                        alpha=1.0, ti=ti_v, tk=tk_v, tn=tn_v,
                        ctr_stride=(d + (-d) % 4) // 4, **opts)
-            return jnp.sum(out) * jnp.float32(1e-20)
+            return jnp.sum(out.astype(jnp.float32)) * jnp.float32(1e-20)
 
         try:
-            t = time_loop(body, sw, A, iters_small=20, iters_large=220,
+            t = time_loop(body, sw, a_op, iters_small=20, iters_large=220,
                           repeats=3)
             g = flops / t / 1e9
             print(f"{label:28s}: {g:9.1f} GFLOP/s  vs_roof={g/roof:.4f}",
@@ -211,11 +204,114 @@ def time_colmajor():
           f"GFLOP/s  vs_roof={t_roof/t_staged:.4f}", flush=True)
 
 
+def time_fill():
+    """Pallas fill kernel vs XLA fill, plus the staged sketch end-to-end
+    with each, at the ColMajor lifting shape."""
+    import jax
+    import jax.numpy as jnp
+    import randblas_tpu as rb
+    from randblas_tpu import skge
+    from randblas_tpu.bench_util import time_loop
+    from randblas_tpu.ops import fused_sketch as fs
+
+    d, m, n = 4096, 1024, 4096
+    flops = 2.0 * d * m * n
+    S = rb.DenseSkOp(rb.DenseDist(d, m), rb.RNGState.from_key(0))
+    dist = S.dist
+    A = jnp.asarray(
+        np.random.default_rng(0).normal(size=(m, n)).astype(np.float32))
+    Smat = S.materialize()
+
+    def body_gemm(i, carry, s, a):
+        x = s.at[0, 0].add(carry)
+        out = jnp.matmul(x, a, preferred_element_type=jnp.float32)
+        return jnp.sum(out) * jnp.float32(1e-20)
+
+    t_roof = time_loop(body_gemm, Smat, A, iters_small=20,
+                       iters_large=220, repeats=3)
+    print(f"roofline GEMM: {flops/t_roof/1e9:.1f} GFLOP/s", flush=True)
+
+    # fill-only comparison (generate the d x m block each iteration)
+    def body_fill_xla(i, carry, _a):
+        st = rb.RNGState.from_arrays(
+            jnp.zeros(4, jnp.uint32).at[0].set(
+                (carry * 1e-30).astype(jnp.uint32) + i.astype(jnp.uint32)),
+            jnp.zeros(2, jnp.uint32))
+        blk = rb.fill_dense_submat(dist, st, d, m)
+        return jnp.sum(blk) * jnp.float32(1e-20)
+
+    t = time_loop(body_fill_xla, A, iters_small=20, iters_large=220,
+                  repeats=3)
+    print(f"fill XLA   : {t*1e6:8.1f} us", flush=True)
+
+    def body_fill_pallas(i, carry, _a):
+        st = rb.RNGState.from_arrays(
+            jnp.zeros(4, jnp.uint32).at[0].set(
+                (carry * 1e-30).astype(jnp.uint32) + i.astype(jnp.uint32)),
+            jnp.zeros(2, jnp.uint32))
+        S2 = rb.DenseSkOp(dist, st)
+        blk = fs.pallas_fill_block(S2, d, m)
+        return jnp.sum(blk) * jnp.float32(1e-20)
+
+    t = time_loop(body_fill_pallas, A, iters_small=20, iters_large=220,
+                  repeats=3)
+    print(f"fill Pallas: {t*1e6:8.1f} us", flush=True)
+
+    # staged sketch end-to-end with each fill
+    for label, flag in [("staged+XLA fill", False),
+                        ("staged+Pallas fill", "auto")]:
+        skge.use_pallas_fill = flag
+
+        def body(i, carry, a):
+            st = rb.RNGState.from_arrays(
+                jnp.zeros(4, jnp.uint32).at[0].set(
+                    (carry * 1e-30).astype(jnp.uint32)
+                    + i.astype(jnp.uint32)),
+                jnp.zeros(2, jnp.uint32))
+            S2 = rb.DenseSkOp(dist, st)
+            out = rb.sketch_general(S2, a)
+            return jnp.sum(out) * jnp.float32(1e-20)
+
+        t = time_loop(body, A, iters_small=20, iters_large=220, repeats=3)
+        g = flops / t / 1e9
+        print(f"{label:20s}: {g:9.1f} GFLOP/s  vs_roof={t_roof/t:.4f}",
+              flush=True)
+    skge.use_pallas_fill = "auto"
+
+    # RowMajor staged short-m gate shape (m=1024): does pallas fill move
+    # the staged path the auto gate prefers there?
+    d2, m2, n2 = 1024, 1024, 4096
+    dist2 = rb.DenseDist(d2, m2)
+    A2 = jnp.asarray(
+        np.random.default_rng(1).normal(size=(m2, n2)).astype(np.float32))
+    flops2 = 2.0 * d2 * m2 * n2
+    for label, flag in [("rm short-m staged+XLA", False),
+                        ("rm short-m staged+Pallas", "auto")]:
+        skge.use_pallas_fill = flag
+
+        def body(i, carry, a):
+            st = rb.RNGState.from_arrays(
+                jnp.zeros(4, jnp.uint32).at[0].set(
+                    (carry * 1e-30).astype(jnp.uint32)
+                    + i.astype(jnp.uint32)),
+                jnp.zeros(2, jnp.uint32))
+            S2 = rb.DenseSkOp(dist2, st)
+            out = rb.sketch_general(S2, a)
+            return jnp.sum(out) * jnp.float32(1e-20)
+
+        t = time_loop(body, A2, iters_small=20, iters_large=220,
+                      repeats=3)
+        print(f"{label:24s}: {flops2/t/1e9:9.1f} GFLOP/s", flush=True)
+    skge.use_pallas_fill = "auto"
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "check"
     if mode == "check":
         check()
     elif mode == "colmajor":
         time_colmajor()
+    elif mode == "fill":
+        time_fill()
     else:
         time_sweep()

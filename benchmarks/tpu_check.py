@@ -1,0 +1,41 @@
+"""On-hardware kernel correctness artifact: runs the hardware-gated test
+tier (tests/test_tpu_hardware.py) on the real TPU and records the outcome
+as TPUCHECK_r{N}.json next to the bench artifacts.
+
+Usage: python benchmarks/tpu_check.py [round_number]
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "03"
+    env = dict(os.environ, RBT_TPU_TESTS="1",
+               PYTHONPATH=ROOT + ":" + os.environ.get("PYTHONPATH", ""))
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_tpu_hardware.py",
+         "-q", "--no-header"],
+        cwd=ROOT, env=env, capture_output=True, text=True, timeout=1800)
+    tail = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
+    rec = {
+        "check": "tpu_hardware_kernel_correctness",
+        "ok": proc.returncode == 0,
+        "summary": tail,
+        "tests": "tests/test_tpu_hardware.py (fused RowMajor philox+"
+                 "threefry, unaligned submatrix, fused ColMajor, "
+                 "BlockedELL, f64 hiprec — componentwise bound)",
+    }
+    path = os.path.join(ROOT, f"TPUCHECK_r{rnd}.json")
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec))
+    sys.exit(proc.returncode)
+
+
+if __name__ == "__main__":
+    main()

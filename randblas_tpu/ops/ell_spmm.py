@@ -120,14 +120,29 @@ class BlockedELL:
 
 
 def _kernel(ci_ref, v_ref, b_ref, o_ref, *, ti, kb_sz, bw, alpha):
+    """One (TI, TN) output tile step: build the densified panel for
+    column block k directly in bf16 (one where-select per slot — bf16
+    adds are exact here: slot values land on disjoint panel entries, so
+    nothing ever rounds), then one MXU contraction.
+
+    No software pipelining/skew variant exists anymore: VPU and MXU
+    costs are STRICTLY ADDITIVE on v5e (matmul streaming occupies the
+    issue pipeline; measured for the fused sketch kernels, ROADMAP.md),
+    so a build/dot overlap schedule cannot win by construction — the
+    former _kernel_skew variant never measured a gain and was removed.
+    The wins are fewer VPU ops: bw=8 slot tables (kb=128 blocks), bf16
+    panel builds, and the pre-cast bf16 B operand (b is revisited n_i
+    times; the caller casts once)."""
     iota = jax.lax.broadcasted_iota(jnp.int32, (kb_sz, 1), 0)
+    # panel built in f32 (a bf16 build SIGABRTs the Mosaic compiler on
+    # this toolchain), cast once at dot time; B arrives pre-cast bf16.
     panel_t = jnp.zeros((kb_sz, ti), jnp.float32)
     for s in range(bw):
         c = ci_ref[s:s + 1, :]               # (1, TI) local column ids
         v = v_ref[s:s + 1, :]
         panel_t = panel_t + jnp.where(iota == c, v, jnp.float32(0.0))
     contrib = jax.lax.dot_general(
-        panel_t.astype(jnp.bfloat16), b_ref[:].astype(jnp.bfloat16),
+        panel_t.astype(jnp.bfloat16), b_ref[:],
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     if alpha != 1.0:
         contrib = jnp.float32(alpha) * contrib
@@ -143,119 +158,42 @@ def _kernel(ci_ref, v_ref, b_ref, o_ref, *, ti, kb_sz, bw, alpha):
         o_ref[:] = o_ref[:] + contrib
 
 
-def _kernel_skew(ci_ref, v_ref, b_ref, o_ref, pan_a, pan_b, *, ti, kb_sz,
-                 bw, alpha, n_k):
-    """Software-pipelined variant: grid k runs 0..n_k; step k issues the
-    MXU dot of the panel built at step k-1 (from the alternate scratch)
-    FIRST, then builds this step's panel on the VPU — with no data
-    dependence between the two, the scheduler overlaps MXU and VPU work
-    (the plain kernel serializes them: build -> dot every step)."""
-    k = pl.program_id(2)
-    even = (k % 2) == 0
-    iota = jax.lax.broadcasted_iota(jnp.int32, (kb_sz, 1), 0)
-
-    def dot_from(pan):
-        contrib = jax.lax.dot_general(
-            pan[:].astype(jnp.bfloat16), b_ref[:].astype(jnp.bfloat16),
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        if alpha != 1.0:
-            contrib = jnp.float32(alpha) * contrib
-        return contrib
-
-    # dot the PREVIOUS step's panel: k odd -> it sits in pan_a (built at
-    # even k-1), k even -> pan_b
-    @pl.when(k == 1)
-    def _():
-        o_ref[:] = dot_from(pan_a)
-
-    @pl.when((k > 1) & jnp.logical_not(even))
-    def _():
-        o_ref[:] = o_ref[:] + dot_from(pan_a)
-
-    @pl.when((k > 0) & even)
-    def _():
-        o_ref[:] = o_ref[:] + dot_from(pan_b)
-
-    def build_into(pan):
-        panel_t = jnp.zeros((kb_sz, ti), jnp.float32)
-        for s in range(bw):
-            cc = ci_ref[s:s + 1, :]
-            vv = v_ref[s:s + 1, :]
-            panel_t = panel_t + jnp.where(iota == cc, vv,
-                                          jnp.float32(0.0))
-        pan[:] = panel_t
-
-    @pl.when((k < n_k) & even)
-    def _():
-        build_into(pan_a)
-
-    @pl.when((k < n_k) & jnp.logical_not(even))
-    def _():
-        build_into(pan_b)
-
-
 @functools.partial(jax.jit, static_argnames=("alpha", "ti", "kb", "tn",
-                                             "bw", "interpret", "skew"))
-def _call(ci, v, b, *, alpha, ti, kb, tn, bw, interpret, skew=False):
+                                             "bw", "interpret"))
+def _call(ci, v, b, *, alpha, ti, kb, tn, bw, interpret):
     m = ci.shape[1]
     n = b.shape[1]
     n_i, n_j, n_k = m // ti, n // tn, b.shape[0] // kb
-    if not skew:
-        kernel = functools.partial(_kernel, ti=ti, kb_sz=kb, bw=bw,
-                                   alpha=alpha)
-        return pl.pallas_call(
-            kernel,
-            grid=(n_i, n_j, n_k),
-            interpret=interpret,
-            in_specs=[
-                pl.BlockSpec((bw, ti), lambda i, j, k: (k, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bw, ti), lambda i, j, k: (k, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((kb, tn), lambda i, j, k: (k, j),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((ti, tn), lambda i, j, k: (i, j),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-        )(ci, v, b)
-
-    kernel = functools.partial(_kernel_skew, ti=ti, kb_sz=kb, bw=bw,
-                               alpha=alpha, n_k=n_k)
-    last = n_k - 1
+    kernel = functools.partial(_kernel, ti=ti, kb_sz=kb, bw=bw,
+                               alpha=alpha)
     return pl.pallas_call(
         kernel,
-        grid=(n_i, n_j, n_k + 1),
+        grid=(n_i, n_j, n_k),
         interpret=interpret,
         in_specs=[
-            pl.BlockSpec((bw, ti),
-                         lambda i, j, k: (jnp.minimum(k, last), i),
+            pl.BlockSpec((bw, ti), lambda i, j, k: (k, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bw, ti),
-                         lambda i, j, k: (jnp.minimum(k, last), i),
+            pl.BlockSpec((bw, ti), lambda i, j, k: (k, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kb, tn),
-                         lambda i, j, k: (jnp.maximum(k - 1, 0), j),
+            pl.BlockSpec((kb, tn), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((ti, tn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((kb, ti), jnp.float32),
-                        pltpu.VMEM((kb, ti), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(ci, v, b)
 
 
 def blocked_ell_matmul(bell: BlockedELL, b, alpha=1.0,
-                       interpret: bool = False, ti: int = None,
-                       skew: bool = False):
+                       interpret: bool = False, ti: int = None):
     """alpha * bell @ b through the blocked one-hot kernel.
-    b: (n_cols, n), float32."""
-    b = jnp.asarray(b, jnp.float32)
+    b: (n_cols, n), float32 (pre-cast once to bf16 — the kernel's dots
+    run bf16 either way, and B blocks are revisited n_i times, so the
+    one-time cast replaces n_i in-kernel cast passes and halves the
+    B DMA)."""
+    b = jnp.asarray(b, jnp.float32).astype(jnp.bfloat16)
     require(b.ndim == 2 and b.shape[0] == bell.n_cols,
             "operand height must equal n_cols")
     m_pad = bell.local_cols.shape[1]
@@ -276,6 +214,5 @@ def blocked_ell_matmul(bell: BlockedELL, b, alpha=1.0,
     if k_pad != b.shape[0] or n_pad != n:
         b = jnp.pad(b, ((0, k_pad - b.shape[0]), (0, n_pad - n)))
     out = _call(bell.local_cols, bell.vals, b, alpha=float(alpha),
-                ti=ti, kb=kb, tn=tn, bw=bell.bw, interpret=interpret,
-                skew=skew)
+                ti=ti, kb=kb, tn=tn, bw=bell.bw, interpret=interpret)
     return out[:bell.n_rows, :n]

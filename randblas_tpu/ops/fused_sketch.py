@@ -127,7 +127,7 @@ def _gen_panel_words(seed_ref, d: int, tk: int, ctr_stride: int,
 def _kernel(seed_ref, a0, a1, a2, a3, *refs, ti, tk,
             ctr_stride, gaussian, alpha, row_chunks=1,
             nogen=False, alias_acc=False, fast_cos=False,
-            rng="philox4x32"):
+            rng="philox4x32", where_acc=False):
     """Grid (n_i, n_j, n_k), k INNERMOST. The (ti, tn) output block's index
     (i, j) is constant across the k sweep, so it stays VMEM-resident and is
     written back to HBM exactly once per (i, j) — zero accumulator traffic.
@@ -231,10 +231,25 @@ def _kernel(seed_ref, a0, a1, a2, a3, *refs, ti, tk,
             v = gen(r + 1)
         sl = pl.ds(r * chunk, chunk)
 
+        if where_acc:
+            # straight-line accumulate WITHOUT aliasing: at k == 0 the
+            # out block's VMEM holds garbage, which the elementwise
+            # select discards (select does not propagate NaN/Inf from
+            # the unselected branch) — one unconditional store per
+            # chunk, same schedulability as the old aliased form but
+            # with no zero-initialized input to rely on.
+            prev = jnp.where(k == 0, jnp.float32(0.0), out_ref[sl, :])
+            out_ref[sl, :] = prev + contrib
+            continue
+
         if alias_acc:
             # out_ref arrives zero-initialized through input aliasing:
             # the accumulate is unconditional, leaving the whole step one
             # straight-line block the scheduler can interleave freely.
+            # WARNING: measured WRONG on hardware at some shapes (the
+            # aliased zeros' initialization can be elided — see
+            # ROADMAP.md round 3); kept only as a timing diagnostic,
+            # never dispatched.
             out_ref[sl, :] = out_ref[sl, :] + contrib
             continue
 
@@ -284,10 +299,12 @@ def _plan(d: int, m: int, n: int):
 
 @functools.partial(jax.jit, static_argnames=(
     "d", "m", "gaussian", "alpha", "ti", "tk", "tn", "ctr_stride",
-    "interpret", "row_chunks", "nogen", "alias_acc", "fast_cos", "rng"))
+    "interpret", "row_chunks", "nogen", "alias_acc", "fast_cos", "rng",
+    "where_acc"))
 def _fused_call(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
                 ctr_stride, interpret=False, row_chunks=1, nogen=False,
-                alias_acc=False, fast_cos=False, rng="philox4x32"):
+                alias_acc=False, fast_cos=False, rng="philox4x32",
+                where_acc=False):
     n = A.shape[1]
     n_i = d // ti
     n_k = m // tk
@@ -304,7 +321,8 @@ def _fused_call(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
                                gaussian=gaussian, alpha=alpha,
                                row_chunks=row_chunks,
                                nogen=nogen, alias_acc=alias_acc,
-                               fast_cos=fast_cos, rng=rng)
+                               fast_cos=fast_cos, rng=rng,
+                               where_acc=where_acc)
 
     def lane_spec(lane):
         col_blocks = n // tn
@@ -425,127 +443,121 @@ def _kernel_T(seed_ref, a_ref, *refs, ti, tk, ctr_stride,
                 o_ref[sl, :] = o_ref[sl, :] + contrib
 
 
-def _kernel_T2(seed_ref, a_ref, *refs, ti, tk, ctr_stride,
-               gaussian, alpha, rng="philox4x32", row_chunks=1,
-               alias_acc=False, fast_cos=False, nogen=False):
-    """ColMajor-natural variant with STACKED slabs: one full-M dot.
+def _kernel_fill(seed_ref, o0, o1, o2, o3, *, ti, tk, ctr_stride,
+                 gaussian, rng, fast_cos):
+    """Pure generation kernel: writes the (ti, tk) tile of the
+    natural-orientation parent at grid position (i, k) as four lane
+    slabs o_l (ti, tk/4), o_l[r, b] = M[i*ti + r, 4*(k*tk/4 + b) + l].
 
-    Same lane-slab generation as _kernel_T (v_l[b, c] = S[4b+l, c]), but
-    instead of four M=ti/4 dots into four slab outputs, the slabs are
-    concatenated along the sublane axis (ti/4 is a multiple of the 8-row
-    tile, so the concat is pure register placement) and contracted in ONE
-    (ti, tk) x (tk, tn) MXU dot — the same shape the RowMajor kernel
-    runs. The single (ti, tn) accumulator holds rows in slab-scrambled
-    order (tile row l*(ti/4)+b = operator row 4b+l); the caller
-    unscrambles with the same one-pass XLA epilogue the slab kernel
-    already paid for its 4-output interleave."""
+    This is the fused kernel's generator with the MXU removed: the fill
+    itself runs at in-register generation speed and the caller
+    interleaves the slabs with one fused XLA pass. On v5e this beats the
+    XLA fill (vectorized gather-free as it already is) because the
+    counter math, Philox rounds and Box-Muller all stay in registers
+    with zero intermediate HBM traffic."""
     i = pl.program_id(0)
-    k = pl.program_id(2)
-    out_ref = refs[-1]
-    ci = ti // row_chunks
-    assert ci * row_chunks == ti and ci % 4 == 0
-
-    base_blocks = i.astype(jnp.uint32) * jnp.uint32(ti // 4)
-    row_off = k.astype(jnp.uint32) * jnp.uint32(tk)
-
-    def gen(c):
-        if nogen:  # timing diagnostic: dots-only bound (see _kernel)
-            s2d = jnp.full((ci // 4, tk),
-                           seed_ref[0, 4] & jnp.uint32(1), jnp.uint32)
-            s = pltpu.bitcast(s2d, jnp.int32).astype(jnp.float32)
-            z = jnp.float32(0.5) + s + jnp.float32(c)
-            return z, z + 1.0, z + 2.0, z + 3.0
-        k_blocks = base_blocks + jnp.uint32(c * (ci // 4))
-        return _gen_panel_words(seed_ref, ci // 4, tk, ctr_stride,
-                                k_blocks, gaussian, row_off,
-                                rng=rng, fast_cos=fast_cos,
-                                stride_axis=1)
-
-    a_bf = a_ref[:].astype(jnp.bfloat16)
-
-    v = gen(0)
-    for c in range(row_chunks):
-        s_tile = jnp.concatenate(
-            [v[0].astype(jnp.bfloat16), v[1].astype(jnp.bfloat16),
-             v[2].astype(jnp.bfloat16), v[3].astype(jnp.bfloat16)],
-            axis=0)                                   # (ci, tk) scrambled
-        if c + 1 < row_chunks:
-            v = gen(c + 1)
-        contrib = jnp.dot(s_tile, a_bf,
-                          preferred_element_type=jnp.float32)
-        if alpha != 1.0:
-            contrib = jnp.float32(alpha) * contrib
-        sl = pl.ds(c * ci, ci)
-        if alias_acc:
-            out_ref[sl, :] = out_ref[sl, :] + contrib
-            continue
-
-        @pl.when(k == 0)
-        def _(contrib=contrib, sl=sl):
-            out_ref[sl, :] = contrib
-
-        @pl.when(k != 0)
-        def _(contrib=contrib, sl=sl):
-            out_ref[sl, :] = out_ref[sl, :] + contrib
+    k = pl.program_id(1)
+    row_off = i.astype(jnp.uint32) * jnp.uint32(ti)
+    k_blocks = k.astype(jnp.uint32) * jnp.uint32(tk // 4)
+    v0, v1, v2, v3 = _gen_panel_words(seed_ref, ti, tk, ctr_stride,
+                                      k_blocks, gaussian, row_off,
+                                      fast_cos=fast_cos, rng=rng,
+                                      stride_axis=0)
+    o0[:] = v0
+    o1[:] = v1
+    o2[:] = v2
+    o3[:] = v3
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "d", "m", "gaussian", "alpha", "ti", "tk", "tn", "ctr_stride",
-    "interpret", "rng", "row_chunks", "alias_acc", "fast_cos", "nogen"))
-def _fused_call_T2(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
-                   ctr_stride, interpret=False, rng="philox4x32",
-                   row_chunks=1, alias_acc=False, fast_cos=False,
-                   nogen=False):
-    """pallas_call wrapper for the stacked ColMajor kernel. Returns the
-    UNSCRAMBLED (d, n) sketch; the row permutation (per i-tile and per
-    row-chunk, tile row c*ci + l*(ci/4)+b <-> operator row
-    i*ti + c*ci + 4b+l) is undone by one reshape/transpose epilogue."""
-    n = A.shape[1]
-    n_i = d // ti
-    n_j = n // tn
-    n_k = m // tk
-
-    kernel = functools.partial(_kernel_T2, ti=ti, tk=tk,
+    "rows", "cols", "gaussian", "ti", "tk", "ctr_stride", "interpret",
+    "rng", "fast_cos"))
+def _fill_call(seed_words, *, rows, cols, gaussian, ti, tk, ctr_stride,
+               interpret=False, rng="philox4x32", fast_cos=True):
+    """(rows, cols) natural-orientation fill from the seed (rows/cols
+    pre-padded to ti/tk multiples). Returns the interleaved array."""
+    n_i, n_k = rows // ti, cols // tk
+    kernel = functools.partial(_kernel_fill, ti=ti, tk=tk,
                                ctr_stride=ctr_stride, gaussian=gaussian,
-                               alpha=alpha, rng=rng,
-                               row_chunks=row_chunks, alias_acc=alias_acc,
-                               fast_cos=fast_cos, nogen=nogen)
-    in_specs = [
-        pl.BlockSpec((1, 8), lambda i, j, k: (i - i, i - i),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((tk, tn), lambda i, j, k: (k, j),
-                     memory_space=pltpu.VMEM),
-    ]
-    operands = [seed_words, A]
-    alias = {}
-    if alias_acc:
-        in_specs.append(pl.BlockSpec((ti, tn), lambda i, j, k: (i, j),
-                                     memory_space=pltpu.VMEM))
-        operands.append(jnp.zeros((d, n), jnp.float32))
-        alias = {2: 0}
-    out = pl.pallas_call(
+                               rng=rng, fast_cos=fast_cos)
+    slab = jax.ShapeDtypeStruct((rows, cols // 4), jnp.float32)
+    spec = pl.BlockSpec((ti, tk // 4), lambda i, k: (i, k),
+                        memory_space=pltpu.VMEM)
+    o0, o1, o2, o3 = pl.pallas_call(
         kernel,
-        grid=(n_i, n_j, n_k),
+        grid=(n_i, n_k),
         interpret=interpret,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((ti, tn), lambda i, j, k: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((d, n), jnp.float32),
-        input_output_aliases=alias,
+        in_specs=[pl.BlockSpec((1, 8), lambda i, k: (i - i, i - i),
+                               memory_space=pltpu.SMEM)],
+        out_specs=[spec] * 4,
+        out_shape=[slab] * 4,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=2 * d * m * n,
-            bytes_accessed=m * n * 4 + d * n * 4,
-            transcendentals=d * m if gaussian else 0,
-        ),
-    )(*operands)
-    # unscramble: within each (i, chunk) group, tile row l*(ci/4)+b is
-    # operator row 4b+l
-    ci = ti // row_chunks
-    out = out.reshape(d // ci, 4, ci // 4, n)
-    out = jnp.swapaxes(out, 1, 2).reshape(d, n)
-    return out
+            flops=0, bytes_accessed=rows * cols * 4,
+            transcendentals=rows * cols if gaussian else 0),
+    )(seed_words)
+    # one fused interleave pass: M[r, 4b + l] = o_l[r, b]
+    return jnp.stack([o0, o1, o2, o3], axis=-1).reshape(rows, cols)
+
+
+def _plan_fill(rows: int, cols: int):
+    tk = min(512, -(-cols // 4) * 4)
+    cols_pad = -(-cols // tk) * tk
+    ti = min(512, -(-rows // 8) * 8)
+    rows_pad = -(-rows // ti) * ti
+    return rows_pad, cols_pad, ti, tk
+
+
+def pallas_fill_supported(dist, dtype, rng: str) -> bool:
+    from ..dense import DenseDistName
+    return (jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+            and dist.family in (DenseDistName.Gaussian,
+                                DenseDistName.Uniform)
+            and rng in _SUPPORTED_RNGS)
+
+
+def pallas_fill_block(S, rows_s: int, cols_s: int, ro_s: int = 0,
+                      co_s: int = 0, interpret: bool = False):
+    """Counter-addressed (rows_s, cols_s) block of S at (ro_s, co_s) in
+    MATH orientation, generated by the Pallas fill kernel.
+
+    Same counter addressing as fill_dense_submat (dense_skops.hh:487-532
+    semantics): the natural-orientation parent walks its minor axis in
+    counter lanes, unaligned minor offsets reduce to the previous lane
+    boundary + slice, and the counter stride always comes from the TRUE
+    parent minor extent. uint32 streams are bit-identical to the XLA
+    fill; Gaussian float values agree within the documented
+    cross-compiler transcendental tolerance (rng/transforms.py).
+    """
+    from ..base import Layout
+    from ..dense import DenseDistName, dist_to_layout, major_axis_length
+
+    dist = S.dist
+    natural = dist_to_layout(dist)
+    if natural == Layout.ColMajor:
+        # natural matrix is the transposed parent: swap roles
+        g_rows, g_cols = cols_s, rows_s
+        g_ro, g_co = co_s, ro_s
+        parent_minor = dist.n_rows
+    else:
+        g_rows, g_cols = rows_s, cols_s
+        g_ro, g_co = ro_s, co_s
+        parent_minor = dist.n_cols
+    ctr_size = 4
+    ctr_stride = (parent_minor + ((-parent_minor) % ctr_size)) // ctr_size
+    fbs = g_co % ctr_size
+    co_al = g_co - fbs
+    cols_gen = g_cols + fbs
+    rows_pad, cols_pad, ti, tk = _plan_fill(g_rows, cols_gen)
+    base = S.seed_state.incr(g_ro * ctr_stride + co_al // ctr_size)
+    out = _fill_call(
+        _seed_words(base), rows=rows_pad, cols=cols_pad,
+        gaussian=dist.family == DenseDistName.Gaussian, ti=ti, tk=tk,
+        ctr_stride=ctr_stride, interpret=interpret, rng=S.seed_state.rng,
+        fast_cos=False)
+    out = out[:g_rows, fbs:fbs + g_cols]
+    return out.T if natural == Layout.ColMajor else out
 
 
 def _plan_T(d: int, m: int, n: int):
@@ -553,12 +565,16 @@ def _plan_T(d: int, m: int, n: int):
 
     ti is the d-axis tile (lane axis: ti/4 is the generated minor dim —
     keep it a multiple of 128 when d allows); tk is the m-axis tile (G
-    rows / contraction)."""
+    rows / contraction). Measured on v5e at the 4096x1024 @ 4096 lifting
+    shape (benchmarks/fused_tune.py colmajor): tk covering the whole
+    contraction (1024 > 512: 0.50 -> 0.52 of the roofline) and ti = 512
+    with two row chunks beat every larger-tile config — big VMEM out
+    tiles measurably hurt (ti=1024: 0.44)."""
     n_pad = -(-n // 128) * 128
     tn = _largest_divisor_leq(n_pad, 4096, 128)
-    ti = min(1024, -(-d // 32) * 32)
+    ti = min(512, -(-d // 32) * 32)
     d_pad = -(-d // ti) * ti
-    tk = min(512, -(-m // 32) * 32)
+    tk = min(1024, -(-m // 32) * 32)
     m_pad = -(-m // tk) * tk
     return d_pad, m_pad, n_pad, ti, tk, tn
 
@@ -567,36 +583,40 @@ _SUPPORTED_RNGS = ("philox4x32", "threefry4x32")
 
 
 def exec_opts_T(ti: int) -> dict:
-    """Execution options for the ColMajor (lane-slab generation)
-    kernel. Measured on v5e at the lifting shape 4096x1024 @ 4096 with
-    220-iteration loops (shorter loops sit under the tunnel's noise
-    floor and mislead): for the slab form the plain pl.when schedule is
-    best (78.8 TFLOP/s vs 73.0 with alias+chunks, 66.0 with alias
-    alone) — the RowMajor kernel's alias/chunk tuning does not carry
-    over to the 4-slab-output structure. Only the polynomial Box-Muller
-    does.
+    """Execution options for the ColMajor (lane-slab generation) kernel.
 
-    NOTE the kernel reaches ~0.45 of the materialized-GEMM roofline at
-    that shape while the staged fill+GEMM path reaches 0.58, so auto
-    dispatch prefers the staged path except where generation-in-kernel
-    wins outright (very wide sketches or operators too big to
-    materialize; see skge._left_colmajor_fused_or_none)."""
-    del ti
-    return dict(fast_cos=True)
+    Measured on v5e at the lifting shape 4096x1024 @ 4096 with
+    220-iteration loops (shorter loops sit under the tunnel's noise
+    floor and mislead). Round-3 production config: polynomial Box-Muller
+    + TWO row chunks (gen/dot interleave) + the caller PRE-CASTING A to
+    bf16 (fused_sketch_colmajor does this): each A tile is revisited
+    n_i times by the ColMajor grid, so the one-time cast pass replaces
+    n_i in-kernel cast passes AND halves the re-DMA — worth ~0.05 of
+    the roofline. Same-run comparison: 0.516 vs 0.474 staged fill+GEMM
+    (the round-2 config measured 0.45 vs 0.58 — the full history and
+    the stacked-kernel/pallas-fill dead ends are in ROADMAP.md).
+    alias_acc measured WORSE for this kernel (0.35) — keep pl.when."""
+    rc = 2 if ti % 8 == 0 else 1
+    return dict(fast_cos=True, row_chunks=rc)
 
 
 def exec_opts(ti: int) -> dict:
     """Production execution options for the RowMajor kernel, from the
     v5e tuning sweeps (benchmarks/fused_tune.py; full history in
-    ROADMAP.md): a pl.when-free straight-line body via the aliased
-    zero-initialized accumulator, ~32-row generation chunks interleaved
-    with the dots, and the sqrt-form Box-Muller cosine. Measured 0.90x
-    of the materialized-GEMM roofline at the headline shape vs 0.75 for
-    the round-1 schedule (uniform operators exceed the roofline, 1.05x).
+    ROADMAP.md): a pl.when-free straight-line body, ~32-row generation
+    chunks interleaved with the dots, and the polynomial Box-Muller.
+
+    Round-3 CORRECTNESS FIX: the straight-line body now uses where_acc
+    (k==0 read discarded by an elementwise select) instead of the
+    round-2 aliased zero-initialized accumulator — alias_acc measured
+    WRONG on hardware at some shapes (e.g. d=256, n=1024: the aliased
+    zeros' initialization is elided and the kernel accumulates onto
+    garbage; caught by tests/test_tpu_hardware.py). where_acc keeps the
+    branch-free schedule at ~equal speed.
     """
     target = max(1, ti // 32)
     rc = next((r for r in range(target, 0, -1) if ti % r == 0), 1)
-    return dict(alias_acc=True, row_chunks=rc, fast_cos=True)
+    return dict(where_acc=True, row_chunks=rc, fast_cos=True)
 
 
 def _seed_words(state) -> jax.Array:
@@ -685,8 +705,13 @@ def fused_sketch_colmajor(S, A, alpha=1.0, interpret=False, rows_s=None,
     assert dist_to_layout(S.dist) == Layout.ColMajor
     assert major_axis_length(S.dist) == S.dist.n_rows
     A = jnp.asarray(A)
-    if A.dtype != jnp.bfloat16:  # bf16 streams through uncast (half DMA)
-        A = A.astype(jnp.float32)
+    in_bf16 = A.dtype == jnp.bfloat16
+    # pre-cast A to bf16: the ColMajor grid revisits each A tile n_i
+    # times, so one cast pass replaces n_i in-kernel casts and halves
+    # the tile re-DMA (numerically identical — the kernel's dots cast to
+    # bf16 either way). The f32 path's output stays f32.
+    if not in_bf16:
+        A = A.astype(jnp.float32).astype(jnp.bfloat16)
     ctr_size = 4
     parent_d = S.dist.n_rows
     ctr_stride = (parent_d + ((-parent_d) % ctr_size)) // ctr_size
@@ -705,7 +730,7 @@ def fused_sketch_colmajor(S, A, alpha=1.0, interpret=False, rows_s=None,
                         interpret=interpret, rng=S.seed_state.rng,
                         **exec_opts_T(ti))
     out = out[fbs:fbs + rows_s, :n]
-    return out.astype(A.dtype) if A.dtype == jnp.bfloat16 else out
+    return out.astype(jnp.bfloat16) if in_bf16 else out
 
 
 def fused_sketch_colmajor_supported(dist, n_rows: int, n_cols: int,

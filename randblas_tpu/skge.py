@@ -40,6 +40,18 @@ use_fused = "auto"
 # False always uses jnp.matmul.
 use_hiprec_f64 = "auto"
 
+# Staged-path fill policy: False (default) uses the XLA fill; True
+# routes operator-block generation through the Pallas fill kernel
+# (ops/fused_sketch.py pallas_fill_block — interpret mode off-TPU).
+# MEASURED on v5e at the 4096x1024 lifting shape: XLA fill 137us vs
+# Pallas fill 212us (the XLA fill is already near the generation
+# compute bound; the slab-interleave epilogue costs the Pallas path an
+# extra pass), so the XLA fill stays the default and the kernel remains
+# available for experimentation/diagnostics. uint32 streams are
+# identical either way; Gaussian floats differ ~1 ulp (documented
+# signed-view u01 double rounding, rng/transforms.py).
+use_pallas_fill = False
+
 
 def _tpu_backend() -> bool:
     try:
@@ -89,6 +101,14 @@ def _dense_block(S: DenseSkOp, rows_s: int, cols_s: int, ro_s: int,
     if (_hiprec_route(dtype) and S.materialized is None
             and S.dist.family == DenseDistName.Gaussian):
         blk_dtype = jnp.float32
+    if S.materialized is None and use_pallas_fill is not False:
+        from .ops import fused_sketch as fs
+        if (fs.pallas_fill_supported(S.dist, blk_dtype, S.seed_state.rng)
+                and (use_pallas_fill is True or _tpu_backend())):
+            blk = fs.pallas_fill_block(S, rows_s, cols_s, ro_s, co_s,
+                                       interpret=use_pallas_fill is True
+                                       and not _tpu_backend())
+            return blk.T if op_s == Op.Trans else blk
     blk = S.submat(rows_s, cols_s, ro_s, co_s).astype(blk_dtype)
     return blk.T if op_s == Op.Trans else blk
 
@@ -156,15 +176,17 @@ def _left_colmajor_fused_or_none(S: DenseSkOp, a_mat, rows_s: int,
                                  cols_s: int, ro_s: int, co_s: int,
                                  op_s: Op, dtype, alpha):
     """Left NoTrans sketch of a ColMajor-natural operator (wide+Short or
-    tall+Long) through the transposed-generation kernel, or None.
+    tall+Long) through the lane-slab generation kernel, or None.
 
-    In auto mode the kernel only takes shapes where in-kernel generation
-    wins: the staged fill+GEMM path measured FASTER at ordinary shapes
-    (0.56 vs 0.50 of the roofline at 4096x1024 @ 4096 — the 4-slab
-    output structure caps the kernel's MXU efficiency), and the fused
-    advantage (no materialized operator, no fill pass) only outgrows
-    that gap for very wide sketches or operators too big to keep in
-    HBM. use_fused=True forces the kernel regardless (tests)."""
+    Round-3 dispatch: the kernel (bf16 pre-cast A + tk covering the
+    contraction + two row chunks, exec_opts_T) now beats the staged
+    fill+GEMM path in same-run v5e measurements (0.516 vs 0.474 of the
+    materialized-GEMM roofline at 4096x1024 @ 4096; round 2 had it the
+    other way at 0.45 vs 0.58), so auto mode runs it whenever the
+    contraction is long enough to amortize the panel machinery
+    (cols_s >= 1024 — shorter contractions are untested territory and
+    stay staged, matching the RowMajor kernel's short-m gate).
+    use_fused=True forces the kernel regardless (tests)."""
     if op_s != Op.NoTrans or not _fused_gates_ok(S, dtype):
         return None
     from .ops import fused_sketch as fs
@@ -174,11 +196,8 @@ def _left_colmajor_fused_or_none(S: DenseSkOp, a_mat, rows_s: int,
     if not fs.fused_sketch_colmajor_supported(
             S.dist, rows_s, cols_s, ro_s, co_s, op_s, dtype):
         return None
-    if use_fused != True:  # noqa: E712  ("auto" must not compare equal)
-        n = a_mat.shape[1]
-        op_bytes = 4 * rows_s * cols_s
-        if n < 16384 and op_bytes <= (2 << 30):
-            return None
+    if use_fused != True and cols_s < 1024:  # noqa: E712
+        return None
     return fs.fused_sketch_colmajor(S, a_mat, alpha=float(alpha),
                                     rows_s=rows_s, cols_s=cols_s,
                                     ro_s=ro_s, co_s=co_s)
@@ -223,11 +242,9 @@ def _left_trans_fused_or_none(S: DenseSkOp, a_mat, rows_s: int,
                                               co_s, ro_s, Op.NoTrans,
                                               dtype):
         return None
-    if use_fused != True:  # noqa: E712  (same shape gate as the NoTrans
-        # ColMajor route: staged fill+transposed-GEMM measured faster at
-        # ordinary shapes)
-        if a_mat.shape[1] < 16384 and 4 * rows_s * cols_s <= (2 << 30):
-            return None
+    # same contraction gate as the NoTrans ColMajor route (the fused
+    # call's contraction length is rows_s; the rows_s >= 2048 gate above
+    # already covers it)
     return fs.fused_sketch_colmajor(S_t, a_mat, alpha=float(alpha),
                                     rows_s=cols_s, cols_s=rows_s,
                                     ro_s=co_s, co_s=ro_s)

@@ -90,7 +90,7 @@ class ELLMatrix:
         return dense.at[rows, self.colidxs.reshape(-1)].add(
             self.vals.reshape(-1))
 
-    def blocked(self, kb: int = 512):
+    def blocked(self, kb: int = 128):
         """One-time host-side conversion to BlockedELL, the Pallas SpMM
         kernel's format (ops/ell_spmm.py). Concrete arrays required."""
         from ..ops.ell_spmm import BlockedELL

@@ -17,5 +17,9 @@ import jax  # noqa: E402
 
 # NOTE: in this environment the axon TPU plugin ignores the JAX_PLATFORMS
 # env var; jax.config.update is honored. Must run before any backend init.
-jax.config.update("jax_platforms", "cpu")
+# RBT_TPU_TESTS=1 keeps the default (TPU) backend so the hardware-gated
+# tier (tests/test_tpu_hardware.py) can drive the real chip:
+#   RBT_TPU_TESTS=1 python -m pytest tests/test_tpu_hardware.py -q
+if not os.environ.get("RBT_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

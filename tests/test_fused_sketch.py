@@ -97,3 +97,54 @@ def test_supported_predicate():
     tall = DenseDist(1024, 64)
     assert not fused_sketch_supported(tall, 1024, 64, 0, 0, Op.NoTrans,
                                       jnp.float32)
+
+# ------------------------- Pallas fill kernel ------------------------------
+
+class TestPallasFill:
+    """pallas_fill_block vs the XLA fill: uint32-stream-identical by
+    construction; Uniform floats exact, Gaussian floats within the
+    documented ~1-ulp signed-view u01 tolerance (rng/transforms.py)."""
+
+    @pytest.mark.parametrize("shape,ma", [
+        ((64, 256), None),            # wide + Long: RowMajor natural
+        ((256, 64), None),            # tall + Long: ColMajor natural
+    ])
+    @pytest.mark.parametrize("fam", [DenseDistName.Gaussian,
+                                     DenseDistName.Uniform])
+    def test_block_matches_xla_fill(self, shape, ma, fam):
+        from randblas_tpu.dense import fill_dense_submat
+        from randblas_tpu.ops import fused_sketch as fs
+        R, C = shape
+        dist = (DenseDist(R, C, fam) if ma is None
+                else DenseDist(R, C, fam, ma))
+        S = DenseSkOp(dist, RNGState.from_key(5))
+        for (rs, cs, ro, co) in [(R, C, 0, 0), (32, 48, 8, 13),
+                                 (17, 33, 3, 2)]:
+            got = np.asarray(fs.pallas_fill_block(S, rs, cs, ro, co,
+                                                  interpret=True))
+            want = np.asarray(fill_dense_submat(dist, S.seed_state, rs,
+                                                cs, ro, co))
+            if fam == DenseDistName.Uniform:
+                np.testing.assert_array_equal(got, want)
+            else:
+                np.testing.assert_allclose(got, want, rtol=1e-6,
+                                           atol=1e-6)
+
+    def test_staged_dispatch_uses_pallas_fill(self):
+        """use_pallas_fill=True routes _dense_block through the kernel
+        (interpret mode off-TPU) and the sketch matches the XLA-staged
+        result within the fill tolerance."""
+        import randblas_tpu.skge as skge
+        from randblas_tpu import sketch_general
+        d, m, n = 24, 96, 16
+        S = DenseSkOp(DenseDist(d, m), RNGState.from_key(9))
+        A = jnp.asarray(np.random.default_rng(0).normal(
+            size=(m, n)).astype(np.float32))
+        want = np.asarray(sketch_general(S, A))
+        old = skge.use_pallas_fill
+        try:
+            skge.use_pallas_fill = True
+            got = np.asarray(sketch_general(S, A))
+        finally:
+            skge.use_pallas_fill = old
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

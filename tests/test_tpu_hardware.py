@@ -1,0 +1,132 @@
+"""Hardware-gated correctness tier: Mosaic-compiled kernels on a real TPU.
+
+The rest of the suite runs the Pallas kernels in interpret mode on CPU;
+this file asserts the ACTUAL compiled kernels against the componentwise
+error bound on the chip (the reference's posture that every hot kernel is
+oracle-checked, test_matmul_cores/linop_common.hh:194-265). Run with:
+
+    RBT_TPU_TESTS=1 python -m pytest tests/test_tpu_hardware.py -q
+
+(conftest.py keeps the default TPU backend when RBT_TPU_TESTS is set;
+without it the whole suite is forced onto the virtual CPU mesh and this
+file auto-skips.) benchmarks/tpu_check.py drives the same assertions and
+records TPUCHECK_r*.json for the bench artifacts.
+
+Precision model: the fused kernels cast operands to bf16 at dot time and
+accumulate in f32 (bf16 products are exact in f32), so the oracle is the
+bf16-rounded operands multiplied in f64 with the f32-eps componentwise
+bound — exactly the bound the staged XLA GEMM satisfies for its own
+effective precision.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+
+def _on_tpu():
+    try:
+        dev = jax.devices()[0]
+        return dev.platform == "tpu" or \
+            "TPU" in getattr(dev, "device_kind", "")
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not _on_tpu(), reason="needs the real TPU backend (RBT_TPU_TESTS=1)")
+
+
+def _bf16(x):
+    import jax.numpy as jnp
+    return np.asarray(jnp.asarray(x).astype(jnp.bfloat16).astype(
+        jnp.float32))
+
+
+def _check_fused_vs_bound(B, S_block, A):
+    from oracle import assert_componentwise_close
+    assert_componentwise_close(np.asarray(B), _bf16(S_block), _bf16(A),
+                               eps=float(np.finfo(np.float32).eps))
+
+
+@pytest.mark.parametrize("rng", ["philox4x32", "threefry4x32"])
+def test_rowmajor_fused_on_hardware(rng):
+    import jax.numpy as jnp
+    import randblas_tpu as rb
+    from randblas_tpu.ops import fused_sketch as fs
+
+    d, m, n = 256, 4096, 512
+    S = rb.DenseSkOp(rb.DenseDist(d, m), rb.RNGState.from_key(1, rng=rng))
+    A = jnp.asarray(np.random.default_rng(0).normal(
+        size=(m, n)).astype(np.float32))
+    B = np.asarray(fs.fused_sketch(S, A))
+    _check_fused_vs_bound(B, np.asarray(S.materialize()), np.asarray(A))
+
+
+def test_rowmajor_fused_submatrix_on_hardware():
+    import jax.numpy as jnp
+    import randblas_tpu as rb
+    from randblas_tpu.ops import fused_sketch as fs
+
+    dist = rb.DenseDist(300, 4500)
+    S = rb.DenseSkOp(dist, rb.RNGState.from_key(2))
+    rows_s, cols_s, ro, co = 192, 4096, 64, 101  # unaligned co
+    A = jnp.asarray(np.random.default_rng(1).normal(
+        size=(cols_s, 384)).astype(np.float32))
+    B = np.asarray(fs.fused_sketch(S, A, rows_s=rows_s, cols_s=cols_s,
+                                   ro_s=ro, co_s=co))
+    blk = np.asarray(S.materialize())[ro:ro + rows_s, co:co + cols_s]
+    _check_fused_vs_bound(B, blk, np.asarray(A))
+
+
+def test_colmajor_fused_on_hardware():
+    import jax.numpy as jnp
+    import randblas_tpu as rb
+    from randblas_tpu.ops import fused_sketch as fs
+
+    d, m, n = 1024, 512, 512   # tall + Long = ColMajor natural
+    S = rb.DenseSkOp(rb.DenseDist(d, m), rb.RNGState.from_key(3))
+    from randblas_tpu.base import Layout
+    from randblas_tpu.dense import dist_to_layout
+    assert dist_to_layout(S.dist) == Layout.ColMajor
+    A = jnp.asarray(np.random.default_rng(2).normal(
+        size=(m, n)).astype(np.float32))
+    B = np.asarray(fs.fused_sketch_colmajor(S, A))
+    _check_fused_vs_bound(B, np.asarray(S.materialize()), np.asarray(A))
+
+
+def test_blocked_ell_on_hardware():
+    import jax.numpy as jnp
+    from randblas_tpu.ops.ell_spmm import blocked_ell_matmul
+    from randblas_tpu.sparse_data import COOMatrix, ELLMatrix
+    from oracle import assert_componentwise_close
+
+    m, k, nnz = 2048, 4096, 40_000
+    rng = np.random.default_rng(4)
+    coo = COOMatrix.from_arrays(
+        m, k, rng.integers(0, m, nnz), rng.integers(0, k, nnz),
+        rng.normal(size=nnz).astype(np.float32))
+    bell = ELLMatrix.from_coo(coo).blocked()
+    b = jnp.asarray(rng.normal(size=(k, 256)).astype(np.float32))
+    got = np.asarray(blocked_ell_matmul(bell, b))
+    dense = np.zeros((m, k), np.float32)
+    np.add.at(dense, (np.asarray(coo.rows), np.asarray(coo.cols)),
+              np.asarray(coo.vals))
+    assert_componentwise_close(got, _bf16(dense), _bf16(np.asarray(b)),
+                               eps=float(np.finfo(np.float32).eps))
+
+
+def test_f64_hiprec_on_hardware():
+    import jax.numpy as jnp
+    from randblas_tpu.ops.f64gemm import matmul_hiprec
+
+    if not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(130, 1000))
+    b = rng.normal(size=(1000, 77))
+    got = np.asarray(matmul_hiprec(jnp.asarray(a), jnp.asarray(b)))
+    want = a @ b
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-14
