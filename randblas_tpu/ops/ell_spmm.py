@@ -119,30 +119,37 @@ class BlockedELL:
         return jnp.asarray(dense[:self.n_rows, :self.n_cols])
 
 
-def _kernel(ci_ref, v_ref, b_ref, o_ref, *, ti, kb_sz, bw, alpha):
-    """One (TI, TN) output tile step: build the densified panel for
-    column block k directly in bf16 (one where-select per slot — bf16
-    adds are exact here: slot values land on disjoint panel entries, so
-    nothing ever rounds), then one MXU contraction.
+def _kernel(ci_ref, v_ref, b_ref, o_ref, *, ti, kb_sz, bw, alpha,
+            kpb=1):
+    """One (TI, TN) output tile step covering ``kpb`` column blocks:
+    build each block's densified panel (one where-select per slot),
+    stack the panels along the contraction axis and run ONE MXU dot of
+    depth kpb*kb against the matching B rows — fewer, deeper grid steps
+    (the per-step fixed cost was a measurable fraction of the narrow-n
+    budget: 790 steps at the config-4 shape before kpb).
 
     No software pipelining/skew variant exists anymore: VPU and MXU
     costs are STRICTLY ADDITIVE on v5e (matmul streaming occupies the
     issue pipeline; measured for the fused sketch kernels, ROADMAP.md),
     so a build/dot overlap schedule cannot win by construction — the
     former _kernel_skew variant never measured a gain and was removed.
-    The wins are fewer VPU ops: bw=8 slot tables (kb=128 blocks), bf16
-    panel builds, and the pre-cast bf16 B operand (b is revisited n_i
-    times; the caller casts once)."""
+    The wins are fewer VPU ops: bw=8 slot tables (kb=128 blocks), the
+    pre-cast bf16 B operand (b is revisited n_i times; the caller casts
+    once), and the kpb step merge. Panels build in f32 (a bf16 build
+    SIGABRTs the Mosaic compiler on this toolchain)."""
     iota = jax.lax.broadcasted_iota(jnp.int32, (kb_sz, 1), 0)
-    # panel built in f32 (a bf16 build SIGABRTs the Mosaic compiler on
-    # this toolchain), cast once at dot time; B arrives pre-cast bf16.
-    panel_t = jnp.zeros((kb_sz, ti), jnp.float32)
-    for s in range(bw):
-        c = ci_ref[s:s + 1, :]               # (1, TI) local column ids
-        v = v_ref[s:s + 1, :]
-        panel_t = panel_t + jnp.where(iota == c, v, jnp.float32(0.0))
+    panels = []
+    for p in range(kpb):
+        panel_t = jnp.zeros((kb_sz, ti), jnp.float32)
+        for s in range(bw):
+            row = p * bw + s
+            c = ci_ref[row:row + 1, :]       # (1, TI) local column ids
+            v = v_ref[row:row + 1, :]
+            panel_t = panel_t + jnp.where(iota == c, v, jnp.float32(0.0))
+        panels.append(panel_t.astype(jnp.bfloat16))
+    stacked = panels[0] if kpb == 1 else jnp.concatenate(panels, axis=0)
     contrib = jax.lax.dot_general(
-        panel_t.astype(jnp.bfloat16), b_ref[:],
+        stacked, b_ref[:],
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     if alpha != 1.0:
         contrib = jnp.float32(alpha) * contrib
@@ -159,23 +166,24 @@ def _kernel(ci_ref, v_ref, b_ref, o_ref, *, ti, kb_sz, bw, alpha):
 
 
 @functools.partial(jax.jit, static_argnames=("alpha", "ti", "kb", "tn",
-                                             "bw", "interpret"))
-def _call(ci, v, b, *, alpha, ti, kb, tn, bw, interpret):
+                                             "bw", "interpret", "kpb"))
+def _call(ci, v, b, *, alpha, ti, kb, tn, bw, interpret, kpb=1):
     m = ci.shape[1]
     n = b.shape[1]
-    n_i, n_j, n_k = m // ti, n // tn, b.shape[0] // kb
+    n_i, n_j = m // ti, n // tn
+    n_k = b.shape[0] // (kb * kpb)
     kernel = functools.partial(_kernel, ti=ti, kb_sz=kb, bw=bw,
-                               alpha=alpha)
+                               alpha=alpha, kpb=kpb)
     return pl.pallas_call(
         kernel,
         grid=(n_i, n_j, n_k),
         interpret=interpret,
         in_specs=[
-            pl.BlockSpec((bw, ti), lambda i, j, k: (k, i),
+            pl.BlockSpec((kpb * bw, ti), lambda i, j, k: (k, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bw, ti), lambda i, j, k: (k, i),
+            pl.BlockSpec((kpb * bw, ti), lambda i, j, k: (k, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kb, tn), lambda i, j, k: (k, j),
+            pl.BlockSpec((kpb * kb, tn), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((ti, tn), lambda i, j, k: (i, j),
@@ -187,19 +195,29 @@ def _call(ci, v, b, *, alpha, ti, kb, tn, bw, interpret):
 
 
 def blocked_ell_matmul(bell: BlockedELL, b, alpha=1.0,
-                       interpret: bool = False, ti: int = None):
+                       interpret: bool = False, ti: int = None,
+                       kpb: int = None):
     """alpha * bell @ b through the blocked one-hot kernel.
     b: (n_cols, n), float32 (pre-cast once to bf16 — the kernel's dots
     run bf16 either way, and B blocks are revisited n_i times, so the
     one-time cast replaces n_i in-kernel cast passes and halves the
-    B DMA)."""
+    B DMA). kpb column blocks merge into each grid step (one dot of
+    depth kpb*kb); empty padding blocks carry col == -1 / val == 0."""
     b = jnp.asarray(b, jnp.float32).astype(jnp.bfloat16)
     require(b.ndim == 2 and b.shape[0] == bell.n_cols,
             "operand height must equal n_cols")
     m_pad = bell.local_cols.shape[1]
     kb = bell.kb
     n = b.shape[1]
-    k_pad = bell.n_kblocks * kb
+    if kpb is None:
+        kpb = min(4, bell.n_kblocks)
+    blocks_pad = -(-bell.n_kblocks // kpb) * kpb
+    k_pad = blocks_pad * kb
+    ci, vals = bell.local_cols, bell.vals
+    if blocks_pad != bell.n_kblocks:
+        extra = (blocks_pad - bell.n_kblocks) * bell.bw
+        ci = jnp.pad(ci, ((0, extra), (0, 0)), constant_values=-1)
+        vals = jnp.pad(vals, ((0, extra), (0, 0)))
     if ti is None:
         # measured on v5e at the config-4 shape: (kb=128, ti=2048) wins
         # (~470-520 GFLOP/s effective vs ~300-410 elsewhere) — small kb
@@ -213,6 +231,7 @@ def blocked_ell_matmul(bell: BlockedELL, b, alpha=1.0,
     n_pad = -(-n // tn) * tn
     if k_pad != b.shape[0] or n_pad != n:
         b = jnp.pad(b, ((0, k_pad - b.shape[0]), (0, n_pad - n)))
-    out = _call(bell.local_cols, bell.vals, b, alpha=float(alpha),
-                ti=ti, kb=kb, tn=tn, bw=bell.bw, interpret=interpret)
+    out = _call(ci, vals, b, alpha=float(alpha),
+                ti=ti, kb=kb, tn=tn, bw=bell.bw, interpret=interpret,
+                kpb=kpb)
     return out[:bell.n_rows, :n]
