@@ -83,9 +83,51 @@ def time_sweep():
               f"effective", flush=True)
 
 
+def time_tiered():
+    """Two-tier (bw_cap) sweep at the config-4 shape."""
+    import jax
+    import jax.numpy as jnp
+    from randblas_tpu.bench_util import time_loop
+    from randblas_tpu.ops import ell_spmm
+    from randblas_tpu.sparse_data import COOMatrix, ELLMatrix
+
+    import numpy as np
+    m, k = 20_000, 10_000
+    nnz = (m * k) // 200
+    rng = np.random.default_rng(3)
+    coo = COOMatrix.from_arrays(
+        m, k, rng.integers(0, m, nnz), rng.integers(0, k, nnz),
+        rng.normal(size=nnz).astype(np.float32))
+    ell = ELLMatrix.from_coo(coo)
+    rng2 = np.random.default_rng(1)
+    for cap in (None, 2, 1):
+        bell = ell.blocked(bw_cap=cap)
+        print(f"bw_cap={cap}: bw={bell.bw} ovf={bell.ovf_nnz} "
+              f"({100.0*bell.ovf_nnz/nnz:.1f}%)", flush=True)
+        for n in (512, 2048):
+            b = jnp.asarray(rng2.normal(size=(k, n)).astype(np.float32))
+            eff = 2.0 * nnz * n
+
+            def body(i, carry, ci, v, orr, oc, ov, bb, bell=bell):
+                v2 = v.at[0, 0].add(carry * jnp.float32(1e-30))
+                b2 = ell_spmm.BlockedELL(ci, v2, bell.n_rows,
+                                         bell.n_cols, bell.kb, bell.bw,
+                                         orr, oc, ov)
+                out = ell_spmm.blocked_ell_matmul(b2, bb)
+                return jnp.sum(out) * jnp.float32(1e-20)
+
+            t = time_loop(body, bell.local_cols, bell.vals,
+                          bell.ovf_rows, bell.ovf_cols, bell.ovf_vals,
+                          b, iters_small=5, iters_large=45, repeats=3)
+            print(f"  n={n}: {t*1e3:.2f} ms  {eff/t/1e9:.0f} GFLOP/s",
+                  flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "check"
     if mode == "check":
         check()
+    elif mode == "tiered":
+        time_tiered()
     else:
         time_sweep()

@@ -45,12 +45,24 @@ from ..base import require
 force_interpret = False
 
 
+def _empty(dtype):
+    return jnp.zeros((0,), dtype)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BlockedELL:
     """Slot tables: local_cols/vals have shape (n_kblocks * bw, n_rows)
     (slot-major: row r's slots for column block k are rows k*bw..k*bw+bw-1
     of the tables, column r). Static: shape, kb (column block size), bw.
+
+    Two-tier form (bw_cap in from_ell): entries beyond slot ``bw_cap``
+    of a (row, block) group live in the ``ovf_*`` COO arrays instead of
+    widening bw for everyone — the one-hot build cost is m*k*bw
+    regardless of how few slots are occupied, so a small bw with a thin
+    segment-sum overflow pass beats paying the max occupancy everywhere
+    (the analog of the reference keeping a general COO path beside the
+    regular-CSC fast path, csc_spmm_impl.hh:68-88).
     """
     local_cols: jax.Array   # int32, -1 = empty slot
     vals: jax.Array         # float32
@@ -58,6 +70,12 @@ class BlockedELL:
     n_cols: int = dataclasses.field(metadata={"static": True})
     kb: int = dataclasses.field(metadata={"static": True})
     bw: int = dataclasses.field(metadata={"static": True})
+    ovf_rows: jax.Array = dataclasses.field(
+        default_factory=lambda: _empty(jnp.int32))
+    ovf_cols: jax.Array = dataclasses.field(
+        default_factory=lambda: _empty(jnp.int32))
+    ovf_vals: jax.Array = dataclasses.field(
+        default_factory=lambda: _empty(jnp.float32))
 
     @property
     def shape(self):
@@ -67,10 +85,17 @@ class BlockedELL:
     def n_kblocks(self) -> int:
         return self.local_cols.shape[0] // self.bw
 
+    @property
+    def ovf_nnz(self) -> int:
+        return self.ovf_rows.shape[0]
+
     @staticmethod
-    def from_ell(ell, kb: int = 128, ti: int = 2048) -> "BlockedELL":
+    def from_ell(ell, kb: int = 128, ti: int = 2048,
+                 bw_cap: int = None) -> "BlockedELL":
         """One-time host-side conversion (concrete arrays required).
-        Zero-valued ELL slots are treated as padding and dropped."""
+        Zero-valued ELL slots are treated as padding and dropped.
+        bw_cap: cap the per-(row, block) slot count; excess entries go
+        to the COO overflow arrays (two-tier form)."""
         cols = np.asarray(ell.colidxs)
         vals = np.asarray(ell.vals, dtype=np.float32)
         m, k = ell.shape
@@ -89,11 +114,32 @@ class BlockedELL:
         sk = key[order]
         starts = np.searchsorted(sk, np.arange(m * n_k))
         slot = np.arange(len(sk)) - starts[sk]
-        bw = int(slot.max(initial=-1)) + 1
-        bw = max(-(-bw // 8) * 8, 8)
+
+        ovf = np.zeros(0, dtype=bool)
+        if bw_cap is not None and (slot >= bw_cap).any():
+            ovf = slot >= bw_cap
+            bw = bw_cap
+        else:
+            bw = int(slot.max(initial=-1)) + 1
+            if bw_cap is not None:
+                bw = min(max(bw, 1), bw_cap)
+            else:
+                bw = max(-(-bw // 8) * 8, 8)
 
         tab_c = np.full((m_pad, n_k * bw), -1, dtype=np.int32)
         tab_v = np.zeros((m_pad, n_k * bw), dtype=np.float32)
+        if ovf.any():
+            keep_t = ~ovf
+            pos = blk[order][keep_t] * bw + slot[keep_t]
+            tab_c[rows[order][keep_t], pos] = \
+                (c[order][keep_t] % kb).astype(np.int32)
+            tab_v[rows[order][keep_t], pos] = v[order][keep_t]
+            o_rows = rows[order][ovf].astype(np.int32)
+            o_cols = c[order][ovf].astype(np.int32)
+            o_vals = v[order][ovf]
+            return BlockedELL(jnp.asarray(tab_c.T), jnp.asarray(tab_v.T),
+                              m, k, kb, bw, jnp.asarray(o_rows),
+                              jnp.asarray(o_cols), jnp.asarray(o_vals))
         pos = blk[order] * bw + slot
         tab_c[rows[order], pos] = (c[order] % kb).astype(np.int32)
         tab_v[rows[order], pos] = v[order]
@@ -116,6 +162,10 @@ class BlockedELL:
             mask = c >= 0
             r, s = np.nonzero(mask)
             np.add.at(dense, (r, b * self.kb + c[r, s]), v[:, sl][r, s])
+        if self.ovf_nnz:
+            np.add.at(dense, (np.asarray(self.ovf_rows),
+                              np.asarray(self.ovf_cols)),
+                      np.asarray(self.ovf_vals))
         return jnp.asarray(dense[:self.n_rows, :self.n_cols])
 
 
@@ -203,7 +253,8 @@ def blocked_ell_matmul(bell: BlockedELL, b, alpha=1.0,
     one-time cast replaces n_i in-kernel cast passes and halves the
     B DMA). kpb column blocks merge into each grid step (one dot of
     depth kpb*kb); empty padding blocks carry col == -1 / val == 0."""
-    b = jnp.asarray(b, jnp.float32).astype(jnp.bfloat16)
+    b_f32 = jnp.asarray(b, jnp.float32)
+    b = b_f32.astype(jnp.bfloat16)
     require(b.ndim == 2 and b.shape[0] == bell.n_cols,
             "operand height must equal n_cols")
     m_pad = bell.local_cols.shape[1]
@@ -211,6 +262,11 @@ def blocked_ell_matmul(bell: BlockedELL, b, alpha=1.0,
     n = b.shape[1]
     if kpb is None:
         kpb = min(4, bell.n_kblocks)
+    # Mosaic block floor: slot blocks are (kpb*bw, ti) and the sublane
+    # dim must be a multiple of 8 — raise kpb until it is (this is what
+    # makes small-bw tiers expressible at all)
+    while (kpb * bell.bw) % 8:
+        kpb += 1
     blocks_pad = -(-bell.n_kblocks // kpb) * kpb
     k_pad = blocks_pad * kb
     ci, vals = bell.local_cols, bell.vals
@@ -234,4 +290,10 @@ def blocked_ell_matmul(bell: BlockedELL, b, alpha=1.0,
     out = _call(ci, vals, b, alpha=float(alpha),
                 ti=ti, kb=kb, tn=tn, bw=bell.bw, interpret=interpret,
                 kpb=kpb)
-    return out[:bell.n_rows, :n]
+    out = out[:bell.n_rows, :n]
+    if bell.ovf_nnz:
+        from .coo_apply import coo_left_apply
+        out = out + coo_left_apply(
+            bell.ovf_rows, bell.ovf_cols, bell.ovf_vals, b_f32,
+            bell.n_rows, bell.n_cols, alpha=alpha)
+    return out

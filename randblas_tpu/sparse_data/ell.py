@@ -90,11 +90,13 @@ class ELLMatrix:
         return dense.at[rows, self.colidxs.reshape(-1)].add(
             self.vals.reshape(-1))
 
-    def blocked(self, kb: int = 128):
+    def blocked(self, kb: int = 128, bw_cap: int = None):
         """One-time host-side conversion to BlockedELL, the Pallas SpMM
-        kernel's format (ops/ell_spmm.py). Concrete arrays required."""
+        kernel's format (ops/ell_spmm.py). Concrete arrays required.
+        bw_cap caps the per-(row, block) slot count, sending the excess
+        through a COO overflow pass (two-tier form)."""
         from ..ops.ell_spmm import BlockedELL
-        return BlockedELL.from_ell(self, kb=kb)
+        return BlockedELL.from_ell(self, kb=kb, bw_cap=bw_cap)
 
     def matmul(self, b: jax.Array, alpha=1.0) -> jax.Array:
         """self @ b via width gather passes: B[r] = sum_t vals[r,t] *

@@ -19,27 +19,35 @@ from randblas_tpu.util import sample_indices_iid, sample_indices_iid_uniform
 from randblas_tpu.util import weights_to_cdf
 
 
-# -- ADVICE high: misaligned per-shard width must fail loudly ---------------
+# -- ADVICE high (round 2): misaligned per-shard width used to be a
+# silent-wrongness hazard, so it raised. Round 3's pad-and-shard scheme
+# removed the hazard altogether: shard extents round UP to counter
+# alignment and the formerly-rejected shapes now compute the exact
+# single-device result. These tests pin the new contract.
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
-def test_distributed_sketch_misaligned_shard_raises():
-    # m = 20 over data=2 -> m_per = 10, not a counter multiple: previously
-    # returned a silently-wrong sketch (max err ~12 vs 1e-6 aligned).
+def test_distributed_sketch_misaligned_shard_pads():
+    # m = 20 over data=2 -> m_per rounds 10 -> 12; previously ValueError
+    # (and before that, a silently-wrong sketch with max err ~12).
     S = DenseSkOp(DenseDist(8, 20), RNGState.from_key(0))
-    A = jnp.ones((20, 4), jnp.float32)
+    A = jnp.asarray(
+        np.random.default_rng(7).normal(size=(20, 4)).astype(np.float32))
     mesh = make_sketch_mesh(2, 2, jax.devices()[:4])
-    with pytest.raises(ValueError, match="multiple of the counter width"):
-        distributed_sketch(S, A, mesh)
+    got = np.asarray(distributed_sketch(S, A, mesh))
+    want = np.asarray(S.materialize()) @ np.asarray(A)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
-def test_distributed_sketch_right_misaligned_shard_raises():
-    # tall (m=20, d=8) operator, m sharded over data=2 -> m_per = 10
+def test_distributed_sketch_right_misaligned_shard_pads():
+    # tall (m=20, d=8) operator, m sharded over data=2 -> m_per 10 -> 12
     S = DenseSkOp(DenseDist(20, 8), RNGState.from_key(0))
-    A = jnp.ones((4, 20), jnp.float32)
+    A = jnp.asarray(
+        np.random.default_rng(8).normal(size=(4, 20)).astype(np.float32))
     mesh = make_sketch_mesh(2, 2, jax.devices()[:4])
-    with pytest.raises(ValueError, match="multiple of the counter width"):
-        distributed_sketch_right(S, A, mesh)
+    got = np.asarray(distributed_sketch_right(S, A, mesh))
+    want = np.asarray(A) @ np.asarray(S.materialize())
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
