@@ -271,15 +271,28 @@ class DenseSkOp:
             return arr
         return self.materialized
 
-    def submat(self, n_rows: int, n_cols: int, ro_s: int, co_s: int
-               ) -> jax.Array:
+    def submat(self, n_rows: int, n_cols: int, ro_s: int, co_s: int,
+               dtype=None) -> jax.Array:
         """Materialize just a block (submatrix_as_blackbox,
-        dense_skops.hh:595-602) — same values as slicing materialize()."""
+        dense_skops.hh:595-602) — same values as slicing materialize().
+
+        `dtype` overrides the fill's storage dtype (default: the
+        operator's). Values are f32-internal regardless
+        (rng/transforms.py), so an f32 fill of an f64 operator is
+        bit-identical to the f64 fill cast down — callers that want an
+        f32 block (e.g. the hiprec GEMM route, which re-slices into
+        int8 anyway) skip materializing the wide buffer entirely."""
+        dtype = self.dtype if dtype is None else dtype
+        require(0 <= ro_s and self.n_rows >= n_rows + ro_s,
+                "row range out of bounds")
+        require(0 <= co_s and self.n_cols >= n_cols + co_s,
+                "column range out of bounds")
         if self.materialized is not None:
             return jax.lax.slice(self.materialized, (ro_s, co_s),
-                                 (ro_s + n_rows, co_s + n_cols))
+                                 (ro_s + n_rows, co_s + n_cols)
+                                 ).astype(dtype)
         return fill_dense_submat(self.dist, self.seed_state, n_rows, n_cols,
-                                 ro_s, co_s, self.dtype)
+                                 ro_s, co_s, dtype)
 
     # -- pytree protocol -----------------------------------------------------
 

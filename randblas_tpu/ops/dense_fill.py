@@ -78,6 +78,30 @@ def fill_rowmajor_bits(
     return bits, fbs
 
 
+def _transform_flat(bits, transform: str):
+    """Apply the float transform to uint32[rows, nblk, W] blocks and merge
+    the block axis: float32[rows, nblk*W]."""
+    if transform == "boxmul":
+        vals = boxmul_block(bits)
+    elif transform == "uneg11":
+        vals = uneg11_block(bits)
+    else:
+        raise ValueError(f"unknown transform {transform!r}")
+    n_rows_, nblk, w = vals.shape
+    return vals.reshape(n_rows_, nblk * w)
+
+
+# Generated row counts are rounded up to this multiple, with the phantom
+# rows sliced off the result. On v5e a fill whose generated array has a
+# row (sublane) count not divisible by 8 runs ~9x slower END TO END even
+# under a matmul consumer (config-1 shape 4002x100000, honest measurement
+# via G @ ones: 184 ms unpadded vs 21 ms generated as 4096 rows; the row
+# slice afterward is free, and lane/width padding changes NOTHING —
+# benchmarks/cfg1_probe7.py, BENCH_LOCAL.md round 3). Phantom rows just
+# consume later counters and are discarded; kept values are bit-identical.
+_ROW_ALIGN = 8
+
+
 def fill_rowmajor(
     n_cols_parent: int,
     n_srows: int,
@@ -90,19 +114,15 @@ def fill_rowmajor(
 
     transform: 'boxmul' (iid standard normal) or 'uneg11' (iid U(-1,1)).
     Exactly reproduces the value-to-position mapping of
-    fill_dense_submat_impl (dense_skops.hh:97-170).
+    fill_dense_submat_impl (dense_skops.hh:97-170). Internally generates
+    a sublane-aligned number of rows and discards the excess (_ROW_ALIGN
+    above) — counters of kept positions are untouched.
     """
-    bits, fbs = fill_rowmajor_bits(n_cols_parent, n_srows, n_scols, ptr,
+    rows_gen = -(-n_srows // _ROW_ALIGN) * _ROW_ALIGN
+    bits, fbs = fill_rowmajor_bits(n_cols_parent, rows_gen, n_scols, ptr,
                                    state)
-    if transform == "boxmul":
-        vals = boxmul_block(bits)
-    elif transform == "uneg11":
-        vals = uneg11_block(bits)
-    else:
-        raise ValueError(f"unknown transform {transform!r}")
-    n_rows_, nblk, w = vals.shape
-    flat = vals.reshape(n_rows_, nblk * w)
-    return flat[:, fbs:fbs + n_scols]
+    flat = _transform_flat(bits, transform)
+    return flat[:n_srows, fbs:fbs + n_scols]
 
 
 def fill_rowmajor_traced_offset(

@@ -132,17 +132,20 @@ def _slice_operand(x, n_slices: int, axis: int, scale=None):
     return jnp.stack([l.astype(jnp.int8) for l in levels]), scale
 
 
-def _level_products(a_sl, b_sl, sa: int, sb: int, cutoff: int):
+def _level_products(a_sl, b_sl, sa: int, sb: int, cutoff: int,
+                    ta: bool = False):
     """int8 x int8 -> int32 slice products grouped by level t+u, each
     level split into exact (hi << 16) + lo int32 halves.
 
     Returns (hi_stack, lo_stack), both int32[cutoff+1, m, n]. The split
     keeps cross-k-block accumulation exact in int32: lo halves are in
     [0, 65535] and hi halves < 2^13 per block, so sums stay well inside
-    int32 for thousands of blocks."""
+    int32 for thousands of blocks. ta=True contracts a's dim 0 instead
+    (a stored (k, m) — a TN GEMM, native on the MXU)."""
     n_lvl = cutoff + 1
-    m = a_sl.shape[1]
+    m = a_sl.shape[2] if ta else a_sl.shape[1]
     n = b_sl.shape[2]
+    dims = (((0,), (0,)), ((), ())) if ta else (((1,), (0,)), ((), ()))
     zero = jnp.zeros((m, n), jnp.int32)
     levels_hi = [zero] * n_lvl
     levels_lo = [zero] * n_lvl
@@ -152,7 +155,7 @@ def _level_products(a_sl, b_sl, sa: int, sb: int, cutoff: int):
             if lvl > cutoff:
                 continue
             d = jax.lax.dot_general(
-                a_sl[t], b_sl[u], (((1,), (0,)), ((), ())),
+                a_sl[t], b_sl[u], dims,
                 preferred_element_type=jnp.int32)
             hi = jax.lax.shift_right_arithmetic(d, jnp.int32(16))
             lo = jax.lax.bitwise_and(d, jnp.int32(0xFFFF))
@@ -173,10 +176,10 @@ def _combine_levels(hi_stack, lo_stack, a_scale, b_scale):
                   * b_scale.astype(jnp.float64))
 
 
-@functools.partial(jax.jit, static_argnames=("sa", "sb", "cutoff"))
+@functools.partial(jax.jit, static_argnames=("sa", "sb", "cutoff", "ta"))
 def _recombine(a_sl, a_scale, b_sl, b_scale, sa: int, sb: int,
-               cutoff: int):
-    hi, lo = _level_products(a_sl, b_sl, sa, sb, cutoff)
+               cutoff: int, ta: bool = False):
+    hi, lo = _level_products(a_sl, b_sl, sa, sb, cutoff, ta)
     return _combine_levels(hi, lo, a_scale, b_scale)
 
 
@@ -186,7 +189,8 @@ _K_BLOCK = 16384
 
 
 def matmul_hiprec(a, b, *, slices_a: int = None, slices_b: int = None,
-                  cutoff: int = None, k_block: int = None):
+                  cutoff: int = None, k_block: int = None,
+                  transpose_a: bool = False):
     """a @ b at (near-)f64 accuracy with all O(mnk) work on the int8 MXU.
 
     a: (m, k), b: (k, n); float32 or float64 (slices per operand default
@@ -196,9 +200,19 @@ def matmul_hiprec(a, b, *, slices_a: int = None, slices_b: int = None,
     longer than k_block (default 16384) are blocked over k — slices of
     one block live at a time, level partial sums accumulate exactly in
     int32 (valid to ~32k blocks = k ~ 5e8).
+
+    transpose_a=True takes a stored as (k, m) and computes a.T @ b
+    without ever materializing the transpose: the int8 dots contract
+    a's dim 0 (a TN GEMM — native on the MXU). Used by the staged
+    sketching path to consume natural-orientation operator fills whose
+    transposed materialization would be a slow unaligned relayout.
     """
-    if a.ndim != 2 or b.ndim != 2 or a.shape[1] != b.shape[0]:
+    if a.ndim != 2 or b.ndim != 2:
         raise ValueError(f"bad shapes {a.shape} x {b.shape}")
+    a_k_dim, a_m_dim = (0, 1) if transpose_a else (1, 0)
+    if a.shape[a_k_dim] != b.shape[0]:
+        raise ValueError(f"bad shapes {a.shape} x {b.shape}"
+                         f" (transpose_a={transpose_a})")
     sa = _slices_for_dtype(a.dtype) if slices_a is None else slices_a
     sb = _slices_for_dtype(b.dtype) if slices_b is None else slices_b
     if cutoff is None:
@@ -210,53 +224,62 @@ def matmul_hiprec(a, b, *, slices_a: int = None, slices_b: int = None,
     # scale 1, all its slices are 0, and zero int8 products contribute
     # nothing), and odd shapes measurably starve the int8 MXU (config 1's
     # 4002x2000 ran at half the clean-shape rate before this).
-    m_true, k_true = a.shape
+    m_true = a.shape[a_m_dim]
+    k_true = a.shape[a_k_dim]
     n_true = b.shape[1]
     mp = -(-m_true // 128) * 128
     np_ = -(-n_true // 128) * 128
     kp = -(-k_true // 128) * 128
     if mp != m_true or kp != k_true:
-        a = jnp.pad(a, ((0, mp - m_true), (0, kp - k_true)))
+        pads = (((0, kp - k_true), (0, mp - m_true)) if transpose_a
+                else ((0, mp - m_true), (0, kp - k_true)))
+        a = jnp.pad(a, pads)
     if np_ != n_true or kp != k_true:
         b = jnp.pad(b, ((0, kp - k_true), (0, np_ - n_true)))
-    k = a.shape[1]
+    k = a.shape[a_k_dim]
     kb = _K_BLOCK if k_block is None else k_block
+    scale_axis_a = a_k_dim  # reduce over k: per-output-row maxima
+
     def unpad(out):
         return (out[:m_true, :n_true]
                 if (mp != m_true or np_ != n_true) else out)
 
     if k <= kb:
-        a_sl, a_scale = _slice_operand(a, sa, axis=1)
+        a_sl, a_scale = _slice_operand(a, sa, axis=scale_axis_a)
         b_sl, b_scale = _slice_operand(b, sb, axis=0)
+        a_scale = a_scale.T if transpose_a else a_scale
         return unpad(_recombine(a_sl, a_scale, b_sl, b_scale, sa, sb,
-                                cutoff))
+                                cutoff, transpose_a))
 
     # blocked path: the slicing grid comes from the FULL-axis max so all
     # blocks share it. The tail (k % kb) is processed separately rather
     # than zero-padding, which would copy both multi-GB operands.
-    a_scale = _axis_scale(a, 1)
+    a_scale = _axis_scale(a, scale_axis_a)
     b_scale = _axis_scale(b, 0)
     n_full = k // kb
     tail = k - n_full * kb
 
     def block_products(a_blk, b_blk):
-        a_sl, _ = _slice_operand(a_blk, sa, axis=1, scale=a_scale)
+        a_sl, _ = _slice_operand(a_blk, sa, axis=scale_axis_a,
+                                 scale=a_scale)
         b_sl, _ = _slice_operand(b_blk, sb, axis=0, scale=b_scale)
-        return _level_products(a_sl, b_sl, sa, sb, cutoff)
+        return _level_products(a_sl, b_sl, sa, sb, cutoff, transpose_a)
 
     def step(carry, i):
         hi_acc, lo_acc = carry
-        a_blk = jax.lax.dynamic_slice_in_dim(a, i * kb, kb, 1)
+        a_blk = jax.lax.dynamic_slice_in_dim(a, i * kb, kb, a_k_dim)
         b_blk = jax.lax.dynamic_slice_in_dim(b, i * kb, kb, 0)
         hi, lo = block_products(a_blk, b_blk)
         return (hi_acc + hi, lo_acc + lo), None
 
-    m, n = a.shape[0], b.shape[1]
+    m, n = a.shape[a_m_dim], b.shape[1]
     zeros = jnp.zeros((cutoff + 1, m, n), jnp.int32)
     hi, lo = zeros, zeros
     if n_full:
         (hi, lo), _ = jax.lax.scan(step, (hi, lo), jnp.arange(n_full))
     if tail:
-        thi, tlo = block_products(a[:, n_full * kb:], b[n_full * kb:])
+        a_tail = (a[n_full * kb:] if transpose_a else a[:, n_full * kb:])
+        thi, tlo = block_products(a_tail, b[n_full * kb:])
         hi, lo = hi + thi, lo + tlo
-    return unpad(_combine_levels(hi, lo, a_scale, b_scale))
+    out_scale_a = a_scale.T if transpose_a else a_scale
+    return unpad(_combine_levels(hi, lo, out_scale_a, b_scale))

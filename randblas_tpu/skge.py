@@ -109,7 +109,7 @@ def _dense_block(S: DenseSkOp, rows_s: int, cols_s: int, ro_s: int,
                                        interpret=use_pallas_fill is True
                                        and not _tpu_backend())
             return blk.T if op_s == Op.Trans else blk
-    blk = S.submat(rows_s, cols_s, ro_s, co_s).astype(blk_dtype)
+    blk = S.submat(rows_s, cols_s, ro_s, co_s, dtype=blk_dtype)
     return blk.T if op_s == Op.Trans else blk
 
 

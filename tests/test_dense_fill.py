@@ -216,6 +216,23 @@ def test_dtype_promotion_f64():
     np.testing.assert_array_equal(a32.astype(np.float64), a64)
 
 
+def test_submat_bounds_checked_both_branches():
+    # Out-of-range offsets must raise on BOTH the lazy (fill) and the
+    # materialized (slice) branch — lax.slice silently clamps, so an
+    # unchecked materialized branch returned wrong values (round-3 fix).
+    dist = DenseDist(8, 12, DenseDistName.Gaussian)
+    S = DenseSkOp(dist, RNGState.from_key(0))
+    with pytest.raises(ValueError):
+        S.submat(8, 12, 1, 0)
+    S.materialize()
+    with pytest.raises(ValueError):
+        S.submat(8, 12, 1, 0)
+    with pytest.raises(ValueError):
+        S.submat(8, 12, 0, 1)
+    with pytest.raises(ValueError):
+        S.submat(4, 4, -1, 0)
+
+
 def test_blackbox_requires_array():
     with pytest.raises(ValueError):
         DenseSkOp(DenseDist(3, 3, DenseDistName.BlackBox,
