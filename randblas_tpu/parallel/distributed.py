@@ -49,6 +49,24 @@ def make_sketch_mesh(model: int = 1, data: Optional[int] = None,
     return Mesh(arr, ("model", "data"))
 
 
+# Compiled-executable cache. Each distributed_* call builds a fresh
+# shard_fn closure; dispatching that eagerly made XLA recompile the whole
+# SPMD program EVERY call (~27 s/call on an 8-device CPU mesh, and a
+# fresh compile per step in production loops). The closure is fully
+# determined by its static configuration, so identical configurations
+# reuse one jitted callable here — all varying values (the data shards,
+# the RNG seed state) flow in as traced operands.
+_FN_CACHE: dict = {}
+
+
+def _cached(key, build):
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(build())
+        _FN_CACHE[key] = fn
+    return fn
+
+
 def _shard_extent(total: int, parts: int, align: int = 1) -> int:
     """Per-shard extent covering `total` over `parts` shards, rounded up
     to `align`: the pad-and-shard scheme. Phantom rows/columns beyond
@@ -125,49 +143,54 @@ def distributed_sketch(
 
     ctr_stride_global = (m + ((-m) % 4)) // 4
 
-    def shard_fn(a_blk):
-        mi = jax.lax.axis_index("model")
-        di = jax.lax.axis_index("data")
-        ro = mi.astype(jnp.uint32) * jnp.uint32(d_per)
-        co = di.astype(jnp.uint32) * jnp.uint32(m_per)
-        if fused_ok:
-            # shard base counter = seed + ro*stride_global + co//4; the
-            # kernel then walks rows with the GLOBAL stride, yielding
-            # exactly this device's tile of the one global operator.
-            lo, hi = mul64_u32(ro, jnp.uint32(ctr_stride_global))
-            lo, hi = add64(lo, hi, co // jnp.uint32(4), jnp.uint32(0))
-            ctr = ctr_add64(seed.counter, lo, hi)
-            pad = 8 - ctr.shape[0] - seed.key.shape[0]
-            parts = [ctr, seed.key]
-            if pad:
-                parts.append(jnp.zeros((pad,), jnp.uint32))
-            seed_words = jnp.concatenate(parts).reshape(1, 8)
-            d_pad, m_pad, n_pad, ti, tk, tn = fs._plan(d_per, m_per, n)
-            a_in = (jnp.pad(a_blk, ((0, m_pad - m_per), (0, n_pad - n)))
-                    if (n_pad != n or m_pad != m_per) else a_blk)
-            part = fs._fused_call(
-                seed_words, a_in, d=d_pad, m=m_pad,
-                gaussian=dist.family == DenseDistName.Gaussian,
-                alpha=float(alpha), ti=ti, tk=tk, tn=tn,
-                ctr_stride=ctr_stride_global, interpret=interpret,
-                rng=seed.rng, **fs.exec_opts(ti))
-            if d_pad != d_per or n_pad != n:
-                part = part[:d_per, :n]
-            return jax.lax.psum(part, "data")
-        s_blk = fill_dense_submat_traced(dist, seed, d_per, m_per, ro, co,
-                                         dtype)
-        part = jnp.matmul(s_blk, a_blk.astype(dtype),
-                          preferred_element_type=dtype)
-        return jax.lax.psum(jnp.asarray(alpha, dtype) * part, "data")
+    def build():
+        def shard_fn(a_blk, sd):
+            mi = jax.lax.axis_index("model")
+            di = jax.lax.axis_index("data")
+            ro = mi.astype(jnp.uint32) * jnp.uint32(d_per)
+            co = di.astype(jnp.uint32) * jnp.uint32(m_per)
+            if fused_ok:
+                # shard base counter = seed + ro*stride_global + co//4;
+                # the kernel then walks rows with the GLOBAL stride,
+                # yielding exactly this device's tile of the one global
+                # operator.
+                lo, hi = mul64_u32(ro, jnp.uint32(ctr_stride_global))
+                lo, hi = add64(lo, hi, co // jnp.uint32(4), jnp.uint32(0))
+                ctr = ctr_add64(sd.counter, lo, hi)
+                pad = 8 - ctr.shape[0] - sd.key.shape[0]
+                parts = [ctr, sd.key]
+                if pad:
+                    parts.append(jnp.zeros((pad,), jnp.uint32))
+                seed_words = jnp.concatenate(parts).reshape(1, 8)
+                d_pad, m_pad, n_pad, ti, tk, tn = fs._plan(d_per, m_per, n)
+                a_in = (jnp.pad(a_blk, ((0, m_pad - m_per), (0, n_pad - n)))
+                        if (n_pad != n or m_pad != m_per) else a_blk)
+                part = fs._fused_call(
+                    seed_words, a_in, d=d_pad, m=m_pad,
+                    gaussian=dist.family == DenseDistName.Gaussian,
+                    alpha=float(alpha), ti=ti, tk=tk, tn=tn,
+                    ctr_stride=ctr_stride_global, interpret=interpret,
+                    rng=seed.rng, **fs.exec_opts(ti))
+                if d_pad != d_per or n_pad != n:
+                    part = part[:d_per, :n]
+                return jax.lax.psum(part, "data")
+            s_blk = fill_dense_submat_traced(dist, sd, d_per, m_per, ro,
+                                             co, dtype)
+            part = jnp.matmul(s_blk, a_blk.astype(dtype),
+                              preferred_element_type=dtype)
+            return jax.lax.psum(jnp.asarray(alpha, dtype) * part, "data")
 
-    fn = jax.shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=P("data", None),
-        out_specs=P("model", None),
-        # pallas_call outputs carry no varying-mesh-axes metadata
-        check_vma=not fused_ok,
-    )
-    out = fn(A)
+        return jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P("data", None), P()),
+            out_specs=P("model", None),
+            # pallas_call outputs carry no varying-mesh-axes metadata
+            check_vma=not fused_ok,
+        )
+
+    key = ("left", mesh, dist, str(dtype), d, m, n, str(A.dtype),
+           float(alpha), fused_ok, interpret, seed.rng, seed.key.shape[0])
+    out = _cached(key, build)(A, seed)
     return out[:d] if d_pad_g != d else out
 
 
@@ -252,49 +275,55 @@ def distributed_sketch_right(
     from ..rng.bits import mul64_u32, add64, ctr_add64
     ctr_stride_global = (m + ((-m) % 4)) // 4  # S_t parent width = m
 
-    def shard_fn(a_blk):
-        mi = jax.lax.axis_index("model")
-        di = jax.lax.axis_index("data")
-        ro = di.astype(jnp.uint32) * jnp.uint32(m_per)
-        co = mi.astype(jnp.uint32) * jnp.uint32(d_per)
-        if fused_ok:
-            # this shard's tile of the transposed global operator sits at
-            # row offset co (d axis) / column offset ro (m axis): base
-            # counter = seed + co*stride + ro//4, rows walk the GLOBAL
-            # stride.
-            lo, hi = mul64_u32(co, jnp.uint32(ctr_stride_global))
-            lo, hi = add64(lo, hi, ro // jnp.uint32(4), jnp.uint32(0))
-            ctr = ctr_add64(seed.counter, lo, hi)
-            pad = 8 - ctr.shape[0] - seed.key.shape[0]
-            parts = [ctr, seed.key]
-            if pad:
-                parts.append(jnp.zeros((pad,), jnp.uint32))
-            seed_words = jnp.concatenate(parts).reshape(1, 8)
-            d_pad, m_pad, n_pad, ti, tk, tn = fs._plan(d_per, m_per, rows)
-            at = a_blk.T
-            if m_pad != m_per or n_pad != rows:
-                at = jnp.pad(at, ((0, m_pad - m_per), (0, n_pad - rows)))
-            part_t = fs._fused_call(
-                seed_words, at, d=d_pad, m=m_pad,
-                gaussian=dist.family == DenseDistName.Gaussian,
-                alpha=float(alpha), ti=ti, tk=tk, tn=tn,
-                ctr_stride=ctr_stride_global, interpret=interpret,
-                rng=seed.rng, **fs.exec_opts(ti))
-            part = part_t[:d_per, :rows].T
-            return jax.lax.psum(part, "data")
-        s_blk = fill_dense_submat_traced(dist, seed, m_per, d_per, ro, co,
-                                         dtype)
-        part = jnp.matmul(a_blk.astype(dtype), s_blk,
-                          preferred_element_type=dtype)
-        return jax.lax.psum(jnp.asarray(alpha, dtype) * part, "data")
+    def build():
+        def shard_fn(a_blk, sd):
+            mi = jax.lax.axis_index("model")
+            di = jax.lax.axis_index("data")
+            ro = di.astype(jnp.uint32) * jnp.uint32(m_per)
+            co = mi.astype(jnp.uint32) * jnp.uint32(d_per)
+            if fused_ok:
+                # this shard's tile of the transposed global operator sits
+                # at row offset co (d axis) / column offset ro (m axis):
+                # base counter = seed + co*stride + ro//4, rows walk the
+                # GLOBAL stride.
+                lo, hi = mul64_u32(co, jnp.uint32(ctr_stride_global))
+                lo, hi = add64(lo, hi, ro // jnp.uint32(4), jnp.uint32(0))
+                ctr = ctr_add64(sd.counter, lo, hi)
+                pad = 8 - ctr.shape[0] - sd.key.shape[0]
+                parts = [ctr, sd.key]
+                if pad:
+                    parts.append(jnp.zeros((pad,), jnp.uint32))
+                seed_words = jnp.concatenate(parts).reshape(1, 8)
+                d_pad, m_pad, n_pad, ti, tk, tn = fs._plan(d_per, m_per,
+                                                           rows)
+                at = a_blk.T
+                if m_pad != m_per or n_pad != rows:
+                    at = jnp.pad(at,
+                                 ((0, m_pad - m_per), (0, n_pad - rows)))
+                part_t = fs._fused_call(
+                    seed_words, at, d=d_pad, m=m_pad,
+                    gaussian=dist.family == DenseDistName.Gaussian,
+                    alpha=float(alpha), ti=ti, tk=tk, tn=tn,
+                    ctr_stride=ctr_stride_global, interpret=interpret,
+                    rng=seed.rng, **fs.exec_opts(ti))
+                part = part_t[:d_per, :rows].T
+                return jax.lax.psum(part, "data")
+            s_blk = fill_dense_submat_traced(dist, sd, m_per, d_per, ro,
+                                             co, dtype)
+            part = jnp.matmul(a_blk.astype(dtype), s_blk,
+                              preferred_element_type=dtype)
+            return jax.lax.psum(jnp.asarray(alpha, dtype) * part, "data")
 
-    fn = jax.shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=P(None, "data"),
-        out_specs=P(None, "model"),
-        check_vma=not fused_ok,
-    )
-    out = fn(A)
+        return jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(None, "data"), P()),
+            out_specs=P(None, "model"),
+            check_vma=not fused_ok,
+        )
+
+    key = ("right", mesh, dist, str(dtype), d, m, rows, str(A.dtype),
+           float(alpha), fused_ok, interpret, seed.rng, seed.key.shape[0])
+    out = _cached(key, build)(A, seed)
     return out[:, :d] if d_pad_g != d else out
 
 
@@ -350,53 +379,63 @@ def distributed_sparse_sketch(
             vals_mk = jnp.pad(vals_mk, ((0, m_pad_g - m), (0, 0)))
         on_tpu = _tpu_platform()
 
-        def shard_fn(a_blk, rows_blk, vals_blk):
-            mi = jax.lax.axis_index("model")
-            ro = mi.astype(jnp.int32) * jnp.int32(d_per)
-            r_loc = rows_blk - ro
-            in_rng = (r_loc >= 0) & (r_loc < d_per)
-            if on_tpu:
-                # -1 never matches the row iota: out-of-window entries
-                # vanish inside the one-hot panels
-                idx = jnp.where(in_rng, r_loc, -1)
-                part = onehot_panel_apply(idx, vals_blk, a_blk, d_per,
-                                          alpha)
-            else:
-                idx = jnp.where(in_rng, r_loc, 0)
-                w = jnp.where(in_rng, vals_blk,
-                              jnp.zeros((), vals_blk.dtype))
-                part = fixed_nnz_left_apply(idx, w, a_blk, d_per, alpha)
-            return jax.lax.psum(part, "data")
+        def build():
+            def shard_fn(a_blk, rows_blk, vals_blk):
+                mi = jax.lax.axis_index("model")
+                ro = mi.astype(jnp.int32) * jnp.int32(d_per)
+                r_loc = rows_blk - ro
+                in_rng = (r_loc >= 0) & (r_loc < d_per)
+                if on_tpu:
+                    # -1 never matches the row iota: out-of-window entries
+                    # vanish inside the one-hot panels
+                    idx = jnp.where(in_rng, r_loc, -1)
+                    part = onehot_panel_apply(idx, vals_blk, a_blk, d_per,
+                                              alpha)
+                else:
+                    idx = jnp.where(in_rng, r_loc, 0)
+                    w = jnp.where(in_rng, vals_blk,
+                                  jnp.zeros((), vals_blk.dtype))
+                    part = fixed_nnz_left_apply(idx, w, a_blk, d_per,
+                                                alpha)
+                return jax.lax.psum(part, "data")
 
-        fn = jax.shard_map(
-            shard_fn, mesh=mesh,
-            in_specs=(P("data", None), P("data", None), P("data", None)),
-            out_specs=P("model", None),
-            # scan carries / one-hot iotas inside the shard are unvarying
-            # inits joined with varying contributions
-            check_vma=False,
-        )
-        out = fn(A, rows_mk, vals_mk)
+            return jax.shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=(P("data", None), P("data", None),
+                          P("data", None)),
+                out_specs=P("model", None),
+                # scan carries / one-hot iotas inside the shard are
+                # unvarying inits joined with varying contributions
+                check_vma=False,
+            )
+
+        key = ("sparse_canon", mesh, d, m, k, d_per, m_per, str(A.dtype),
+               str(vals_mk.dtype), float(alpha), on_tpu)
+        out = _cached(key, build)(A, rows_mk, vals_mk)
         return out[:d] if d_pad_g != d else out
 
     rows, cols, vals = s.rows, s.cols, s.vals
 
-    def shard_fn(a_blk, rows, cols, vals):
-        mi = jax.lax.axis_index("model")
-        di = jax.lax.axis_index("data")
-        ro = mi.astype(jnp.int32) * jnp.int32(d_per)
-        co = di.astype(jnp.int32) * jnp.int32(m_per)
-        part = coo_left_apply(rows, cols, vals.astype(a_blk.dtype),
-                              a_blk, d_per, m_per, ro, co, alpha)
-        return jax.lax.psum(part, "data")
+    def build():
+        def shard_fn(a_blk, rows, cols, vals):
+            mi = jax.lax.axis_index("model")
+            di = jax.lax.axis_index("data")
+            ro = mi.astype(jnp.int32) * jnp.int32(d_per)
+            co = di.astype(jnp.int32) * jnp.int32(m_per)
+            part = coo_left_apply(rows, cols, vals.astype(a_blk.dtype),
+                                  a_blk, d_per, m_per, ro, co, alpha)
+            return jax.lax.psum(part, "data")
 
-    fn = jax.shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P("data", None), P(), P(), P()),
-        out_specs=P("model", None),
-        check_vma=False,
-    )
-    out = fn(A, rows, cols, vals)
+        return jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P("data", None), P(), P(), P()),
+            out_specs=P("model", None),
+            check_vma=False,
+        )
+
+    key = ("sparse_coo", mesh, d, m, d_per, m_per, rows.shape[0],
+           str(A.dtype), str(vals.dtype), str(rows.dtype), float(alpha))
+    out = _cached(key, build)(A, rows, cols, vals)
     return out[:d] if d_pad_g != d else out
 
 
@@ -455,40 +494,45 @@ def distributed_sketch_cols(
 
     ctr_stride_global = (m + ((-m) % 4)) // 4
 
-    def shard_fn(a_blk):
-        mi = jax.lax.axis_index("model")
-        ro = mi.astype(jnp.uint32) * jnp.uint32(d_per)
-        if fused_ok:
-            lo, hi = mul64_u32(ro, jnp.uint32(ctr_stride_global))
-            ctr = ctr_add64(seed.counter, lo, hi)
-            pad = 8 - ctr.shape[0] - seed.key.shape[0]
-            parts = [ctr, seed.key]
-            if pad:
-                parts.append(jnp.zeros((pad,), jnp.uint32))
-            seed_words = jnp.concatenate(parts).reshape(1, 8)
-            d_pad, m_pad, n_pad, ti, tk, tn = fs._plan(d_per, m, n_per)
-            a_in = (jnp.pad(a_blk, ((0, m_pad - m), (0, n_pad - n_per)))
-                    if (n_pad != n_per or m_pad != m) else a_blk)
-            part = fs._fused_call(
-                seed_words, a_in, d=d_pad, m=m_pad,
-                gaussian=dist.family == DenseDistName.Gaussian,
-                alpha=float(alpha), ti=ti, tk=tk, tn=tn,
-                ctr_stride=ctr_stride_global, interpret=interpret,
-                rng=seed.rng, **fs.exec_opts(ti))
-            return part[:d_per, :n_per]
-        s_blk = fill_dense_submat_traced(dist, seed, d_per, m, ro,
-                                         jnp.uint32(0), dtype)
-        part = jnp.matmul(s_blk, a_blk.astype(dtype),
-                          preferred_element_type=dtype)
-        return jnp.asarray(alpha, dtype) * part
+    def build():
+        def shard_fn(a_blk, sd):
+            mi = jax.lax.axis_index("model")
+            ro = mi.astype(jnp.uint32) * jnp.uint32(d_per)
+            if fused_ok:
+                lo, hi = mul64_u32(ro, jnp.uint32(ctr_stride_global))
+                ctr = ctr_add64(sd.counter, lo, hi)
+                pad = 8 - ctr.shape[0] - sd.key.shape[0]
+                parts = [ctr, sd.key]
+                if pad:
+                    parts.append(jnp.zeros((pad,), jnp.uint32))
+                seed_words = jnp.concatenate(parts).reshape(1, 8)
+                d_pad, m_pad, n_pad, ti, tk, tn = fs._plan(d_per, m, n_per)
+                a_in = (jnp.pad(a_blk,
+                                ((0, m_pad - m), (0, n_pad - n_per)))
+                        if (n_pad != n_per or m_pad != m) else a_blk)
+                part = fs._fused_call(
+                    seed_words, a_in, d=d_pad, m=m_pad,
+                    gaussian=dist.family == DenseDistName.Gaussian,
+                    alpha=float(alpha), ti=ti, tk=tk, tn=tn,
+                    ctr_stride=ctr_stride_global, interpret=interpret,
+                    rng=seed.rng, **fs.exec_opts(ti))
+                return part[:d_per, :n_per]
+            s_blk = fill_dense_submat_traced(dist, sd, d_per, m, ro,
+                                             jnp.uint32(0), dtype)
+            part = jnp.matmul(s_blk, a_blk.astype(dtype),
+                              preferred_element_type=dtype)
+            return jnp.asarray(alpha, dtype) * part
 
-    fn = jax.shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=P(None, "data"),
-        out_specs=P("model", "data"),
-        check_vma=False,
-    )
-    out = fn(A)
+        return jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(None, "data"), P()),
+            out_specs=P("model", "data"),
+            check_vma=False,
+        )
+
+    key = ("cols", mesh, dist, str(dtype), d, m, n, str(A.dtype),
+           float(alpha), fused_ok, interpret, seed.rng, seed.key.shape[0])
+    out = _cached(key, build)(A, seed)
     if d_pad_g != d or n_pad_g != n:
         out = out[:d, :n]
     return out
@@ -534,27 +578,33 @@ def distributed_sketch_sparse_data(
     rows, cols = coo.rows, coo.cols
     vals = coo.vals.astype(dtype)
 
-    def shard_fn(rows, cols, vals):
-        mi = jax.lax.axis_index("model")
-        di = jax.lax.axis_index("data")
-        ro = mi.astype(jnp.uint32) * jnp.uint32(d_per)
-        co = di.astype(jnp.uint32) * jnp.uint32(m_per)
-        s_blk = fill_dense_submat_traced(dist, seed, d_per, m_per, ro, co,
-                                         dtype)
-        # part = s_blk @ A[co:co+m_per, :]; with the sparse operand on the
-        # right, apply through the transpose: part^T = A_window^T @
-        # s_blk^T, a sparse-left product with the COO index roles swapped
-        # (the zero-copy transposed-view trick, spmm_dispatch.hh:74-76).
-        part_t = coo_left_apply(cols, rows, vals, s_blk.T, d=n, m=m_per,
-                                ro=0, co=co.astype(jnp.int32),
-                                alpha=alpha)
-        return jax.lax.psum(part_t.T, "data")
+    def build():
+        def shard_fn(rows, cols, vals, sd):
+            mi = jax.lax.axis_index("model")
+            di = jax.lax.axis_index("data")
+            ro = mi.astype(jnp.uint32) * jnp.uint32(d_per)
+            co = di.astype(jnp.uint32) * jnp.uint32(m_per)
+            s_blk = fill_dense_submat_traced(dist, sd, d_per, m_per, ro,
+                                             co, dtype)
+            # part = s_blk @ A[co:co+m_per, :]; with the sparse operand on
+            # the right, apply through the transpose: part^T = A_window^T
+            # @ s_blk^T, a sparse-left product with the COO index roles
+            # swapped (the zero-copy transposed-view trick,
+            # spmm_dispatch.hh:74-76).
+            part_t = coo_left_apply(cols, rows, vals, s_blk.T, d=n,
+                                    m=m_per, ro=0,
+                                    co=co.astype(jnp.int32), alpha=alpha)
+            return jax.lax.psum(part_t.T, "data")
 
-    fn = jax.shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P()),
-        out_specs=P("model", None),
-        check_vma=False,
-    )
-    out = fn(rows, cols, vals)
+        return jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=P("model", None),
+            check_vma=False,
+        )
+
+    key = ("sparse_data", mesh, dist, str(dtype), d, m, n, rows.shape[0],
+           str(vals.dtype), str(rows.dtype), float(alpha), seed.rng,
+           seed.key.shape[0])
+    out = _cached(key, build)(rows, cols, vals, seed)
     return out[:d] if d_pad_g != d else out

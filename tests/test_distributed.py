@@ -86,9 +86,10 @@ def test_distributed_sparse(model, data):
         np.random.default_rng(1).normal(size=(M, N)).astype(np.float32))
     mesh = make_sketch_mesh(model, data)
     out = distributed_sparse_sketch(Ss, A, mesh)
-    # output really is d-sharded over 'model'
-    spec = out.sharding.spec
-    assert spec[0] == ("model" if model > 1 else spec[0])
+    # output really is d-sharded over 'model' (jit may normalize a
+    # fully-replicated spec to the empty PartitionSpec when model == 1)
+    if model > 1:
+        assert out.sharding.spec[0] == "model"
     got = np.asarray(out)
     want = np.asarray(sketch_general(Ss, A))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
