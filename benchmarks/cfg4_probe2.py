@@ -67,7 +67,25 @@ def main():
         y = (xx + carry * jnp.float32(1e-30)).T
         return jnp.sum(y @ ones) * jnp.float32(1e-20)
 
+    # candidate fix: generation in natural orientation, optimization
+    # barrier so XLA cannot fuse the transpose into the generator, then
+    # the standalone transpose (forced to materialize by a second
+    # barrier, as feeding a pallas_call would)
+    def body_cm_bar(i, carry):
+        flat = fill_rowmajor(R, C, R, 0, mk_state(i, carry), "boxmul")
+        flat = jax.lax.optimization_barrier(flat)
+        blk = jax.lax.optimization_barrier(flat.T)
+        return jnp.sum(blk) * jnp.float32(1e-20)
+
+    # what the pallas consumer actually forces: materialized transpose
+    def body_cm_mat(i, carry):
+        blk = fill_dense_submat(cm, mk_state(i, carry), R, C)
+        blk = jax.lax.optimization_barrier(blk)
+        return jnp.sum(blk) * jnp.float32(1e-20)
+
     run("cm_fill (sum)", body_cm, R * C)
+    run("cm_fill mat (sum)", body_cm_mat, R * C)
+    run("cm_fill barrier (sum)", body_cm_bar, R * C)
     run("cm_fill (matvec)", body_cm_mv, R * C, args=(ones,))
     run("gen_raw no-T (sum)", body_gen, R * C)
     run("rm_fill (sum)", body_rm, R * C)

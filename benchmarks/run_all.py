@@ -30,6 +30,11 @@ def main():
     small = "--small" in sys.argv
     scale = 8 if small else 1
 
+    if jax.default_backend() == "cpu":
+        # CPU smoke runs: Pallas kernels only exist in interpret mode
+        from randblas_tpu.ops import ell_spmm
+        ell_spmm.force_interpret = True
+
     results = []
 
     def report(name, seconds, flops=None, unit="s"):
@@ -81,7 +86,9 @@ def main():
         out = rb.sketch_general(S, a)
         return jnp.sum(out) * jnp.float32(1e-20)
 
-    report("lskge3_tls_100kx2k_f32", time_loop(body1f, A1f, iters_large=3),
+    # iters sized so the differencing signal clears the ~50 ms floor
+    # (time_loop docstring): ~17 ms/iter -> 4 extra iters = ~70 ms
+    report("lskge3_tls_100kx2k_f32", time_loop(body1f, A1f, iters_large=5),
            flops=2.0 * d * m * n)
 
     # ---- config 2: RSKGE3 + submatrix, uniform -------------------------
@@ -100,8 +107,9 @@ def main():
         out = rb.sketch_general(S, a, side="right", d=dd, ro_s=8, co_s=8)
         return jnp.sum(out) * jnp.float32(1e-20)
 
+    # ~3 ms/iter -> 18 extra iters = ~58 ms signal
     report("rskge3_submatrix_uniform",
-           time_loop(body2, A2, iters_small=2, iters_large=8),
+           time_loop(body2, A2, iters_small=2, iters_large=20),
            flops=2.0 * rows * mm * dd)
 
     # ---- config 3: LSKGES SASO vec_nnz=8 --------------------------------
@@ -119,7 +127,8 @@ def main():
         out = rb.sketch_general(S, a)
         return jnp.sum(out) * jnp.float32(1e-20)
 
-    report("lskges_saso_vecnnz8", time_loop(body3, A3, iters_large=3),
+    # ~2.6 ms/iter -> 24 extra iters = ~62 ms signal
+    report("lskges_saso_vecnnz8", time_loop(body3, A3, iters_large=25),
            flops=2.0 * 8 * m3 * n3)
 
     # ---- config 4: sparse data SpMM with a dense operator ---------------
@@ -165,8 +174,9 @@ def main():
         out = rb.sketch_sparse(S, sp, side="right")
         return jnp.sum(out) * jnp.float32(1e-20)
 
+    # ~4 ms/iter -> 15 extra iters = ~64 ms signal
     report("sketch_sparse_blocked_ell",
-           time_loop(body4b, bell.local_cols, bell.vals, iters_large=6),
+           time_loop(body4b, bell.local_cols, bell.vals, iters_large=16),
            flops=2.0 * d4 * nnz4)
 
     # ---- config 5: wrappers + QB rangefinder pipeline -------------------
