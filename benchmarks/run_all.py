@@ -158,9 +158,11 @@ def main():
     # config 4b: the same sparse data through the BlockedELL Pallas
     # kernel (rsksp3 orientation: sparse data x dense operator). The
     # one-time format conversion happens outside the timed body, like
-    # the reference pre-sorting COO into CSC.
+    # the reference pre-sorting COO into CSC. word_major=4 tables let
+    # the implicit operator's plane fill feed the kernel with zero
+    # interleave relayout (measured 2x end to end, cfg4_probe7.py).
     from randblas_tpu.sparse_data import ELLMatrix
-    bell = ELLMatrix.from_coo(Asp).blocked()
+    bell = ELLMatrix.from_coo(Asp).blocked(word_major=4)
     op_dist4b = rb.DenseDist(n4, d4)
 
     def body4b(i, carry, ci, v):
@@ -170,7 +172,8 @@ def main():
             jnp.zeros(2, jnp.uint32))
         S = rb.DenseSkOp(op_dist4b, st)
         from randblas_tpu.ops.ell_spmm import BlockedELL
-        sp = BlockedELL(ci, v, bell.n_rows, bell.n_cols, bell.kb, bell.bw)
+        sp = BlockedELL(ci, v, bell.n_rows, bell.n_cols, bell.kb, bell.bw,
+                        word_major=bell.word_major)
         out = rb.sketch_sparse(S, sp, side="right")
         return jnp.sum(out) * jnp.float32(1e-20)
 

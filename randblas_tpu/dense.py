@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from .base import Layout, MajorAxis, require
-from .ops.dense_fill import fill_rowmajor, fill_next_state
+from .ops.dense_fill import fill_colmajor, fill_rowmajor, fill_next_state
 from .rng.state import RNGState
 
 
@@ -145,9 +145,11 @@ def fill_dense_submat(
     ma_len = major_axis_length(dist)
     transform = _TRANSFORM[dist.family]
     if natural == Layout.ColMajor:
-        # generate the transpose in row-major order (dense_skops.hh:494-498)
+        # generate the transpose in row-major order (dense_skops.hh:494-498);
+        # fill_colmajor computes that transpose natively in word planes
+        # (same values, ~7x faster on TPU — ops/dense_fill.py)
         ptr = ro_s + co_s * ma_len
-        vals = fill_rowmajor(ma_len, n_cols, n_rows, ptr, state, transform).T
+        vals = fill_colmajor(ma_len, n_cols, n_rows, ptr, state, transform)
     else:
         ptr = ro_s * ma_len + co_s
         vals = fill_rowmajor(ma_len, n_rows, n_cols, ptr, state, transform)
@@ -175,15 +177,16 @@ def fill_dense_submat_traced(
     Used by randblas_tpu.parallel to generate per-device tiles of one
     global operator with zero communication.
     """
-    from .ops.dense_fill import fill_rowmajor_traced_offset
+    from .ops.dense_fill import (fill_colmajor_traced_offset,
+                                 fill_rowmajor_traced_offset)
     require(dist.family != DenseDistName.BlackBox,
             "fill_dense cannot be called with the BlackBox family")
     natural = dist_to_layout(dist)
     ma_len = major_axis_length(dist)
     transform = _TRANSFORM[dist.family]
     if natural == Layout.ColMajor:
-        vals = fill_rowmajor_traced_offset(
-            ma_len, n_cols, n_rows, co_s, ro_s, state, transform).T
+        vals = fill_colmajor_traced_offset(
+            ma_len, n_cols, n_rows, co_s, ro_s, state, transform)
     else:
         vals = fill_rowmajor_traced_offset(
             ma_len, n_rows, n_cols, ro_s, co_s, state, transform)
@@ -191,6 +194,42 @@ def fill_dense_submat_traced(
     if dist.family == DenseDistName.Uniform:
         vals = vals * jnp.asarray(math.sqrt(3.0), dtype=dtype)
     return vals
+
+
+def skop_word_major_rows(S, w: int):
+    """The FULL operator S as a word-major row-storage array, or None.
+
+    Storage row s = (k % w)*ceil(n_rows/w) + k//w holds operator row k —
+    exactly the order a ColMajor-natural plane fill produces with zero
+    interleave (ops/dense_fill.py::fill_colmajor_planes), and the order
+    word-major BlockedELL tables expect (ops/ell_spmm.py). Returns a
+    float32 (w*ceil(n_rows/w), n_cols) array whose phantom tail rows
+    (when n_rows % w != 0) carry later-counter values that only ever
+    multiply zero data. None when the operator is materialized, not
+    ColMajor-natural, or its generator has no w-word plane form.
+    """
+    from .ops.dense_fill import fill_colmajor_planes
+    if getattr(S, "materialized", None) is not None:
+        return None
+    if S.dist.family not in (DenseDistName.Gaussian, DenseDistName.Uniform):
+        return None
+    if dist_to_layout(S.dist) != Layout.ColMajor:
+        return None
+    state = S.seed_state
+    if state.len_c != w:
+        return None
+    ma_len = major_axis_length(S.dist)
+    planes = fill_colmajor_planes(ma_len, S.n_cols, S.n_rows, 0, state,
+                                  _TRANSFORM[S.dist.family])
+    if planes is None:
+        return None
+    gs, fbs, rows_gen, nblk = planes
+    assert fbs == 0
+    if S.dist.family == DenseDistName.Uniform:
+        scale = jnp.float32(math.sqrt(3.0))
+        gs = tuple(g * scale for g in gs)
+    out = jnp.concatenate([g.T for g in gs], axis=0)
+    return out[:, :S.n_cols]
 
 
 def fill_dense(dist: DenseDist, state: RNGState, dtype=jnp.float32):

@@ -25,9 +25,10 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..rng.bits import ctr_add64, mul64_u32, add64
+from ..rng.bits import ctr_add64, ctr_add64_words, mul64_u32, add64
 from ..rng.state import RNGState
-from ..rng.transforms import boxmul_block, uneg11_block
+from ..rng.transforms import (boxmul_block, boxmul_pair, uneg11,
+                              uneg11_block)
 
 
 def fill_geometry(n_cols_parent: int, n_scols: int, ptr: int, ctr_size: int):
@@ -125,6 +126,108 @@ def fill_rowmajor(
     return flat[:n_srows, fbs:fbs + n_scols]
 
 
+def _words_generator(state: RNGState):
+    """Word-plane form of the state's generator, or None if it has none.
+
+    Returns f(c0, c1, c2, c3) -> (x0, x1, x2, x3) with the key baked in.
+    """
+    if state.rng == "philox4x32":
+        from ..rng.philox import philox4x32_words
+        k = state.key
+        return lambda c0, c1, c2, c3: philox4x32_words(
+            c0, c1, c2, c3, k[0], k[1])
+    if state.rng == "threefry4x32":
+        from ..rng.threefry import threefry4x32_words
+        k = state.key
+        return lambda c0, c1, c2, c3: threefry4x32_words(
+            c0, c1, c2, c3, k[0], k[1], k[2], k[3])
+    return None
+
+
+def fill_colmajor_planes(
+    n_cols_parent: int,
+    n_srows: int,
+    n_scols: int,
+    ptr: int,
+    state: RNGState,
+    transform: str,
+):
+    """Word planes of the transposed fill, or None for W != 4 generators.
+
+    Returns (gs, fbs, rows_gen, nblk): gs is a tuple of 4 float32
+    (rows_gen, nblk) planes with
+    ``fill_rowmajor(...).T[blk*4 + w, row] == gs[w][row, blk]``
+    (before the fbs/n_scols slice). Consumers that can use the word-major
+    order directly (ops/ell_spmm.py deinterleaved operands) skip the
+    interleave relayout entirely.
+    """
+    ctr_size = state.len_c
+    wf = _words_generator(state)
+    if wf is None or ctr_size != 4:
+        return None
+    ctr_mat_start, fbs, ctr_stride, nblk, _ = fill_geometry(
+        n_cols_parent, n_scols, ptr, ctr_size)
+    rows_gen = -(-n_srows // _ROW_ALIGN) * _ROW_ALIGN
+
+    base = state.incr(ctr_mat_start)
+    rows = jnp.arange(rows_gen, dtype=jnp.uint32)
+    stride_lo = jnp.uint32(ctr_stride & 0xFFFFFFFF)
+    stride_hi_const = (ctr_stride >> 32) & 0xFFFFFFFF
+    row_lo, row_hi = mul64_u32(rows, stride_lo)
+    if stride_hi_const:
+        row_hi = row_hi + rows * jnp.uint32(stride_hi_const)
+    blk = jnp.arange(nblk, dtype=jnp.uint32)
+    off_lo, off_hi = add64(row_lo[:, None], row_hi[:, None],
+                           blk[None, :], jnp.uint32(0))
+
+    c0, c1, c2, c3 = ctr_add64_words(base.counter, off_lo, off_hi)
+    xs = wf(c0, c1, c2, c3)                     # 4 planes (rows_gen, nblk)
+    if transform == "boxmul":
+        g0, g1 = boxmul_pair(xs[0], xs[1])
+        g2, g3 = boxmul_pair(xs[2], xs[3])
+        gs = (g0, g1, g2, g3)
+    elif transform == "uneg11":
+        gs = tuple(uneg11(x) for x in xs)
+    else:
+        raise ValueError(f"unknown transform {transform!r}")
+    gs = tuple(jnp.broadcast_to(g, (rows_gen, nblk)) for g in gs)
+    return gs, fbs, rows_gen, nblk
+
+
+def fill_colmajor(
+    n_cols_parent: int,
+    n_srows: int,
+    n_scols: int,
+    ptr: int,
+    state: RNGState,
+    transform: str,
+):
+    """``fill_rowmajor(n_cols_parent, n_srows, n_scols, ptr, ...).T`` —
+    bit-identical values, computed natively in the transposed orientation.
+
+    ColMajor-natural fills generate the operator's transpose row-major and
+    flip it, which made the generation itself run through a (n_srows,
+    nblk, W) intermediate whose W=4 minor dim XLA lays out on lanes when
+    nblk is large — measured ~16x below the generator's throughput at the
+    (512, 2500, 4) config-4 shape, independent of n_srows
+    (benchmarks/cfg4_probe3.py, BENCH_LOCAL.md round 3). Here the four
+    counter words stay separate 2-D (n_srows, nblk) planes end to end —
+    counter limb math, generator rounds (word-wise forms shared with the
+    Pallas kernels), float transform — and the output is assembled
+    transposed: out[blk*W + w, row] = plane_w[row, blk]. The only data
+    movement is W clean 2-D transposes; every plane is full-lane.
+    """
+    planes = fill_colmajor_planes(n_cols_parent, n_srows, n_scols, ptr,
+                                  state, transform)
+    if planes is None:
+        return fill_rowmajor(n_cols_parent, n_srows, n_scols, ptr, state,
+                             transform).T
+    gs, fbs, rows_gen, nblk = planes
+    out = jnp.stack([g.T for g in gs],
+                    axis=1).reshape(nblk * 4, rows_gen)
+    return out[fbs:fbs + n_scols, :n_srows]
+
+
 def fill_rowmajor_traced_offset(
     n_cols_parent: int,
     n_srows: int,
@@ -160,6 +263,33 @@ def fill_rowmajor_traced_offset(
     lo, hi = add64(lo, hi, col_off // jnp.uint32(ctr_size), jnp.uint32(0))
     base = RNGState(ctr_add64(state.counter, lo, hi), state.key, state.rng)
     return fill_rowmajor(n_cols_parent, n_srows, n_scols, 0, base,
+                         transform)
+
+
+def fill_colmajor_traced_offset(
+    n_cols_parent: int,
+    n_srows: int,
+    n_scols: int,
+    row_off,
+    col_off,
+    state: RNGState,
+    transform: str,
+):
+    """``fill_rowmajor_traced_offset(...).T`` via the word-plane fill
+    (same alignment contract: ``col_off`` a multiple of the counter
+    width; ``row_off`` unconstrained)."""
+    ctr_size = state.len_c
+    _, _, ctr_stride, _, _ = fill_geometry(n_cols_parent, n_scols, 0,
+                                           ctr_size)
+    row_off = jnp.asarray(row_off, dtype=jnp.uint32)
+    col_off = jnp.asarray(col_off, dtype=jnp.uint32)
+    lo, hi = mul64_u32(row_off, jnp.uint32(ctr_stride & 0xFFFFFFFF))
+    stride_hi = (ctr_stride >> 32) & 0xFFFFFFFF
+    if stride_hi:
+        hi = hi + row_off * jnp.uint32(stride_hi)
+    lo, hi = add64(lo, hi, col_off // jnp.uint32(ctr_size), jnp.uint32(0))
+    base = RNGState(ctr_add64(state.counter, lo, hi), state.key, state.rng)
+    return fill_colmajor(n_cols_parent, n_srows, n_scols, 0, base,
                          transform)
 
 

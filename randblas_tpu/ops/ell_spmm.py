@@ -76,6 +76,16 @@ class BlockedELL:
         default_factory=lambda: _empty(jnp.int32))
     ovf_vals: jax.Array = dataclasses.field(
         default_factory=lambda: _empty(jnp.float32))
+    # When W > 0, the B operand's rows are expected in *word-major*
+    # storage order: storage row s holds original row k with
+    # s = (k % W) * ceil(n_cols / W) + k // W. This is the layout the
+    # ColMajor-natural dense fill produces for free (one float per RNG
+    # counter word, planes concatenated un-interleaved) — feeding the
+    # natural row order to pallas_call instead costs a measured ~2 ms
+    # sublane-interleave relayout at the config-4 shape
+    # (benchmarks/cfg4_probe6.py: 4.2 ms -> 2.2 ms end to end).
+    word_major: int = dataclasses.field(default=0,
+                                        metadata={"static": True})
 
     @property
     def shape(self):
@@ -89,18 +99,32 @@ class BlockedELL:
     def ovf_nnz(self) -> int:
         return self.ovf_rows.shape[0]
 
+    @property
+    def b_rows(self) -> int:
+        """Expected row count of the B operand (storage order)."""
+        if self.word_major:
+            w = self.word_major
+            return w * (-(-self.n_cols // w))
+        return self.n_cols
+
     @staticmethod
     def from_ell(ell, kb: int = 128, ti: int = 2048,
-                 bw_cap: int = None) -> "BlockedELL":
+                 bw_cap: int = None, word_major: int = 0) -> "BlockedELL":
         """One-time host-side conversion (concrete arrays required).
         Zero-valued ELL slots are treated as padding and dropped.
         bw_cap: cap the per-(row, block) slot count; excess entries go
-        to the COO overflow arrays (two-tier form)."""
+        to the COO overflow arrays (two-tier form).
+        word_major: build the tables against word-major B storage order
+        (see the field docstring); pass the RNG counter width (4) when
+        the B operand is an implicit ColMajor-natural dense operator."""
         cols = np.asarray(ell.colidxs)
         vals = np.asarray(ell.vals, dtype=np.float32)
         m, k = ell.shape
         m_pad = -(-max(m, 8) // ti) * ti if m >= ti else -(-m // 8) * 8
-        k_pad = -(-k // kb) * kb
+        k_store = k
+        if word_major:
+            k_store = word_major * (-(-k // word_major))
+        k_pad = -(-k_store // kb) * kb
         n_k = k_pad // kb
 
         rows = np.repeat(np.arange(m, dtype=np.int64), cols.shape[1])
@@ -108,6 +132,9 @@ class BlockedELL:
         v = vals.reshape(-1)
         keep = v != 0
         rows, c, v = rows[keep], c[keep], v[keep]
+        if word_major:
+            nblk = k_store // word_major
+            c = (c % word_major) * nblk + c // word_major
         blk = c // kb
         key = rows * n_k + blk
         order = np.argsort(key, kind="stable")
@@ -135,16 +162,19 @@ class BlockedELL:
                 (c[order][keep_t] % kb).astype(np.int32)
             tab_v[rows[order][keep_t], pos] = v[order][keep_t]
             o_rows = rows[order][ovf].astype(np.int32)
+            # overflow columns stay in storage order — the COO pass reads
+            # the same (possibly word-major) operand the kernel does
             o_cols = c[order][ovf].astype(np.int32)
             o_vals = v[order][ovf]
             return BlockedELL(jnp.asarray(tab_c.T), jnp.asarray(tab_v.T),
                               m, k, kb, bw, jnp.asarray(o_rows),
-                              jnp.asarray(o_cols), jnp.asarray(o_vals))
+                              jnp.asarray(o_cols), jnp.asarray(o_vals),
+                              word_major)
         pos = blk[order] * bw + slot
         tab_c[rows[order], pos] = (c[order] % kb).astype(np.int32)
         tab_v[rows[order], pos] = v[order]
         return BlockedELL(jnp.asarray(tab_c.T), jnp.asarray(tab_v.T),
-                          m, k, kb, bw)
+                          m, k, kb, bw, word_major=word_major)
 
     def to_coo(self):
         """Host-side conversion back to COO (general-form fallback)."""
@@ -166,6 +196,13 @@ class BlockedELL:
             np.add.at(dense, (np.asarray(self.ovf_rows),
                               np.asarray(self.ovf_cols)),
                       np.asarray(self.ovf_vals))
+        if self.word_major:
+            # columns are in storage order: s = (k % W)*nblk + k//W
+            w = self.word_major
+            nblk = self.b_rows // w
+            s_of_k = ((np.arange(self.n_cols) % w) * nblk
+                      + np.arange(self.n_cols) // w)
+            return jnp.asarray(dense[:self.n_rows, s_of_k])
         return jnp.asarray(dense[:self.n_rows, :self.n_cols])
 
 
@@ -244,19 +281,41 @@ def _call(ci, v, b, *, alpha, ti, kb, tn, bw, interpret, kpb=1):
     )(ci, v, b)
 
 
+def to_word_major_rows(b, w: int, n_cols: int):
+    """Reorder a natural-row-order operand (n_cols, n) into word-major
+    storage order (w*ceil(n_cols/w), n): storage row (k % w)*nblk + k//w
+    holds original row k. The generic (relayout-paying) fallback for
+    word-major BlockedELL products whose operand did not come from a
+    plane fill."""
+    b = jnp.asarray(b)
+    nblk = -(-n_cols // w)
+    if b.shape[0] != w * nblk:
+        b = jnp.pad(b, ((0, w * nblk - b.shape[0]), (0, 0)))
+    return b.reshape(nblk, w, b.shape[1]).transpose(1, 0, 2).reshape(
+        w * nblk, b.shape[1])
+
+
 def blocked_ell_matmul(bell: BlockedELL, b, alpha=1.0,
                        interpret: bool = False, ti: int = None,
                        kpb: int = None):
     """alpha * bell @ b through the blocked one-hot kernel.
-    b: (n_cols, n), float32 (pre-cast once to bf16 — the kernel's dots
-    run bf16 either way, and B blocks are revisited n_i times, so the
-    one-time cast replaces n_i in-kernel cast passes and halves the
-    B DMA). kpb column blocks merge into each grid step (one dot of
-    depth kpb*kb); empty padding blocks carry col == -1 / val == 0."""
-    b_f32 = jnp.asarray(b, jnp.float32)
-    b = b_f32.astype(jnp.bfloat16)
-    require(b.ndim == 2 and b.shape[0] == bell.n_cols,
-            "operand height must equal n_cols")
+    b: (bell.b_rows, n), float32 or bfloat16 (f32 is pre-cast once to
+    bf16 — the kernel's dots run bf16 either way, and B blocks are
+    revisited n_i times, so the one-time cast replaces n_i in-kernel
+    cast passes and halves the B DMA). For a word-major bell, b's rows
+    must already be in storage order (to_word_major_rows, or a plane
+    fill that produces that order for free). kpb column blocks merge
+    into each grid step (one dot of depth kpb*kb); empty padding blocks
+    carry col == -1 / val == 0."""
+    b = jnp.asarray(b)
+    if b.dtype == jnp.bfloat16:
+        b_f32 = None            # only needed by the COO overflow pass
+    else:
+        b_f32 = jnp.asarray(b, jnp.float32)
+        b = b_f32.astype(jnp.bfloat16)
+    require(b.ndim == 2 and b.shape[0] == bell.b_rows,
+            "operand height must equal b_rows (n_cols, or the word-major "
+            "storage row count)")
     m_pad = bell.local_cols.shape[1]
     kb = bell.kb
     n = b.shape[1]
@@ -293,7 +352,10 @@ def blocked_ell_matmul(bell: BlockedELL, b, alpha=1.0,
     out = out[:bell.n_rows, :n]
     if bell.ovf_nnz:
         from .coo_apply import coo_left_apply
+        if b_f32 is None:
+            b_f32 = jnp.asarray(b[:bell.b_rows, :n], jnp.float32)
+        # overflow columns index the SAME storage order as the kernel
         out = out + coo_left_apply(
             bell.ovf_rows, bell.ovf_cols, bell.ovf_vals, b_f32,
-            bell.n_rows, bell.n_cols, alpha=alpha)
+            bell.n_rows, bell.b_rows, alpha=alpha)
     return out

@@ -73,16 +73,12 @@ def add_carry(a, b):
     return s, carry
 
 
-def ctr_add64(ctr, lo, hi=0):
-    """Add a 64-bit amount (given as uint32 limbs lo, hi) to a little-endian
-    multiword uint32 counter array, propagating carries.
-
-    Matches Random123 ``ctr.incr(n)`` semantics: the counter is read as a
-    base-2^32 little-endian integer (RandBLAS test_r123.cc:686-766).
-
-    ctr: uint32[len_c] (len_c in {2, 4}); lo/hi: scalar uint32 (python int or
-    traced). Returns the new counter array.
-    """
+def ctr_add64_words(ctr, lo, hi=0):
+    """``ctr_add64`` without the final stack: returns the counter word
+    *planes* as a tuple. When lo/hi are (..., )-shaped arrays, each plane
+    broadcasts to that shape — the form the word-wise generators consume
+    directly, avoiding the minor-dim-W layout that the stacked counter
+    array forces on TPU (see ops/dense_fill.py::fill_colmajor)."""
     ctr = jnp.asarray(ctr, dtype=jnp.uint32)
     lo = _u32(lo)
     hi = _u32(hi)
@@ -104,7 +100,21 @@ def ctr_add64(ctr, lo, hi=0):
         for i, w in enumerate(rest):
             cw, acc = add_carry(w, acc)
             out.append(cw)
-    return jnp.stack(out, axis=-1)
+    return tuple(out)
+
+
+def ctr_add64(ctr, lo, hi=0):
+    """Add a 64-bit amount (given as uint32 limbs lo, hi) to a little-endian
+    multiword uint32 counter array, propagating carries.
+
+    Matches Random123 ``ctr.incr(n)`` semantics: the counter is read as a
+    base-2^32 little-endian integer (RandBLAS test_r123.cc:686-766).
+
+    ctr: uint32[len_c] (len_c in {2, 4}); lo/hi: scalar uint32 (python int or
+    traced). Returns the new counter array.
+    """
+    out = ctr_add64_words(ctr, lo, hi)
+    return jnp.stack(jnp.broadcast_arrays(*out), axis=-1)
 
 
 def mul64_u32(a, b):

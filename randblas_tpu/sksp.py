@@ -113,9 +113,26 @@ def sketch_sparse(
         rows_s, cols_s = dims_before_op(n, d, op_s)
         require(S.n_rows >= rows_s + ro_s, "S row range out of bounds")
         require(S.n_cols >= cols_s + co_s, "S column range out of bounds")
-        s_blk = S.submat(rows_s, cols_s, ro_s, co_s)
-        if op_s == Op.Trans:
-            s_blk = s_blk.T
+        from .ops import ell_spmm
+        if isinstance(A, ell_spmm.BlockedELL) and A.word_major:
+            # word-major operand storage: the plane fill produces it with
+            # zero interleave (the natural order costs a ~2 ms relayout
+            # into pallas_call at the config-4 shape — BlockedELL.word_major)
+            from .dense import skop_word_major_rows
+            s_blk = None
+            if (op_s == Op.NoTrans and ro_s == 0 and co_s == 0
+                    and rows_s == S.n_rows and cols_s == S.n_cols):
+                s_blk = skop_word_major_rows(S, A.word_major)
+            if s_blk is None:
+                blk = S.submat(rows_s, cols_s, ro_s, co_s)
+                if op_s == Op.Trans:
+                    blk = blk.T
+                s_blk = ell_spmm.to_word_major_rows(blk, A.word_major,
+                                                    blk.shape[0])
+        else:
+            s_blk = S.submat(rows_s, cols_s, ro_s, co_s)
+            if op_s == Op.Trans:
+                s_blk = s_blk.T
         # B = op_a(submat(A)) @ s_blk: left_spmm with the sparse operand
         prod = left_spmm(A, s_blk, op_a=op_a, alpha=alpha, d=m,
                          ro_a=ro_a, co_a=co_a)

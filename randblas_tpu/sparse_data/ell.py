@@ -90,13 +90,18 @@ class ELLMatrix:
         return dense.at[rows, self.colidxs.reshape(-1)].add(
             self.vals.reshape(-1))
 
-    def blocked(self, kb: int = 128, bw_cap: int = None):
+    def blocked(self, kb: int = 128, bw_cap: int = None,
+                word_major: int = 0):
         """One-time host-side conversion to BlockedELL, the Pallas SpMM
         kernel's format (ops/ell_spmm.py). Concrete arrays required.
         bw_cap caps the per-(row, block) slot count, sending the excess
-        through a COO overflow pass (two-tier form)."""
+        through a COO overflow pass (two-tier form). word_major=4 builds
+        the tables for word-major operand storage — the order an implicit
+        ColMajor-natural DenseSkOp fills for free (ops/ell_spmm.py
+        BlockedELL.word_major)."""
         from ..ops.ell_spmm import BlockedELL
-        return BlockedELL.from_ell(self, kb=kb, bw_cap=bw_cap)
+        return BlockedELL.from_ell(self, kb=kb, bw_cap=bw_cap,
+                                   word_major=word_major)
 
     def matmul(self, b: jax.Array, alpha=1.0) -> jax.Array:
         """self @ b via width gather passes: B[r] = sum_t vals[r,t] *

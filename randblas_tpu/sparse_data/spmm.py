@@ -110,7 +110,9 @@ def left_spmm(
                 "BlockedELL supports full untransposed left products; "
                 "use to_coo() for general forms")
         b_mat = B if op_b == Op.NoTrans else B.T
-        require(A.n_cols == b_mat.shape[0], "inner dimension mismatch")
+        require(A.b_rows == b_mat.shape[0],
+                "inner dimension mismatch (word-major operands must be in "
+                "storage order, ops/ell_spmm.py::to_word_major_rows)")
         prod = ell_spmm.blocked_ell_matmul(
             A, b_mat, alpha, interpret=ell_spmm.force_interpret)
         if out is not None:

@@ -118,3 +118,77 @@ def test_left_spmm_auto_blocked_ell(monkeypatch):
     np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
     # the cache sticks to the object
     assert getattr(csr, "_bell_cache", None) is not None
+
+
+@pytest.mark.parametrize("m,k", [(300, 2100), (64, 500), (513, 1025)])
+def test_word_major_to_dense_roundtrip(m, k):
+    """Word-major tables describe the same matrix (BlockedELL.word_major)."""
+    ell, dense = _ell(m, k, seed=m + 3 * k)
+    bell = ell.blocked(word_major=4)
+    assert bell.b_rows == 4 * (-(-k // 4))
+    np.testing.assert_array_equal(np.asarray(bell.to_dense()), dense)
+
+
+@pytest.mark.parametrize("k", [500, 1025])  # 1025 % 4 != 0: phantom rows
+def test_word_major_matmul_vs_dense(k):
+    ell, dense = _ell(128, k, seed=k)
+    from randblas_tpu.ops.ell_spmm import to_word_major_rows
+    bell = ell.blocked(word_major=4)
+    b = RNG.normal(size=(k, 64)).astype(np.float32)
+    got = np.asarray(blocked_ell_matmul(
+        bell, to_word_major_rows(jnp.asarray(b), 4, k), interpret=True))
+    want = dense @ b
+    scale = np.abs(want).max() or 1.0
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
+
+
+def test_word_major_two_tier_overflow():
+    """bw_cap overflow columns stay in storage order (the COO pass reads
+    the same word-major operand the kernel does)."""
+    from randblas_tpu.ops.ell_spmm import to_word_major_rows
+    ell, dense = _ell(64, 512, density=0.2, seed=21)
+    bell = ell.blocked(word_major=4, bw_cap=8)
+    assert bell.ovf_nnz > 0
+    b = RNG.normal(size=(512, 32)).astype(np.float32)
+    got = np.asarray(blocked_ell_matmul(
+        bell, to_word_major_rows(jnp.asarray(b), 4, 512), interpret=True))
+    want = dense @ b
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
+
+
+def test_sketch_sparse_right_word_major(monkeypatch):
+    """The implicit-operator fast path: plane fill feeds the word-major
+    kernel with zero interleave; values match the natural-order route
+    and the densify oracle (dense.skop_word_major_rows)."""
+    from randblas_tpu.ops import ell_spmm
+    from randblas_tpu import (DenseDist, DenseDistName, DenseSkOp,
+                              RNGState, sketch_sparse)
+    from randblas_tpu.dense import skop_word_major_rows
+    monkeypatch.setattr(ell_spmm, "force_interpret", True)
+    ell, dense = _ell(60, 250, seed=9)  # 250 % 4 != 0
+    bell = ell.blocked(word_major=4)
+    S = DenseSkOp(DenseDist(250, 16), RNGState.from_key(2))
+    # the fill-side producer agrees with materialize() on real rows
+    wm = skop_word_major_rows(S, 4)
+    nblk = bell.b_rows // 4
+    s_of_k = (np.arange(250) % 4) * nblk + np.arange(250) // 4
+    np.testing.assert_array_equal(np.asarray(wm)[s_of_k],
+                                  np.asarray(S.materialize()))
+    got = np.asarray(sketch_sparse(S, bell, side="right"))
+    want = dense @ np.asarray(S.materialize())
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
+    # transposed-operator fallback (generic reorder, wide RowMajor op)
+    St = DenseSkOp(DenseDist(16, 250), RNGState.from_key(5))
+    got_t = np.asarray(sketch_sparse(St, bell, side="right", op_s="T"))
+    want_t = dense @ np.asarray(St.materialize()).T
+    np.testing.assert_allclose(got_t / scale, want_t / scale, atol=2e-2)
+    # uniform family through the plane fill
+    Su = DenseSkOp(DenseDist(250, 16, DenseDistName.Uniform),
+                   RNGState.from_key(3))
+    got_u = np.asarray(sketch_sparse(Su, bell, side="right"))
+    want_u = dense @ np.asarray(Su.materialize())
+    scale_u = np.abs(want_u).max()
+    np.testing.assert_allclose(got_u / scale_u, want_u / scale_u,
+                               atol=2e-2)
