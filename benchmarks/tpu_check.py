@@ -28,7 +28,8 @@ def main():
         "summary": tail,
         "tests": "tests/test_tpu_hardware.py (fused RowMajor philox+"
                  "threefry, unaligned submatrix, fused ColMajor, "
-                 "BlockedELL, f64 hiprec — componentwise bound)",
+                 "BlockedELL, word-plane fill bit-identity, word-major "
+                 "BlockedELL fast path, f64 hiprec — componentwise bound)",
     }
     path = os.path.join(ROOT, f"TPUCHECK_r{rnd}.json")
     with open(path, "w") as f:

@@ -117,6 +117,52 @@ def test_blocked_ell_on_hardware():
                                eps=float(np.finfo(np.float32).eps))
 
 
+def test_word_plane_fill_bit_identity_on_hardware():
+    """fill_colmajor (word-plane rewrite, round 3) must equal the
+    row-major fill's transpose BITWISE on the compiled TPU path — same
+    generator rounds and float transforms, only the data movement
+    differs (ops/dense_fill.py::fill_colmajor)."""
+    import jax.numpy as jnp
+    import randblas_tpu as rb
+    from randblas_tpu.ops.dense_fill import fill_colmajor, fill_rowmajor
+
+    st = rb.RNGState.from_key(7)
+    for transform, (pd, rows, cols, ptr) in [
+        ("boxmul", (4096, 512, 1000, 0)),
+        ("uneg11", (4096, 512, 1000, 0)),
+        ("boxmul", (1030, 200, 515, 2060)),  # odd dims + column offset
+    ]:
+        got = np.asarray(fill_colmajor(pd, rows, cols, ptr, st, transform))
+        want = np.asarray(fill_rowmajor(pd, rows, cols, ptr, st,
+                                        transform)).T
+        np.testing.assert_array_equal(got, want)
+
+
+def test_word_major_blocked_ell_on_hardware():
+    """The word-major operand-order fast path (sketch_sparse of an
+    implicit ColMajor-natural operator through BlockedELL.word_major)
+    on the compiled kernel, against the densify oracle."""
+    import jax.numpy as jnp
+    import randblas_tpu as rb
+    from randblas_tpu.sparse_data import COOMatrix, ELLMatrix
+    from oracle import assert_componentwise_close
+
+    m, k, nnz = 2048, 4100, 40_000   # k % 4 != 0: phantom storage rows
+    rng = np.random.default_rng(6)
+    coo = COOMatrix.from_arrays(
+        m, k, rng.integers(0, m, nnz), rng.integers(0, k, nnz),
+        rng.normal(size=nnz).astype(np.float32))
+    bell = ELLMatrix.from_coo(coo).blocked(word_major=4)
+    S = rb.DenseSkOp(rb.DenseDist(k, 256), rb.RNGState.from_key(11))
+    got = np.asarray(rb.sketch_sparse(S, bell, side="right"))
+    dense = np.zeros((m, k), np.float32)
+    np.add.at(dense, (np.asarray(coo.rows), np.asarray(coo.cols)),
+              np.asarray(coo.vals))
+    assert_componentwise_close(
+        got, _bf16(dense), _bf16(np.asarray(S.materialize())),
+        eps=float(np.finfo(np.float32).eps))
+
+
 def test_f64_hiprec_on_hardware():
     import jax.numpy as jnp
     from randblas_tpu.ops.f64gemm import matmul_hiprec
