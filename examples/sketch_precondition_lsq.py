@@ -1,0 +1,124 @@
+"""Sketch-and-precondition least squares (Blendenpik/LSRN-style).
+
+The other classic RandNLA workload next to sketch-and-solve
+(examples/total_least_squares.py, the reference's TLS examples): for a
+tall overdetermined min ||A x - b||, sketch A down to d ~ 2n rows with a
+SASO, take the QR of the sketch, and use its R factor as a RIGHT
+preconditioner for an iterative solver on the FULL problem. The sketch
+guarantees cond(A R^-1) = O(1) with high probability, so CGLS/LSQR
+converges in a few dozen iterations independent of cond(A) — and the
+answer is exact to solver tolerance (unlike sketch-and-solve, which is
+only delta-accurate).
+
+Everything runs in-graph: the SASO is sampled by the in-graph
+Fisher-Yates (sparse.py), the sketch is one fused/one-hot product, and
+CGLS is a lax.while_loop. Run: python examples/sketch_precondition_lsq.py
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax                                                       # noqa: E402
+import jax.numpy as jnp                                          # noqa: E402
+import numpy as np                                               # noqa: E402
+
+from randblas_tpu import (                                       # noqa: E402
+    RNGState, SparseDist, SparseSkOp, sketch,
+)
+
+
+def cgls(matvec, rmatvec, b, n, tol=1e-12, maxiter=200):
+    """Conjugate gradient on the normal equations (CGLS), in-graph.
+
+    Solves min ||M x - b|| for the linear operator given by
+    matvec/rmatvec. Returns (x, iterations, final residual norm of the
+    normal equations)."""
+    x0 = jnp.zeros((n,), b.dtype)
+    r0 = b - matvec(x0)
+    s0 = rmatvec(r0)
+    gamma0 = jnp.vdot(s0, s0)
+
+    def cond(state):
+        _, _, _, _, gamma, k = state
+        return jnp.logical_and(gamma > tol * tol * gamma0, k < maxiter)
+
+    def body(state):
+        x, r, s, p, gamma, k = state
+        q = matvec(p)
+        alpha = gamma / jnp.vdot(q, q)
+        x = x + alpha * p
+        r = r - alpha * q
+        s = rmatvec(r)
+        gamma_new = jnp.vdot(s, s)
+        p = s + (gamma_new / gamma) * p
+        return x, r, s, p, gamma_new, k + 1
+
+    x, r, s, p, gamma, k = jax.lax.while_loop(
+        cond, body, (x0, r0, s0, s0, gamma0, jnp.int32(0)))
+    return x, k, jnp.sqrt(gamma)
+
+
+def solve_preconditioned(A, b, seed=0, vec_nnz=8, d=None):
+    """min ||A x - b|| via SASO sketch -> QR -> right-preconditioned CGLS.
+
+    Returns (x, cgls_iterations)."""
+    m, n = A.shape
+    d = 2 * n if d is None else d
+    S = SparseSkOp(SparseDist(d, m, vec_nnz=vec_nnz), RNGState.from_key(seed))
+    SA = sketch(S, A)                          # (d, n), in-graph FY + apply
+    R = jnp.linalg.qr(SA, mode="r")            # (n, n) upper triangular
+    solve_R = lambda v: jax.scipy.linalg.solve_triangular(R, v, lower=False)
+    solve_Rt = lambda v: jax.scipy.linalg.solve_triangular(
+        R.T, v, lower=True)
+    # M = A R^-1: cond(M) = O(1) whp -> CGLS converges fast
+    x_pre, iters, _ = cgls(lambda y: A @ solve_R(y),
+                           lambda r: solve_Rt(A.T @ r), b, n)
+    return solve_R(x_pre), iters
+
+
+def main():
+    # f64 throughout: with cond(A) ~ 1e8, the R^-1 amplification sits at
+    # the f32 noise floor — preconditioned iterations are an f64 method
+    # (on TPU the f64 products route through the int8-sliced MXU GEMM,
+    # ops/f64gemm.py)
+    jax.config.update("jax_enable_x64", True)
+    m, n = 20000, 400
+    cond_target = 1e8
+    rng = np.random.default_rng(0)
+    # build A with controlled condition number
+    u, _ = np.linalg.qr(rng.normal(size=(m, n)))
+    v, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    sv = np.logspace(0, -np.log10(cond_target), n)
+    A = jnp.asarray((u * sv) @ v.T, jnp.float64)
+    x_true = jnp.asarray(rng.normal(size=(n,)), jnp.float64)
+    b = A @ x_true + 1e-6 * jnp.asarray(rng.normal(size=(m,)), jnp.float64)
+
+    solver = jax.jit(solve_preconditioned)
+    x, iters = solver(A, b)
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    x, iters = solver(A, b)
+    jax.block_until_ready(x)
+    t_pre = time.perf_counter() - t0
+
+    # unpreconditioned CGLS for comparison (same tolerance, same budget)
+    plain = jax.jit(lambda A, b: cgls(lambda y: A @ y,
+                                      lambda r: A.T @ r, b, n))
+    x_plain, iters_plain, _ = plain(A, b)
+    jax.block_until_ready(x_plain)
+
+    res = float(jnp.linalg.norm(A @ x - b))
+    res_plain = float(jnp.linalg.norm(A @ x_plain - b))
+    res_true = float(jnp.linalg.norm(A @ x_true - b))
+    print(f"cond(A) ~ {cond_target:.0e}, shape {m}x{n}")
+    print(f"preconditioned CGLS:   {int(iters):4d} iters, "
+          f"residual {res:.3e}  ({t_pre*1e3:.1f} ms/solve)")
+    print(f"plain CGLS:            {int(iters_plain):4d} iters, "
+          f"residual {res_plain:.3e}")
+    print(f"ground-truth residual: {res_true:.3e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,7 @@ from .sparse_data import (
     COOMatrix, CSRMatrix, CSCMatrix, IndexBase, NonzeroSort,
     left_spmm, right_spmm, spmm,
 )
+from .flags import flags, get_flag, set_flag
 from .util import (
     weights_to_cdf, sample_indices_iid, sample_indices_iid_uniform,
     symmetrize, overwrite_triangle, transpose_square, safe_scal,
@@ -51,4 +52,5 @@ __all__ = [
     "weights_to_cdf", "sample_indices_iid", "sample_indices_iid_uniform",
     "symmetrize", "overwrite_triangle", "transpose_square",
     "safe_scal", "print_colmaj", "print_sparse",
+    "flags", "get_flag", "set_flag",
 ]
