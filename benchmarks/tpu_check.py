@@ -29,7 +29,8 @@ def main():
         "tests": "tests/test_tpu_hardware.py (fused RowMajor philox+"
                  "threefry, unaligned submatrix, fused ColMajor, "
                  "BlockedELL, word-plane fill bit-identity, word-major "
-                 "BlockedELL fast path, f64 hiprec — componentwise bound)",
+                 "BlockedELL fast path, fused-kernel jax.grad, f64 "
+                 "hiprec — componentwise bound)",
     }
     path = os.path.join(ROOT, f"TPUCHECK_r{rnd}.json")
     with open(path, "w") as f:

@@ -684,6 +684,43 @@ def _fused_call_T(seed_words, A, *, d, m, gaussian, alpha, ti, tk, tn,
     return jnp.stack([o0, o1, o2, o3], axis=1).reshape(d, n)
 
 
+def _fused_colmajor_primal(dist, state, A, alpha, interpret, rows_s,
+                           cols_s, ro_s, co_s):
+    """Primal body of fused_sketch_colmajor (dist/state split out so the
+    custom-VJP wrapper can rebuild the call from residual arrays)."""
+    from ..base import Layout
+    from ..dense import DenseDistName, dist_to_layout, major_axis_length
+
+    assert dist_to_layout(dist) == Layout.ColMajor
+    assert major_axis_length(dist) == dist.n_rows
+    in_bf16 = A.dtype == jnp.bfloat16
+    # pre-cast A to bf16: the ColMajor grid revisits each A tile n_i
+    # times, so one cast pass replaces n_i in-kernel casts and halves
+    # the tile re-DMA (numerically identical — the kernel's dots cast to
+    # bf16 either way). The f32 path's output stays f32.
+    if not in_bf16:
+        A = A.astype(jnp.float32).astype(jnp.bfloat16)
+    ctr_size = 4
+    parent_d = dist.n_rows
+    ctr_stride = (parent_d + ((-parent_d) % ctr_size)) // ctr_size
+    fbs = ro_s % ctr_size
+    ro_al = ro_s - fbs
+    rows_gen = rows_s + fbs
+    n = A.shape[1]
+    d_pad, m_pad, n_pad, ti, tk, tn = _plan_T(rows_gen, cols_s, n)
+    if n_pad != n or m_pad != cols_s:
+        A = jnp.pad(A, ((0, m_pad - cols_s), (0, n_pad - n)))
+    base = state.incr(co_s * ctr_stride + ro_al // ctr_size)
+    gaussian = dist.family == DenseDistName.Gaussian
+    out = _fused_call_T(_seed_words(base), A, d=d_pad, m=m_pad,
+                        gaussian=gaussian, alpha=float(alpha), ti=ti,
+                        tk=tk, tn=tn, ctr_stride=ctr_stride,
+                        interpret=interpret, rng=state.rng,
+                        **exec_opts_T(ti))
+    out = out[fbs:fbs + rows_s, :n]
+    return out.astype(jnp.bfloat16) if in_bf16 else out
+
+
 def fused_sketch_colmajor(S, A, alpha=1.0, interpret=False, rows_s=None,
                           cols_s=None, ro_s=0, co_s=0):
     """B = alpha * submat(S) @ A for a ColMajor-natural operator
@@ -696,41 +733,22 @@ def fused_sketch_colmajor(S, A, alpha=1.0, interpret=False, rows_s=None,
     generating from the previous lane boundary and slicing the extra
     output rows (pure compute padding — the counter stride still comes
     from the parent height, so values are bit-identical to slicing the
-    full operator)."""
-    from ..base import Layout
-    from ..dense import DenseDistName, dist_to_layout, major_axis_length
+    full operator).
 
+    Differentiable in A (jax.custom_vjp): the cotangent is the
+    transposed sketch block^T @ g, itself computed by the RowMajor
+    kernel on the transposed distribution — the operator is regenerated
+    from counters, so the backward pass stores nothing but the seed.
+    """
     rows_s = S.dist.n_rows if rows_s is None else rows_s
     cols_s = S.dist.n_cols if cols_s is None else cols_s
-    assert dist_to_layout(S.dist) == Layout.ColMajor
-    assert major_axis_length(S.dist) == S.dist.n_rows
     A = jnp.asarray(A)
-    in_bf16 = A.dtype == jnp.bfloat16
-    # pre-cast A to bf16: the ColMajor grid revisits each A tile n_i
-    # times, so one cast pass replaces n_i in-kernel casts and halves
-    # the tile re-DMA (numerically identical — the kernel's dots cast to
-    # bf16 either way). The f32 path's output stays f32.
-    if not in_bf16:
-        A = A.astype(jnp.float32).astype(jnp.bfloat16)
-    ctr_size = 4
-    parent_d = S.dist.n_rows
-    ctr_stride = (parent_d + ((-parent_d) % ctr_size)) // ctr_size
-    fbs = ro_s % ctr_size
-    ro_al = ro_s - fbs
-    rows_gen = rows_s + fbs
-    n = A.shape[1]
-    d_pad, m_pad, n_pad, ti, tk, tn = _plan_T(rows_gen, cols_s, n)
-    if n_pad != n or m_pad != cols_s:
-        A = jnp.pad(A, ((0, m_pad - cols_s), (0, n_pad - n)))
-    base = S.seed_state.incr(co_s * ctr_stride + ro_al // ctr_size)
-    gaussian = S.dist.family == DenseDistName.Gaussian
-    out = _fused_call_T(_seed_words(base), A, d=d_pad, m=m_pad,
-                        gaussian=gaussian, alpha=float(alpha), ti=ti,
-                        tk=tk, tn=tn, ctr_stride=ctr_stride,
-                        interpret=interpret, rng=S.seed_state.rng,
-                        **exec_opts_T(ti))
-    out = out[fbs:fbs + rows_s, :n]
-    return out.astype(jnp.bfloat16) if in_bf16 else out
+    if A.dtype != jnp.bfloat16:
+        A = A.astype(jnp.float32)
+    return _fused_colmajor_vjp(
+        S.dist, S.seed_state.rng, float(alpha), bool(interpret),
+        int(rows_s), int(cols_s), int(ro_s), int(co_s),
+        S.seed_state.counter, S.seed_state.key, A)
 
 
 def fused_sketch_colmajor_supported(dist, n_rows: int, n_cols: int,
@@ -781,27 +799,14 @@ def fused_sketch_supported(dist, n_rows: int, n_cols: int, ro_s: int,
     return True
 
 
-def fused_sketch(S, A, alpha=1.0, interpret=False, rows_s=None,
-                 cols_s=None, ro_s=0, co_s=0):
-    """B = alpha * submat(S) @ A with the operator block generated inside
-    the kernel.
-
-    S: a lazy DenseSkOp satisfying fused_sketch_supported; A: (m, n) f32
-    where m = cols_s (the block width). The submatrix base counter
-    (ro_s * parent_stride + co_s / 4) folds into the kernel seed; rows
-    walk with the parent's counter stride, so the block is bit-identical
-    to slicing the full operator. interpret=True runs the Pallas
-    interpreter (CPU CI coverage).
-    """
+def _fused_rowmajor_primal(dist, state, A, alpha, interpret, rows_s,
+                           cols_s, ro_s, co_s):
+    """Primal body of fused_sketch (dist/state split out so the
+    custom-VJP wrapper can rebuild the call from residual arrays)."""
     from ..dense import DenseDistName, major_axis_length
 
-    rows_s = S.dist.n_rows if rows_s is None else rows_s
-    cols_s = S.dist.n_cols if cols_s is None else cols_s
-    A = jnp.asarray(A)
-    if A.dtype != jnp.bfloat16:  # bf16 streams through uncast (half DMA)
-        A = A.astype(jnp.float32)
-    ma_len = major_axis_length(S.dist)
-    assert ma_len == S.dist.n_cols, \
+    ma_len = major_axis_length(dist)
+    assert ma_len == dist.n_cols, \
         "fused kernel requires natural-RowMajor operators"
     ctr_size = 4
     ctr_stride = (ma_len + ((-ma_len) % ctr_size)) // ctr_size
@@ -817,14 +822,126 @@ def fused_sketch(S, A, alpha=1.0, interpret=False, rows_s=None,
     d_pad, m_pad, n_pad, ti, tk, tn = _plan(rows_s, cols_s, n)
     if n_pad != n or m_pad != cols_s:
         A = jnp.pad(A, ((0, m_pad - cols_s), (0, n_pad - n)))
-    base = S.seed_state.incr(ro_s * ctr_stride + co_s // ctr_size)
-    gaussian = S.dist.family == DenseDistName.Gaussian
+    base = state.incr(ro_s * ctr_stride + co_s // ctr_size)
+    gaussian = dist.family == DenseDistName.Gaussian
     out = _fused_call(_seed_words(base), A, d=d_pad, m=m_pad,
                       gaussian=gaussian,
                       alpha=float(alpha), ti=ti, tk=tk, tn=tn,
                       ctr_stride=ctr_stride, interpret=interpret,
-                      rng=S.seed_state.rng, **exec_opts(ti))
+                      rng=state.rng, **exec_opts(ti))
     if d_pad != rows_s or n_pad != n:
         out = out[:rows_s, :n]
     # accumulation is always f32 in-kernel; match the data dtype out
     return out.astype(A.dtype) if A.dtype == jnp.bfloat16 else out
+
+
+def fused_sketch(S, A, alpha=1.0, interpret=False, rows_s=None,
+                 cols_s=None, ro_s=0, co_s=0):
+    """B = alpha * submat(S) @ A with the operator block generated inside
+    the kernel.
+
+    S: a lazy DenseSkOp satisfying fused_sketch_supported; A: (m, n) f32
+    where m = cols_s (the block width). The submatrix base counter
+    (ro_s * parent_stride + co_s / 4) folds into the kernel seed; rows
+    walk with the parent's counter stride, so the block is bit-identical
+    to slicing the full operator. interpret=True runs the Pallas
+    interpreter (CPU CI coverage).
+
+    Differentiable in A (jax.custom_vjp): the cotangent is the
+    transposed sketch block^T @ g, itself computed by the ColMajor
+    kernel on the transposed distribution — the operator is regenerated
+    from counters, so the backward pass stores nothing but the seed.
+    """
+    rows_s = S.dist.n_rows if rows_s is None else rows_s
+    cols_s = S.dist.n_cols if cols_s is None else cols_s
+    A = jnp.asarray(A)
+    if A.dtype != jnp.bfloat16:  # bf16 streams through uncast (half DMA)
+        A = A.astype(jnp.float32)
+    return _fused_rowmajor_vjp(
+        S.dist, S.seed_state.rng, float(alpha), bool(interpret),
+        int(rows_s), int(cols_s), int(ro_s), int(co_s),
+        S.seed_state.counter, S.seed_state.key, A)
+
+
+# ---------------------------------------------------------------------------
+# Custom VJPs: the gradient of a sketch is a transposed sketch.
+#
+# B = alpha * block(S)[rows_s, cols_s; ro_s, co_s] @ A is linear in A, so
+# dA = alpha * block^T @ g. By the fill-order autotranspose property
+# (test_dense_fill.py; used the same way by skge._left_trans_fused_or_none),
+# block(S, r, c, ro, co)^T == block(S_t, c, r, co, ro) for the transposed
+# distribution with the same seed — and the transposed distribution has the
+# OTHER natural layout, so each kernel's backward pass is the other kernel.
+# Nothing is stored for the backward pass except the seed arrays: the
+# operator block is regenerated from counters, exactly like the forward.
+# (The reference has no autodiff; this is TPU-native surface, jax-only.)
+# ---------------------------------------------------------------------------
+
+def _transposed_cotangent(dist, rng, alpha, interpret, rows_s, cols_s,
+                          ro_s, co_s, ctr, key, g):
+    """dA = alpha * block(dist)^T @ g via the opposite fused kernel when
+    supported, else the staged fill + GEMM (both regenerate from seed)."""
+    from ..base import Layout, Op
+    from ..dense import DenseDist, dist_to_layout
+    from ..rng.state import RNGState
+
+    dist_t = DenseDist(dist.n_cols, dist.n_rows, dist.family,
+                       dist.major_axis)
+    layout_t = dist_to_layout(dist_t)
+    dt = g.dtype
+    if (layout_t == Layout.RowMajor
+            and fused_sketch_supported(dist_t, cols_s, rows_s, co_s, ro_s,
+                                       Op.NoTrans, dt)):
+        return _fused_rowmajor_vjp(dist_t, rng, alpha, interpret,
+                                   cols_s, rows_s, co_s, ro_s, ctr, key, g)
+    if (layout_t == Layout.ColMajor
+            and fused_sketch_colmajor_supported(dist_t, cols_s, rows_s,
+                                                co_s, ro_s, Op.NoTrans,
+                                                dt)):
+        return _fused_colmajor_vjp(dist_t, rng, alpha, interpret,
+                                   cols_s, rows_s, co_s, ro_s, ctr, key, g)
+    # staged fallback: materialize the block (traced state is fine)
+    from ..dense import fill_dense_submat
+    state = RNGState(ctr, key, rng)
+    blk = fill_dense_submat(dist, state, rows_s, cols_s, ro_s, co_s)
+    g32 = g.astype(jnp.float32)
+    out = jnp.asarray(alpha, jnp.float32) * jnp.matmul(
+        blk.T, g32, preferred_element_type=jnp.float32)
+    return out.astype(dt)
+
+
+def _float0_like(x):
+    import numpy as _np
+    return _np.zeros(x.shape, jax.dtypes.float0)
+
+
+def _make_fused_vjp(primal):
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4,
+                                                        5, 6, 7))
+    def wrapped(dist, rng, alpha, interpret, rows_s, cols_s, ro_s, co_s,
+                ctr, key, A):
+        from ..rng.state import RNGState
+        return primal(dist, RNGState(ctr, key, rng), A, alpha, interpret,
+                      rows_s, cols_s, ro_s, co_s)
+
+    def fwd(dist, rng, alpha, interpret, rows_s, cols_s, ro_s, co_s,
+            ctr, key, A):
+        from ..rng.state import RNGState
+        out = primal(dist, RNGState(ctr, key, rng), A, alpha, interpret,
+                     rows_s, cols_s, ro_s, co_s)
+        return out, (ctr, key, jnp.zeros((0,), A.dtype))
+
+    def bwd(dist, rng, alpha, interpret, rows_s, cols_s, ro_s, co_s,
+            res, g):
+        ctr, key, dtok = res
+        dA = _transposed_cotangent(dist, rng, alpha, interpret, rows_s,
+                                   cols_s, ro_s, co_s, ctr, key,
+                                   g.astype(dtok.dtype))
+        return _float0_like(ctr), _float0_like(key), dA
+
+    wrapped.defvjp(fwd, bwd)
+    return wrapped
+
+
+_fused_rowmajor_vjp = _make_fused_vjp(_fused_rowmajor_primal)
+_fused_colmajor_vjp = _make_fused_vjp(_fused_colmajor_primal)

@@ -163,6 +163,25 @@ def test_word_major_blocked_ell_on_hardware():
         eps=float(np.finfo(np.float32).eps))
 
 
+def test_fused_grad_on_hardware():
+    """jax.grad through the compiled fused kernel: the cotangent is a
+    transposed fused sketch (custom_vjp, ops/fused_sketch.py) — checked
+    against the staged-path gradient."""
+    import jax.numpy as jnp
+    import randblas_tpu as rb
+    from randblas_tpu.ops import fused_sketch as fs
+
+    d, m, n = 256, 4096, 512
+    S = rb.DenseSkOp(rb.DenseDist(d, m), rb.RNGState.from_key(21))
+    A = jnp.asarray(np.random.default_rng(9).normal(
+        size=(m, n)).astype(np.float32))
+    g = jax.grad(lambda a: jnp.sum(fs.fused_sketch(S, a) ** 2))(A)
+    Smat = S.materialize()
+    g_ref = jax.grad(lambda a: jnp.sum((Smat @ a) ** 2))(A)
+    rel = float(jnp.max(jnp.abs(g - g_ref)) / jnp.max(jnp.abs(g_ref)))
+    assert rel < 1e-2, rel
+
+
 def test_f64_hiprec_on_hardware():
     import jax.numpy as jnp
     from randblas_tpu.ops.f64gemm import matmul_hiprec
