@@ -329,3 +329,21 @@ def test_distributed_update_scenario_4_new_data_right():
     one_shot = np.asarray(
         distributed_sketch_right(S, jnp.hstack([A1, A2]), mesh))
     np.testing.assert_allclose(B, one_shot, rtol=1e-5, atol=1e-5)
+
+
+def test_distributed_sketch_grad():
+    """jax.grad flows through the sharded sketch (staged shard path —
+    pure XLA inside shard_map). On TPU the fused per-shard branch is
+    forward-only; scope flags(use_fused=False) for distributed grads
+    (docs/sketching.md Autodiff)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = make_sketch_mesh(2, 4)
+    S = DenseSkOp(DenseDist(16, 32), RNGState.from_key(77))
+    A = jnp.asarray(np.random.default_rng(7).normal(
+        size=(32, 8)).astype(np.float32))
+    A = jax.device_put(A, NamedSharding(mesh, P("data", None)))
+    g = jax.grad(lambda a: jnp.sum(distributed_sketch(S, a, mesh) ** 2))(A)
+    g_ref = jax.grad(lambda a: jnp.sum((S.materialize() @ a) ** 2))(
+        jax.device_get(A))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
