@@ -66,17 +66,23 @@ def main():
             return jnp.sum(out) * jnp.float32(1e-20)
 
         # the chip's sustained clock drifts by several percent between
-        # runs; ALTERNATE roofline and fused measurements and take the
-        # min of each so the ratio compares like chip states
-        t_roof = float("inf")
-        t_sketch = float("inf")
+        # runs; ALTERNATE roofline and fused measurements. The ratio is
+        # the MEDIAN of the per-alternation (adjacent-in-time, like chip
+        # state) ratios — min-of-each-side lets a single hot roofline
+        # sample drag the ratio down even when its paired fused sample
+        # was equally hot (measured: a 0.93 outlier run whose fused rate
+        # was normal). The reported rate stays min-based (best
+        # sustained).
+        pairs = []
         for _ in range(5):
-            t_roof = min(t_roof, time_loop(
-                body_gemm, Smat, A, iters_small=4, iters_large=24,
-                repeats=2))
-            t_sketch = min(t_sketch, time_loop(
-                body_fused, seed_words, A, iters_small=4, iters_large=24,
-                repeats=2))
+            tr = time_loop(body_gemm, Smat, A, iters_small=4,
+                           iters_large=24, repeats=2)
+            ts = time_loop(body_fused, seed_words, A, iters_small=4,
+                           iters_large=24, repeats=2)
+            pairs.append((tr, ts))
+        t_roof = min(tr for tr, _ in pairs)
+        t_sketch = min(ts for _, ts in pairs)
+        ratio = float(np.median([tr / ts for tr, ts in pairs]))
     else:
         t_roof = time_loop(body_gemm, Smat, A, iters_small=4,
                            iters_large=24, repeats=4)
@@ -95,12 +101,13 @@ def main():
         t_sketch = time_loop(body_lazy, A, iters_large=3)
 
     gflops = flops / t_sketch / 1e9
-    roof_gflops = flops / t_roof / 1e9
+    if not on_tpu:
+        ratio = t_roof / t_sketch
     print(json.dumps({
         "metric": "dense_gaussian_sketch_gflops_d1024_m65536_n4096_f32",
         "value": round(gflops, 1),
         "unit": "GFLOP/s",
-        "vs_baseline": round(gflops / roof_gflops, 4),
+        "vs_baseline": round(ratio, 4),
     }))
 
 

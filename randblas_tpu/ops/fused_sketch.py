@@ -943,5 +943,66 @@ def _make_fused_vjp(primal):
     return wrapped
 
 
+def _fused_call_diff_primal(d, m, gaussian, alpha, ctr_stride, interpret,
+                            rng, seed_words, a):
+    n = a.shape[1]
+    d_pad, m_pad, n_pad, ti, tk, tn = _plan(d, m, n)
+    if m_pad != m or n_pad != n:
+        a = jnp.pad(a, ((0, m_pad - m), (0, n_pad - n)))
+    out = _fused_call(seed_words, a, d=d_pad, m=m_pad, gaussian=gaussian,
+                      alpha=float(alpha), ti=ti, tk=tk, tn=tn,
+                      ctr_stride=ctr_stride, interpret=interpret,
+                      rng=rng, **exec_opts(ti))
+    if d_pad != d or n_pad != n:
+        out = out[:d, :n]
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def fused_call_diff(d, m, gaussian, alpha, ctr_stride, interpret, rng,
+                    seed_words, a):
+    """alpha * G @ a for the RowMajor counter map G(i, c) at counter
+    seed + i*ctr_stride + c//4, auto-planned/padded, differentiable in a.
+
+    The kernel-level sibling of fused_sketch for callers that fold their
+    own (possibly TRACED) submatrix offsets into seed_words — the
+    distributed shard bodies (parallel/distributed.py). Linear in a, so
+    the cotangent is G^T @ g, which is exactly the transposed-generation
+    kernel with the SAME seed words and counter stride and (d, m)
+    swapped: G^T(i, c) = G(c, i) lives at counter c*ctr_stride + i//4,
+    the _fused_call_T addressing. Phantom padded rows/columns multiply
+    zero data in both directions (the counter stride is the caller's
+    TRUE parent stride throughout)."""
+    return _fused_call_diff_primal(d, m, gaussian, alpha, ctr_stride,
+                                   interpret, rng, seed_words, a)
+
+
+def _fused_call_diff_fwd(d, m, gaussian, alpha, ctr_stride, interpret,
+                         rng, seed_words, a):
+    out = _fused_call_diff_primal(d, m, gaussian, alpha, ctr_stride,
+                                  interpret, rng, seed_words, a)
+    return out, (seed_words,)
+
+
+def _fused_call_diff_bwd(d, m, gaussian, alpha, ctr_stride, interpret,
+                         rng, res, g):
+    (seed_words,) = res
+    n = g.shape[1]
+    # dA = alpha * G^T @ g: T-kernel out rows = m, contraction = d
+    m_pad, d_pad, n_pad, ti, tk, tn = _plan_T(m, d, n)
+    g_in = g
+    if d_pad != d or n_pad != n:
+        g_in = jnp.pad(g, ((0, d_pad - d), (0, n_pad - n)))
+    da = _fused_call_T(seed_words, g_in.astype(g.dtype), d=m_pad,
+                       m=d_pad, gaussian=gaussian, alpha=float(alpha),
+                       ti=ti, tk=tk, tn=tn, ctr_stride=ctr_stride,
+                       interpret=interpret, rng=rng, **exec_opts_T(ti))
+    da = da[:m, :n].astype(g.dtype)
+    return _float0_like(seed_words), da
+
+
+fused_call_diff.defvjp(_fused_call_diff_fwd, _fused_call_diff_bwd)
+
+
 _fused_rowmajor_vjp = _make_fused_vjp(_fused_rowmajor_primal)
 _fused_colmajor_vjp = _make_fused_vjp(_fused_colmajor_primal)

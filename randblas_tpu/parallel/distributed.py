@@ -162,17 +162,14 @@ def distributed_sketch(
                 if pad:
                     parts.append(jnp.zeros((pad,), jnp.uint32))
                 seed_words = jnp.concatenate(parts).reshape(1, 8)
-                d_pad, m_pad, n_pad, ti, tk, tn = fs._plan(d_per, m_per, n)
-                a_in = (jnp.pad(a_blk, ((0, m_pad - m_per), (0, n_pad - n)))
-                        if (n_pad != n or m_pad != m_per) else a_blk)
-                part = fs._fused_call(
-                    seed_words, a_in, d=d_pad, m=m_pad,
-                    gaussian=dist.family == DenseDistName.Gaussian,
-                    alpha=float(alpha), ti=ti, tk=tk, tn=tn,
-                    ctr_stride=ctr_stride_global, interpret=interpret,
-                    rng=seed.rng, **fs.exec_opts(ti))
-                if d_pad != d_per or n_pad != n:
-                    part = part[:d_per, :n]
+                # fused_call_diff plans/pads internally and carries the
+                # custom VJP (the cotangent is the transposed kernel with
+                # the same seed words), so sharded sketches differentiate
+                part = fs.fused_call_diff(
+                    d_per, m_per,
+                    dist.family == DenseDistName.Gaussian, float(alpha),
+                    ctr_stride_global, interpret, seed.rng,
+                    seed_words, a_blk)
                 return jax.lax.psum(part, "data")
             s_blk = fill_dense_submat_traced(dist, sd, d_per, m_per, ro,
                                              co, dtype)
@@ -294,20 +291,12 @@ def distributed_sketch_right(
                 if pad:
                     parts.append(jnp.zeros((pad,), jnp.uint32))
                 seed_words = jnp.concatenate(parts).reshape(1, 8)
-                d_pad, m_pad, n_pad, ti, tk, tn = fs._plan(d_per, m_per,
-                                                           rows)
-                at = a_blk.T
-                if m_pad != m_per or n_pad != rows:
-                    at = jnp.pad(at,
-                                 ((0, m_pad - m_per), (0, n_pad - rows)))
-                part_t = fs._fused_call(
-                    seed_words, at, d=d_pad, m=m_pad,
-                    gaussian=dist.family == DenseDistName.Gaussian,
-                    alpha=float(alpha), ti=ti, tk=tk, tn=tn,
-                    ctr_stride=ctr_stride_global, interpret=interpret,
-                    rng=seed.rng, **fs.exec_opts(ti))
-                part = part_t[:d_per, :rows].T
-                return jax.lax.psum(part, "data")
+                part_t = fs.fused_call_diff(
+                    d_per, m_per,
+                    dist.family == DenseDistName.Gaussian, float(alpha),
+                    ctr_stride_global, interpret, seed.rng,
+                    seed_words, a_blk.T)
+                return jax.lax.psum(part_t.T, "data")
             s_blk = fill_dense_submat_traced(dist, sd, m_per, d_per, ro,
                                              co, dtype)
             part = jnp.matmul(a_blk.astype(dtype), s_blk,
@@ -506,17 +495,11 @@ def distributed_sketch_cols(
                 if pad:
                     parts.append(jnp.zeros((pad,), jnp.uint32))
                 seed_words = jnp.concatenate(parts).reshape(1, 8)
-                d_pad, m_pad, n_pad, ti, tk, tn = fs._plan(d_per, m, n_per)
-                a_in = (jnp.pad(a_blk,
-                                ((0, m_pad - m), (0, n_pad - n_per)))
-                        if (n_pad != n_per or m_pad != m) else a_blk)
-                part = fs._fused_call(
-                    seed_words, a_in, d=d_pad, m=m_pad,
-                    gaussian=dist.family == DenseDistName.Gaussian,
-                    alpha=float(alpha), ti=ti, tk=tk, tn=tn,
-                    ctr_stride=ctr_stride_global, interpret=interpret,
-                    rng=seed.rng, **fs.exec_opts(ti))
-                return part[:d_per, :n_per]
+                return fs.fused_call_diff(
+                    d_per, m,
+                    dist.family == DenseDistName.Gaussian, float(alpha),
+                    ctr_stride_global, interpret, seed.rng,
+                    seed_words, a_blk)
             s_blk = fill_dense_submat_traced(dist, sd, d_per, m, ro,
                                              jnp.uint32(0), dtype)
             part = jnp.matmul(s_blk, a_blk.astype(dtype),

@@ -333,9 +333,7 @@ def test_distributed_update_scenario_4_new_data_right():
 
 def test_distributed_sketch_grad():
     """jax.grad flows through the sharded sketch (staged shard path —
-    pure XLA inside shard_map). On TPU the fused per-shard branch is
-    forward-only; scope flags(use_fused=False) for distributed grads
-    (docs/sketching.md Autodiff)."""
+    pure XLA inside shard_map)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     mesh = make_sketch_mesh(2, 4)
     S = DenseSkOp(DenseDist(16, 32), RNGState.from_key(77))
@@ -347,3 +345,42 @@ def test_distributed_sketch_grad():
         jax.device_get(A))
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_distributed_fused_grad_all_layouts():
+    """jax.grad through the FUSED shard branches (interpret mode forces
+    them on the CPU mesh): fused_call_diff's cotangent is the transposed
+    kernel with the same seed words (ops/fused_sketch.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from randblas_tpu.parallel import (distributed_sketch_cols,
+                                       distributed_sketch_right)
+    mesh = make_sketch_mesh(2, 4)
+    rng = np.random.default_rng(11)
+    S = DenseSkOp(DenseDist(16, 32), RNGState.from_key(1))
+
+    def _close(got, want):          # bf16-dot precision, max-normalized
+        got, want = np.asarray(got), np.asarray(want)
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
+
+    A = jnp.asarray(rng.normal(size=(32, 8)).astype(np.float32))
+    Ash = jax.device_put(A, NamedSharding(mesh, P("data", None)))
+    g = jax.grad(lambda a: jnp.sum(
+        distributed_sketch(S, a, mesh, interpret=True) ** 2))(Ash)
+    g_ref = jax.grad(lambda a: jnp.sum((S.materialize() @ a) ** 2))(A)
+    _close(g, g_ref)
+
+    Sr = DenseSkOp(DenseDist(32, 8), RNGState.from_key(2))
+    Ar = jnp.asarray(rng.normal(size=(6, 32)).astype(np.float32))
+    Arsh = jax.device_put(Ar, NamedSharding(mesh, P(None, "data")))
+    gr = jax.grad(lambda a: jnp.sum(
+        distributed_sketch_right(Sr, a, mesh, interpret=True) ** 2))(Arsh)
+    gr_ref = jax.grad(lambda a: jnp.sum((a @ Sr.materialize()) ** 2))(Ar)
+    _close(gr, gr_ref)
+
+    Ac = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32))
+    Acsh = jax.device_put(Ac, NamedSharding(mesh, P(None, "data")))
+    gc = jax.grad(lambda a: jnp.sum(
+        distributed_sketch_cols(S, a, mesh, interpret=True) ** 2))(Acsh)
+    gc_ref = jax.grad(lambda a: jnp.sum((S.materialize() @ a) ** 2))(Ac)
+    _close(gc, gc_ref)
