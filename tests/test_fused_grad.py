@@ -114,3 +114,30 @@ def test_forward_values_unchanged():
         S.dist, S.seed_state, jnp.asarray(A, jnp.float32), 1.0, True,
         16, 64, 0, 0)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(direct))
+
+
+def test_sparse_operator_grad():
+    """SASO sketching is pure XLA (one-hot panels / gathers) and
+    differentiates exactly."""
+    S = rb.SparseSkOp(rb.SparseDist(16, 64, vec_nnz=4),
+                      rb.RNGState.from_key(9))
+    A = jnp.asarray(RNG.normal(size=(64, 8)).astype(np.float32))
+    g = jax.grad(lambda a: jnp.sum(rb.sketch(S, a) ** 2))(A)
+    g_ref = jax.grad(lambda a: jnp.sum((S.materialize() @ a) ** 2))(A)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_coo_spmm_grad():
+    """COO SpMM differentiates exactly (the differentiable sparse-data
+    route; the BlockedELL kernel is forward-only — docs/sketching.md)."""
+    from randblas_tpu.sparse_data import COOMatrix
+    rng = np.random.default_rng(1)
+    dense = ((rng.random((20, 40)) < 0.2)
+             * rng.normal(size=(20, 40))).astype(np.float32)
+    coo = COOMatrix.from_dense(jnp.asarray(dense))
+    B = jnp.asarray(rng.normal(size=(40, 4)).astype(np.float32))
+    g = jax.grad(lambda b: jnp.sum(rb.left_spmm(coo, b) ** 2))(B)
+    g_ref = jax.grad(lambda b: jnp.sum((jnp.asarray(dense) @ b) ** 2))(B)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
