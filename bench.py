@@ -80,7 +80,6 @@ def main():
             ts = time_loop(body_fused, seed_words, A, iters_small=4,
                            iters_large=24, repeats=2)
             pairs.append((tr, ts))
-        t_roof = min(tr for tr, _ in pairs)
         t_sketch = min(ts for _, ts in pairs)
         ratio = float(np.median([tr / ts for tr, ts in pairs]))
     else:

@@ -203,10 +203,14 @@ def skop_word_major_rows(S, w: int):
     exactly the order a ColMajor-natural plane fill produces with zero
     interleave (ops/dense_fill.py::fill_colmajor_planes), and the order
     word-major BlockedELL tables expect (ops/ell_spmm.py). Returns a
-    float32 (w*ceil(n_rows/w), n_cols) array whose phantom tail rows
-    (when n_rows % w != 0) carry later-counter values that only ever
-    multiply zero data. None when the operator is materialized, not
-    ColMajor-natural, or its generator has no w-word plane form.
+    float32 (w*ceil(n_rows/w), n_cols) array whose phantom rows (storage
+    rows whose k >= n_rows, when n_rows % w != 0) are ZEROED — a
+    word-major consumer whose n_cols exceeds this operator's height
+    within the same w-block would otherwise multiply real data by the
+    generated later-counter values (the padding invariant: phantom
+    rows/columns may only ever multiply zero data). None when the
+    operator is materialized, not ColMajor-natural, or its generator has
+    no w-word plane form.
     """
     from .ops.dense_fill import fill_colmajor_planes
     if getattr(S, "materialized", None) is not None:
@@ -229,6 +233,13 @@ def skop_word_major_rows(S, w: int):
         scale = jnp.float32(math.sqrt(3.0))
         gs = tuple(g * scale for g in gs)
     out = jnp.concatenate([g.T for g in gs], axis=0)
+    if S.n_rows % w:
+        # zero the phantom rows: storage row s holds k = (s % nblk)*w
+        # + s//nblk; rows with k >= n_rows are padding and must be 0
+        nblk = out.shape[0] // w
+        s_idx = jnp.arange(out.shape[0])
+        k_of_s = (s_idx % nblk) * w + s_idx // nblk
+        out = jnp.where((k_of_s < S.n_rows)[:, None], out, 0.0)
     return out[:, :S.n_cols]
 
 

@@ -45,6 +45,23 @@ def fill_geometry(n_cols_parent: int, n_scols: int, ptr: int, ctr_size: int):
     return ctr_mat_start, first_block_start, ctr_stride, nblk, pad
 
 
+def _row_block_offsets(n_srows: int, nblk: int, ctr_stride: int):
+    """(row, blk) -> 64-bit counter offsets in u32 limbs, shape
+    (n_srows, nblk) each. row * ctr_stride can exceed 2^32 for very
+    large operators, so the high word is carried through. Shared by the
+    row-major and word-plane fills — the bit-identity contract between
+    them rests on this one mapping."""
+    rows = jnp.arange(n_srows, dtype=jnp.uint32)
+    stride_lo = jnp.uint32(ctr_stride & 0xFFFFFFFF)
+    stride_hi_const = (ctr_stride >> 32) & 0xFFFFFFFF
+    row_lo, row_hi = mul64_u32(rows, stride_lo)
+    if stride_hi_const:
+        row_hi = row_hi + rows * jnp.uint32(stride_hi_const)
+    blk = jnp.arange(nblk, dtype=jnp.uint32)
+    return add64(row_lo[:, None], row_hi[:, None],
+                 blk[None, :], jnp.uint32(0))
+
+
 def fill_rowmajor_bits(
     n_cols_parent: int,
     n_srows: int,
@@ -61,19 +78,7 @@ def fill_rowmajor_bits(
         n_cols_parent, n_scols, ptr, ctr_size)
 
     base = state.incr(ctr_mat_start)
-
-    rows = jnp.arange(n_srows, dtype=jnp.uint32)
-    # 64-bit row offsets in u32 limbs: row * ctr_stride can exceed 2^32 for
-    # very large operators, so carry the high word through.
-    stride_lo = jnp.uint32(ctr_stride & 0xFFFFFFFF)
-    stride_hi_const = (ctr_stride >> 32) & 0xFFFFFFFF
-    row_lo, row_hi = mul64_u32(rows, stride_lo)
-    if stride_hi_const:
-        row_hi = row_hi + rows * jnp.uint32(stride_hi_const)
-    blk = jnp.arange(nblk, dtype=jnp.uint32)
-    off_lo, off_hi = add64(row_lo[:, None], row_hi[:, None],
-                           blk[None, :], jnp.uint32(0))
-
+    off_lo, off_hi = _row_block_offsets(n_srows, nblk, ctr_stride)
     counters = ctr_add64(base.counter, off_lo, off_hi)  # (rows, nblk, W)
     bits = base.generate(counters, base.key)
     return bits, fbs
@@ -170,16 +175,7 @@ def fill_colmajor_planes(
     rows_gen = -(-n_srows // _ROW_ALIGN) * _ROW_ALIGN
 
     base = state.incr(ctr_mat_start)
-    rows = jnp.arange(rows_gen, dtype=jnp.uint32)
-    stride_lo = jnp.uint32(ctr_stride & 0xFFFFFFFF)
-    stride_hi_const = (ctr_stride >> 32) & 0xFFFFFFFF
-    row_lo, row_hi = mul64_u32(rows, stride_lo)
-    if stride_hi_const:
-        row_hi = row_hi + rows * jnp.uint32(stride_hi_const)
-    blk = jnp.arange(nblk, dtype=jnp.uint32)
-    off_lo, off_hi = add64(row_lo[:, None], row_hi[:, None],
-                           blk[None, :], jnp.uint32(0))
-
+    off_lo, off_hi = _row_block_offsets(rows_gen, nblk, ctr_stride)
     c0, c1, c2, c3 = ctr_add64_words(base.counter, off_lo, off_hi)
     xs = wf(c0, c1, c2, c3)                     # 4 planes (rows_gen, nblk)
     if transform == "boxmul":
@@ -251,6 +247,17 @@ def fill_rowmajor_traced_offset(
     unconstrained). Callers are expected to size shards accordingly;
     this cannot be checked on traced values.
     """
+    base = _traced_offset_base(n_cols_parent, n_scols, row_off, col_off,
+                               state)
+    return fill_rowmajor(n_cols_parent, n_srows, n_scols, 0, base,
+                         transform)
+
+
+def _traced_offset_base(n_cols_parent, n_scols, row_off, col_off,
+                        state: RNGState) -> RNGState:
+    """Base state with TRACED (row_off, col_off) submatrix offsets folded
+    into the counter (col_off must be a multiple of the counter width).
+    Shared by the row-major and word-plane traced fills."""
     ctr_size = state.len_c
     _, _, ctr_stride, _, _ = fill_geometry(n_cols_parent, n_scols, 0,
                                            ctr_size)
@@ -261,9 +268,7 @@ def fill_rowmajor_traced_offset(
     if stride_hi:
         hi = hi + row_off * jnp.uint32(stride_hi)
     lo, hi = add64(lo, hi, col_off // jnp.uint32(ctr_size), jnp.uint32(0))
-    base = RNGState(ctr_add64(state.counter, lo, hi), state.key, state.rng)
-    return fill_rowmajor(n_cols_parent, n_srows, n_scols, 0, base,
-                         transform)
+    return RNGState(ctr_add64(state.counter, lo, hi), state.key, state.rng)
 
 
 def fill_colmajor_traced_offset(
@@ -278,17 +283,8 @@ def fill_colmajor_traced_offset(
     """``fill_rowmajor_traced_offset(...).T`` via the word-plane fill
     (same alignment contract: ``col_off`` a multiple of the counter
     width; ``row_off`` unconstrained)."""
-    ctr_size = state.len_c
-    _, _, ctr_stride, _, _ = fill_geometry(n_cols_parent, n_scols, 0,
-                                           ctr_size)
-    row_off = jnp.asarray(row_off, dtype=jnp.uint32)
-    col_off = jnp.asarray(col_off, dtype=jnp.uint32)
-    lo, hi = mul64_u32(row_off, jnp.uint32(ctr_stride & 0xFFFFFFFF))
-    stride_hi = (ctr_stride >> 32) & 0xFFFFFFFF
-    if stride_hi:
-        hi = hi + row_off * jnp.uint32(stride_hi)
-    lo, hi = add64(lo, hi, col_off // jnp.uint32(ctr_size), jnp.uint32(0))
-    base = RNGState(ctr_add64(state.counter, lo, hi), state.key, state.rng)
+    base = _traced_offset_base(n_cols_parent, n_scols, row_off, col_off,
+                               state)
     return fill_colmajor(n_cols_parent, n_srows, n_scols, 0, base,
                          transform)
 

@@ -803,10 +803,15 @@ def _fused_rowmajor_primal(dist, state, A, alpha, interpret, rows_s,
                            cols_s, ro_s, co_s):
     """Primal body of fused_sketch (dist/state split out so the
     custom-VJP wrapper can rebuild the call from residual arrays)."""
-    from ..dense import DenseDistName, major_axis_length
+    from ..base import Layout
+    from ..dense import DenseDistName, dist_to_layout, major_axis_length
 
     ma_len = major_axis_length(dist)
-    assert ma_len == dist.n_cols, \
+    # NB: the ma_len check alone is trivially true for SQUARE dists,
+    # whose Long major axis resolves to ColMajor-natural — check the
+    # layout itself so a direct misuse fails loudly at trace time
+    assert ma_len == dist.n_cols and \
+        dist_to_layout(dist) == Layout.RowMajor, \
         "fused kernel requires natural-RowMajor operators"
     ctr_size = 4
     ctr_stride = (ma_len + ((-ma_len) % ctr_size)) // ctr_size
@@ -889,6 +894,13 @@ def _transposed_cotangent(dist, rng, alpha, interpret, rows_s, cols_s,
                        dist.major_axis)
     layout_t = dist_to_layout(dist_t)
     dt = g.dtype
+    if dist.n_rows == dist.n_cols:
+        # a SQUARE dist transposes to itself — the natural layout does
+        # not flip, so the autotranspose identity block(S, ...)^T ==
+        # block(S_t, ...) does NOT hold and the fused routes below would
+        # compute block @ g instead of block^T @ g. Take the staged
+        # fallback (materialize the block, transpose explicitly).
+        layout_t = None
     if (layout_t == Layout.RowMajor
             and fused_sketch_supported(dist_t, cols_s, rows_s, co_s, ro_s,
                                        Op.NoTrans, dt)):

@@ -19,6 +19,32 @@ from .skge import _as_op, _as_side
 from .sparse_data.spmm import left_spmm, right_spmm
 
 
+def _storage_order_operand(A, S, op_s, rows_s, cols_s, ro_s, co_s,
+                           transpose_out):
+    """The dense-operator operand for a word-major BlockedELL product, in
+    the bell's storage row order (BlockedELL.word_major).
+
+    transpose_out: whether the natural-order operand would be the
+    TRANSPOSE of the stored block. The zero-interleave fast path applies
+    when the operand equals the FULL operator in its natural orientation
+    (the plane fill produces exactly that order for free —
+    dense.skop_word_major_rows); every other case reorders the natural
+    block generically (ops/ell_spmm.py::to_word_major_rows)."""
+    from .dense import skop_word_major_rows
+    from .ops import ell_spmm
+
+    full = (ro_s == 0 and co_s == 0 and rows_s == S.n_rows
+            and cols_s == S.n_cols)
+    if full and not transpose_out:
+        wm = skop_word_major_rows(S, A.word_major)
+        if wm is not None:
+            return wm
+    blk = S.submat(rows_s, cols_s, ro_s, co_s)
+    if transpose_out:
+        blk = blk.T
+    return ell_spmm.to_word_major_rows(blk, A.word_major, blk.shape[0])
+
+
 def sketch_sparse(
     S: DenseSkOp,
     A,  # sparse matrix (COO/CSR/CSC)
@@ -82,13 +108,21 @@ def sketch_sparse(
         rows_s, cols_s = dims_before_op(d, m, op_s)
         require(S.n_rows >= rows_s + ro_s, "S row range out of bounds")
         require(S.n_cols >= cols_s + co_s, "S column range out of bounds")
-        s_blk = S.submat(rows_s, cols_s, ro_s, co_s)
-        if op_s == Op.Trans:
-            s_blk = s_blk.T
-        # B = s_blk @ op_a(submat(A)) = right_spmm reduction:
-        # (op_a(submat(A))^T @ s_blk^T)^T via left_spmm on flipped op
+        # B = op_s(submat(S)) @ op_a(submat(A)) = right_spmm reduction:
+        # (op_a(submat(A))^T @ op_s(submat(S))^T)^T via left_spmm on
+        # flipped op. The operand handed to left_spmm is op_s(submat)^T:
+        # submat^T for NoTrans, submat itself for Trans.
+        from .ops import ell_spmm
+        if isinstance(A, ell_spmm.BlockedELL) and A.word_major:
+            s_opnd = _storage_order_operand(
+                A, S, op_s, rows_s, cols_s, ro_s, co_s,
+                transpose_out=(op_s == Op.NoTrans))
+        else:
+            s_opnd = S.submat(rows_s, cols_s, ro_s, co_s)
+            if op_s == Op.NoTrans:
+                s_opnd = s_opnd.T
         flip_a = Op.NoTrans if op_a == Op.Trans else Op.Trans
-        prod = left_spmm(A, s_blk.T, op_a=flip_a, alpha=alpha, d=n,
+        prod = left_spmm(A, s_opnd, op_a=flip_a, alpha=alpha, d=n,
                          ro_a=ro_a, co_a=co_a).T
         expected = (d, n)
     else:
@@ -118,17 +152,9 @@ def sketch_sparse(
             # word-major operand storage: the plane fill produces it with
             # zero interleave (the natural order costs a ~2 ms relayout
             # into pallas_call at the config-4 shape — BlockedELL.word_major)
-            from .dense import skop_word_major_rows
-            s_blk = None
-            if (op_s == Op.NoTrans and ro_s == 0 and co_s == 0
-                    and rows_s == S.n_rows and cols_s == S.n_cols):
-                s_blk = skop_word_major_rows(S, A.word_major)
-            if s_blk is None:
-                blk = S.submat(rows_s, cols_s, ro_s, co_s)
-                if op_s == Op.Trans:
-                    blk = blk.T
-                s_blk = ell_spmm.to_word_major_rows(blk, A.word_major,
-                                                    blk.shape[0])
+            s_blk = _storage_order_operand(
+                A, S, op_s, rows_s, cols_s, ro_s, co_s,
+                transpose_out=(op_s == Op.Trans))
         else:
             s_blk = S.submat(rows_s, cols_s, ro_s, co_s)
             if op_s == Op.Trans:

@@ -192,3 +192,56 @@ def test_sketch_sparse_right_word_major(monkeypatch):
     scale_u = np.abs(want_u).max()
     np.testing.assert_allclose(got_u / scale_u, want_u / scale_u,
                                atol=2e-2)
+
+
+def test_word_major_phantom_rows_are_zero():
+    """Operator height one short of the bell's column count within the
+    same 4-block: the plane fill's phantom storage rows must be ZERO, or
+    the bell's last real column multiplies generated garbage
+    (code-review finding, round 3; the padding invariant)."""
+    from randblas_tpu import DenseDist, DenseSkOp, RNGState, sketch_sparse
+    from randblas_tpu.dense import skop_word_major_rows
+    from randblas_tpu.ops import ell_spmm
+
+    ell, dense = _ell(32, 250, seed=77)
+    bell = ell.blocked(word_major=4)
+    S = DenseSkOp(DenseDist(249, 16), RNGState.from_key(4))
+    wm = skop_word_major_rows(S, 4)
+    nblk = wm.shape[0] // 4
+    k_of_s = (np.arange(wm.shape[0]) % nblk) * 4 + np.arange(
+        wm.shape[0]) // nblk
+    assert np.all(np.asarray(wm)[k_of_s >= 249] == 0.0)
+    # end to end: window semantics (data col 249 multiplies zero)
+    import pytest as _pytest
+    _pytest.MonkeyPatch().setattr(ell_spmm, "force_interpret", True)
+    try:
+        got = np.asarray(sketch_sparse(S, bell, side="right"))
+        want = dense[:, :249] @ np.asarray(S.materialize())
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
+    finally:
+        ell_spmm.force_interpret = False
+
+
+def test_word_major_left_side(monkeypatch):
+    """side='left' sketch_sparse must hand the word-major kernel a
+    storage-ordered operand too (code-review finding, round 3)."""
+    from randblas_tpu import DenseDist, DenseSkOp, RNGState, sketch_sparse
+    from randblas_tpu.ops import ell_spmm
+    monkeypatch.setattr(ell_spmm, "force_interpret", True)
+    ell, dense = _ell(32, 256, seed=13)
+    bell = ell.blocked(word_major=4)
+    S = DenseSkOp(DenseDist(16, 256), RNGState.from_key(5))
+    # B = S @ A^T: the operand handed to the kernel is S^T-derived
+    got = np.asarray(sketch_sparse(S, bell, side="left", op_a="T"))
+    want = np.asarray(S.materialize()) @ dense.T
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
+    # and a tall operator entering with op_s='T' (full-op fast path)
+    St = DenseSkOp(DenseDist(256, 16), RNGState.from_key(6))
+    got_t = np.asarray(sketch_sparse(St, bell, side="left", op_s="T",
+                                     op_a="T"))
+    want_t = np.asarray(St.materialize()).T @ dense.T
+    scale_t = np.abs(want_t).max()
+    np.testing.assert_allclose(got_t / scale_t, want_t / scale_t,
+                               atol=2e-2)

@@ -141,3 +141,26 @@ def test_coo_spmm_grad():
     g_ref = jax.grad(lambda b: jnp.sum((jnp.asarray(dense) @ b) ** 2))(B)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_square_dist_grad():
+    """A square dist transposes to itself (the layout does not flip), so
+    the backward pass must NOT use the autotranspose fused route — it
+    falls back to the staged block^T (code-review finding, round 3).
+    square+Long is ColMajor-natural, square+Short RowMajor-natural; each
+    goes through its matching kernel (the other kernel asserts)."""
+    from randblas_tpu.base import MajorAxis
+    cases = [
+        (MajorAxis.Long, fs.fused_sketch_colmajor),
+        (MajorAxis.Short, fs.fused_sketch),
+    ]
+    A = jnp.asarray(RNG.normal(size=(32, 8)).astype(np.float32))
+    for ma, fn in cases:
+        S = rb.DenseSkOp(rb.DenseDist(32, 32, major_axis=ma),
+                         rb.RNGState.from_key(12))
+        out = fn(S, A, interpret=True)
+        want = S.materialize() @ A
+        assert _rel(out, want) < 1e-2, (fn.__name__, "forward")
+        g = jax.grad(lambda a: jnp.sum(fn(S, a, interpret=True) ** 2))(A)
+        g_ref = jax.grad(lambda a: jnp.sum((S.materialize() @ a) ** 2))(A)
+        assert _rel(g, g_ref) < 1e-2, fn.__name__
