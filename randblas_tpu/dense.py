@@ -326,12 +326,16 @@ class DenseSkOp:
         """Materialize just a block (submatrix_as_blackbox,
         dense_skops.hh:595-602) — same values as slicing materialize().
 
-        `dtype` overrides the fill's storage dtype (default: the
-        operator's). Values are f32-internal regardless
-        (rng/transforms.py), so an f32 fill of an f64 operator is
-        bit-identical to the f64 fill cast down — callers that want an
-        f32 block (e.g. the hiprec GEMM route, which re-slices into
-        int8 anyway) skip materializing the wide buffer entirely."""
+        `dtype` overrides the returned dtype (default: the operator's).
+        The result is always bit-identical to materialize() filled at
+        the OPERATOR's dtype and cast. For Gaussian that lets a narrower
+        request fill directly at the target dtype (values are
+        f32-internal, rng/transforms.py — callers like the hiprec GEMM
+        route skip materializing the wide buffer entirely); Uniform
+        applies its sqrt(3) scale in the fill dtype, so a narrowing
+        request fills at the operator dtype first and casts — a direct
+        narrow fill would double-round the scale ~1 ulp apart from the
+        materialized branch."""
         dtype = self.dtype if dtype is None else dtype
         require(0 <= ro_s and self.n_rows >= n_rows + ro_s,
                 "row range out of bounds")
@@ -341,8 +345,13 @@ class DenseSkOp:
             return jax.lax.slice(self.materialized, (ro_s, co_s),
                                  (ro_s + n_rows, co_s + n_cols)
                                  ).astype(dtype)
-        return fill_dense_submat(self.dist, self.seed_state, n_rows, n_cols,
-                                 ro_s, co_s, dtype)
+        fill_dtype = dtype
+        if (dtype != self.dtype
+                and self.dist.family == DenseDistName.Uniform):
+            fill_dtype = self.dtype
+        vals = fill_dense_submat(self.dist, self.seed_state, n_rows,
+                                 n_cols, ro_s, co_s, fill_dtype)
+        return vals.astype(dtype)
 
     # -- pytree protocol -----------------------------------------------------
 

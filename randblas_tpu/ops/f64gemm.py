@@ -227,9 +227,15 @@ def matmul_hiprec(a, b, *, slices_a: int = None, slices_b: int = None,
     m_true = a.shape[a_m_dim]
     k_true = a.shape[a_k_dim]
     n_true = b.shape[1]
+    kb = _K_BLOCK if k_block is None else k_block
     mp = -(-m_true // 128) * 128
     np_ = -(-n_true // 128) * 128
-    kp = -(-k_true // 128) * 128
+    # k padding: only when the whole contraction fits one block. On the
+    # blocked path the full kb blocks are already 128-aligned (kb is a
+    # multiple of 128) and only the TAIL block gets padded below — padding
+    # k here would copy both (possibly multi-GB) operands in full, the
+    # exact cost the tail-block design exists to avoid.
+    kp = -(-k_true // 128) * 128 if k_true <= kb else k_true
     if mp != m_true or kp != k_true:
         pads = (((0, kp - k_true), (0, mp - m_true)) if transpose_a
                 else ((0, mp - m_true), (0, kp - k_true)))
@@ -237,7 +243,6 @@ def matmul_hiprec(a, b, *, slices_a: int = None, slices_b: int = None,
     if np_ != n_true or kp != k_true:
         b = jnp.pad(b, ((0, kp - k_true), (0, np_ - n_true)))
     k = a.shape[a_k_dim]
-    kb = _K_BLOCK if k_block is None else k_block
     scale_axis_a = a_k_dim  # reduce over k: per-output-row maxima
 
     def unpad(out):
@@ -279,7 +284,17 @@ def matmul_hiprec(a, b, *, slices_a: int = None, slices_b: int = None,
         (hi, lo), _ = jax.lax.scan(step, (hi, lo), jnp.arange(n_full))
     if tail:
         a_tail = (a[n_full * kb:] if transpose_a else a[:, n_full * kb:])
-        thi, tlo = block_products(a_tail, b[n_full * kb:])
+        b_tail = b[n_full * kb:]
+        tp = -(-tail // 128) * 128
+        if tp != tail:
+            # pad the TAIL block's k to a 128 multiple (zero k-rows are
+            # exact under the slicing scheme) — tiny copies, vs padding
+            # the whole contraction which would copy both operands
+            a_tail = jnp.pad(a_tail, (((0, tp - tail), (0, 0))
+                                      if transpose_a
+                                      else ((0, 0), (0, tp - tail))))
+            b_tail = jnp.pad(b_tail, ((0, tp - tail), (0, 0)))
+        thi, tlo = block_products(a_tail, b_tail)
         hi, lo = hi + thi, lo + tlo
     out_scale_a = a_scale.T if transpose_a else a_scale
     return unpad(_combine_levels(hi, lo, out_scale_a, b_scale))

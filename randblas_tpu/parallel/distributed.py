@@ -56,7 +56,14 @@ def make_sketch_mesh(model: int = 1, data: Optional[int] = None,
 # determined by its static configuration, so identical configurations
 # reuse one jitted callable here — all varying values (the data shards,
 # the RNG seed state) flow in as traced operands.
-_FN_CACHE: dict = {}
+# Bounded LRU: long-running sweeps that vary shapes/meshes would
+# otherwise accumulate compiled SPMD executables forever. Varying values
+# (data shards, seed state, alpha) flow in as traced operands and are NOT
+# part of the key.
+from collections import OrderedDict
+
+_FN_CACHE: OrderedDict = OrderedDict()
+_FN_CACHE_MAX = 64
 
 
 def _cached(key, build):
@@ -64,7 +71,22 @@ def _cached(key, build):
     if fn is None:
         fn = jax.jit(build())
         _FN_CACHE[key] = fn
+        if len(_FN_CACHE) > _FN_CACHE_MAX:
+            _FN_CACHE.popitem(last=False)
+    else:
+        _FN_CACHE.move_to_end(key)
     return fn
+
+
+def _pack_seed_words(ctr, key):
+    """(1, 8) uint32 seed-words block for the fused kernels from (possibly
+    traced) counter/key arrays — the traced-state sibling of
+    ops/fused_sketch._seed_words."""
+    pad = 8 - ctr.shape[0] - key.shape[0]
+    parts = [ctr, key]
+    if pad:
+        parts.append(jnp.zeros((pad,), jnp.uint32))
+    return jnp.concatenate(parts).reshape(1, 8)
 
 
 def _shard_extent(total: int, parts: int, align: int = 1) -> int:
@@ -144,7 +166,7 @@ def distributed_sketch(
     ctr_stride_global = (m + ((-m) % 4)) // 4
 
     def build():
-        def shard_fn(a_blk, sd):
+        def shard_fn(a_blk, sd, al):
             mi = jax.lax.axis_index("model")
             di = jax.lax.axis_index("data")
             ro = mi.astype(jnp.uint32) * jnp.uint32(d_per)
@@ -156,18 +178,16 @@ def distributed_sketch(
                 # operator.
                 lo, hi = mul64_u32(ro, jnp.uint32(ctr_stride_global))
                 lo, hi = add64(lo, hi, co // jnp.uint32(4), jnp.uint32(0))
-                ctr = ctr_add64(sd.counter, lo, hi)
-                pad = 8 - ctr.shape[0] - sd.key.shape[0]
-                parts = [ctr, sd.key]
-                if pad:
-                    parts.append(jnp.zeros((pad,), jnp.uint32))
-                seed_words = jnp.concatenate(parts).reshape(1, 8)
+                seed_words = _pack_seed_words(
+                    ctr_add64(sd.counter, lo, hi), sd.key)
                 # fused_call_diff plans/pads internally and carries the
                 # custom VJP (the cotangent is the transposed kernel with
-                # the same seed words), so sharded sketches differentiate
-                part = fs.fused_call_diff(
+                # the same seed words), so sharded sketches differentiate.
+                # alpha is a traced operand (jit-compatible, one compile
+                # for all values) — applied outside the kernel.
+                part = al * fs.fused_call_diff(
                     d_per, m_per,
-                    dist.family == DenseDistName.Gaussian, float(alpha),
+                    dist.family == DenseDistName.Gaussian, 1.0,
                     ctr_stride_global, interpret, seed.rng,
                     seed_words, a_blk)
                 return jax.lax.psum(part, "data")
@@ -175,19 +195,19 @@ def distributed_sketch(
                                              co, dtype)
             part = jnp.matmul(s_blk, a_blk.astype(dtype),
                               preferred_element_type=dtype)
-            return jax.lax.psum(jnp.asarray(alpha, dtype) * part, "data")
+            return jax.lax.psum(al.astype(dtype) * part, "data")
 
         return jax.shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P("data", None), P()),
+            in_specs=(P("data", None), P(), P()),
             out_specs=P("model", None),
             # pallas_call outputs carry no varying-mesh-axes metadata
             check_vma=not fused_ok,
         )
 
     key = ("left", mesh, dist, str(dtype), d, m, n, str(A.dtype),
-           float(alpha), fused_ok, interpret, seed.rng, seed.key.shape[0])
-    out = _cached(key, build)(A, seed)
+           fused_ok, interpret, seed.rng, seed.key.shape[0])
+    out = _cached(key, build)(A, seed, jnp.asarray(alpha, jnp.float32))
     return out[:d] if d_pad_g != d else out
 
 
@@ -273,7 +293,7 @@ def distributed_sketch_right(
     ctr_stride_global = (m + ((-m) % 4)) // 4  # S_t parent width = m
 
     def build():
-        def shard_fn(a_blk, sd):
+        def shard_fn(a_blk, sd, al):
             mi = jax.lax.axis_index("model")
             di = jax.lax.axis_index("data")
             ro = di.astype(jnp.uint32) * jnp.uint32(m_per)
@@ -285,34 +305,30 @@ def distributed_sketch_right(
                 # GLOBAL stride.
                 lo, hi = mul64_u32(co, jnp.uint32(ctr_stride_global))
                 lo, hi = add64(lo, hi, ro // jnp.uint32(4), jnp.uint32(0))
-                ctr = ctr_add64(sd.counter, lo, hi)
-                pad = 8 - ctr.shape[0] - sd.key.shape[0]
-                parts = [ctr, sd.key]
-                if pad:
-                    parts.append(jnp.zeros((pad,), jnp.uint32))
-                seed_words = jnp.concatenate(parts).reshape(1, 8)
+                seed_words = _pack_seed_words(
+                    ctr_add64(sd.counter, lo, hi), sd.key)
                 part_t = fs.fused_call_diff(
                     d_per, m_per,
-                    dist.family == DenseDistName.Gaussian, float(alpha),
+                    dist.family == DenseDistName.Gaussian, 1.0,
                     ctr_stride_global, interpret, seed.rng,
                     seed_words, a_blk.T)
-                return jax.lax.psum(part_t.T, "data")
+                return jax.lax.psum(al * part_t.T, "data")
             s_blk = fill_dense_submat_traced(dist, sd, m_per, d_per, ro,
                                              co, dtype)
             part = jnp.matmul(a_blk.astype(dtype), s_blk,
                               preferred_element_type=dtype)
-            return jax.lax.psum(jnp.asarray(alpha, dtype) * part, "data")
+            return jax.lax.psum(al.astype(dtype) * part, "data")
 
         return jax.shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P(None, "data"), P()),
+            in_specs=(P(None, "data"), P(), P()),
             out_specs=P(None, "model"),
             check_vma=not fused_ok,
         )
 
     key = ("right", mesh, dist, str(dtype), d, m, rows, str(A.dtype),
-           float(alpha), fused_ok, interpret, seed.rng, seed.key.shape[0])
-    out = _cached(key, build)(A, seed)
+           fused_ok, interpret, seed.rng, seed.key.shape[0])
+    out = _cached(key, build)(A, seed, jnp.asarray(alpha, jnp.float32))
     return out[:, :d] if d_pad_g != d else out
 
 
@@ -369,7 +385,7 @@ def distributed_sparse_sketch(
         on_tpu = _tpu_platform()
 
         def build():
-            def shard_fn(a_blk, rows_blk, vals_blk):
+            def shard_fn(a_blk, rows_blk, vals_blk, al):
                 mi = jax.lax.axis_index("model")
                 ro = mi.astype(jnp.int32) * jnp.int32(d_per)
                 r_loc = rows_blk - ro
@@ -379,19 +395,19 @@ def distributed_sparse_sketch(
                     # vanish inside the one-hot panels
                     idx = jnp.where(in_rng, r_loc, -1)
                     part = onehot_panel_apply(idx, vals_blk, a_blk, d_per,
-                                              alpha)
+                                              al)
                 else:
                     idx = jnp.where(in_rng, r_loc, 0)
                     w = jnp.where(in_rng, vals_blk,
                                   jnp.zeros((), vals_blk.dtype))
                     part = fixed_nnz_left_apply(idx, w, a_blk, d_per,
-                                                alpha)
+                                                al)
                 return jax.lax.psum(part, "data")
 
             return jax.shard_map(
                 shard_fn, mesh=mesh,
                 in_specs=(P("data", None), P("data", None),
-                          P("data", None)),
+                          P("data", None), P()),
                 out_specs=P("model", None),
                 # scan carries / one-hot iotas inside the shard are
                 # unvarying inits joined with varying contributions
@@ -399,32 +415,34 @@ def distributed_sparse_sketch(
             )
 
         key = ("sparse_canon", mesh, d, m, k, d_per, m_per, str(A.dtype),
-               str(vals_mk.dtype), float(alpha), on_tpu)
-        out = _cached(key, build)(A, rows_mk, vals_mk)
+               str(vals_mk.dtype), on_tpu)
+        out = _cached(key, build)(A, rows_mk, vals_mk,
+                                  jnp.asarray(alpha, jnp.float32))
         return out[:d] if d_pad_g != d else out
 
     rows, cols, vals = s.rows, s.cols, s.vals
 
     def build():
-        def shard_fn(a_blk, rows, cols, vals):
+        def shard_fn(a_blk, rows, cols, vals, al):
             mi = jax.lax.axis_index("model")
             di = jax.lax.axis_index("data")
             ro = mi.astype(jnp.int32) * jnp.int32(d_per)
             co = di.astype(jnp.int32) * jnp.int32(m_per)
             part = coo_left_apply(rows, cols, vals.astype(a_blk.dtype),
-                                  a_blk, d_per, m_per, ro, co, alpha)
+                                  a_blk, d_per, m_per, ro, co, al)
             return jax.lax.psum(part, "data")
 
         return jax.shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P("data", None), P(), P(), P()),
+            in_specs=(P("data", None), P(), P(), P(), P()),
             out_specs=P("model", None),
             check_vma=False,
         )
 
     key = ("sparse_coo", mesh, d, m, d_per, m_per, rows.shape[0],
-           str(A.dtype), str(vals.dtype), str(rows.dtype), float(alpha))
-    out = _cached(key, build)(A, rows, cols, vals)
+           str(A.dtype), str(vals.dtype), str(rows.dtype))
+    out = _cached(key, build)(A, rows, cols, vals,
+                              jnp.asarray(alpha, jnp.float32))
     return out[:d] if d_pad_g != d else out
 
 
@@ -484,38 +502,34 @@ def distributed_sketch_cols(
     ctr_stride_global = (m + ((-m) % 4)) // 4
 
     def build():
-        def shard_fn(a_blk, sd):
+        def shard_fn(a_blk, sd, al):
             mi = jax.lax.axis_index("model")
             ro = mi.astype(jnp.uint32) * jnp.uint32(d_per)
             if fused_ok:
                 lo, hi = mul64_u32(ro, jnp.uint32(ctr_stride_global))
-                ctr = ctr_add64(sd.counter, lo, hi)
-                pad = 8 - ctr.shape[0] - sd.key.shape[0]
-                parts = [ctr, sd.key]
-                if pad:
-                    parts.append(jnp.zeros((pad,), jnp.uint32))
-                seed_words = jnp.concatenate(parts).reshape(1, 8)
-                return fs.fused_call_diff(
+                seed_words = _pack_seed_words(
+                    ctr_add64(sd.counter, lo, hi), sd.key)
+                return al * fs.fused_call_diff(
                     d_per, m,
-                    dist.family == DenseDistName.Gaussian, float(alpha),
+                    dist.family == DenseDistName.Gaussian, 1.0,
                     ctr_stride_global, interpret, seed.rng,
                     seed_words, a_blk)
             s_blk = fill_dense_submat_traced(dist, sd, d_per, m, ro,
                                              jnp.uint32(0), dtype)
             part = jnp.matmul(s_blk, a_blk.astype(dtype),
                               preferred_element_type=dtype)
-            return jnp.asarray(alpha, dtype) * part
+            return al.astype(dtype) * part
 
         return jax.shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P(None, "data"), P()),
+            in_specs=(P(None, "data"), P(), P()),
             out_specs=P("model", "data"),
             check_vma=False,
         )
 
     key = ("cols", mesh, dist, str(dtype), d, m, n, str(A.dtype),
-           float(alpha), fused_ok, interpret, seed.rng, seed.key.shape[0])
-    out = _cached(key, build)(A, seed)
+           fused_ok, interpret, seed.rng, seed.key.shape[0])
+    out = _cached(key, build)(A, seed, jnp.asarray(alpha, jnp.float32))
     if d_pad_g != d or n_pad_g != n:
         out = out[:d, :n]
     return out
@@ -562,7 +576,7 @@ def distributed_sketch_sparse_data(
     vals = coo.vals.astype(dtype)
 
     def build():
-        def shard_fn(rows, cols, vals, sd):
+        def shard_fn(rows, cols, vals, sd, al):
             mi = jax.lax.axis_index("model")
             di = jax.lax.axis_index("data")
             ro = mi.astype(jnp.uint32) * jnp.uint32(d_per)
@@ -576,18 +590,19 @@ def distributed_sketch_sparse_data(
             # spmm_dispatch.hh:74-76).
             part_t = coo_left_apply(cols, rows, vals, s_blk.T, d=n,
                                     m=m_per, ro=0,
-                                    co=co.astype(jnp.int32), alpha=alpha)
+                                    co=co.astype(jnp.int32), alpha=al)
             return jax.lax.psum(part_t.T, "data")
 
         return jax.shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P(), P(), P(), P()),
+            in_specs=(P(), P(), P(), P(), P()),
             out_specs=P("model", None),
             check_vma=False,
         )
 
     key = ("sparse_data", mesh, dist, str(dtype), d, m, n, rows.shape[0],
-           str(vals.dtype), str(rows.dtype), float(alpha), seed.rng,
+           str(vals.dtype), str(rows.dtype), seed.rng,
            seed.key.shape[0])
-    out = _cached(key, build)(rows, cols, vals, seed)
+    out = _cached(key, build)(rows, cols, vals, seed,
+                              jnp.asarray(alpha, jnp.float32))
     return out[:d] if d_pad_g != d else out

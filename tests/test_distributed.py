@@ -384,3 +384,26 @@ def test_distributed_fused_grad_all_layouts():
         distributed_sketch_cols(S, a, mesh, interpret=True) ** 2))(Acsh)
     gc_ref = jax.grad(lambda a: jnp.sum((S.materialize() @ a) ** 2))(Ac)
     _close(gc, gc_ref)
+
+
+def test_distributed_alpha_traced_and_cache_stable():
+    """alpha is a traced operand: jit with alpha as an argument works,
+    and distinct alpha values do not grow the compiled-executable cache
+    (code-review finding, round 3)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from randblas_tpu.parallel import distributed as dmod
+    mesh = make_sketch_mesh(2, 4)
+    S = DenseSkOp(DenseDist(16, 32), RNGState.from_key(91))
+    A = jnp.asarray(np.random.default_rng(9).normal(
+        size=(32, 8)).astype(np.float32))
+    A = jax.device_put(A, NamedSharding(mesh, P("data", None)))
+    f = jax.jit(lambda a, al: distributed_sketch(S, a, mesh, alpha=al))
+    o1 = np.asarray(f(A, jnp.float32(2.0)))
+    o2 = np.asarray(f(A, jnp.float32(-0.5)))
+    base = np.asarray(S.materialize()) @ jax.device_get(A)
+    np.testing.assert_allclose(o1, 2.0 * base, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(o2, -0.5 * base, rtol=1e-5, atol=1e-5)
+    n0 = len(dmod._FN_CACHE)
+    distributed_sketch(S, A, mesh, alpha=3.25)
+    distributed_sketch(S, A, mesh, alpha=7.5)
+    assert len(dmod._FN_CACHE) - n0 <= 1   # one entry, reused across alphas

@@ -94,3 +94,33 @@ def test_matmul_hiprec_blocked_k():
                                      k_block=kb))
         rel = np.abs(c - c0).max() / np.abs(c0).max()
         assert rel < 1e-14, (kb, rel)
+
+
+def test_submat_dtype_override_bitwise_vs_materialized():
+    """A narrowed submat view equals materialize()-then-cast BITWISE for
+    both families (code-review finding, round 3: Uniform's sqrt(3) scale
+    applied in the narrow dtype double-rounded ~1 ulp apart)."""
+    import randblas_tpu as rb
+    from randblas_tpu import DenseDist, DenseDistName, DenseSkOp, RNGState
+    for family in (DenseDistName.Gaussian, DenseDistName.Uniform):
+        S = DenseSkOp(DenseDist(8, 8, family), RNGState.from_key(1),
+                      dtype=jnp.float64)
+        lazy = np.asarray(S.submat(8, 8, 0, 0, dtype=jnp.float32))
+        S2 = DenseSkOp(DenseDist(8, 8, family), RNGState.from_key(1),
+                       dtype=jnp.float64)
+        S2.materialize()
+        mat = np.asarray(S2.submat(8, 8, 0, 0, dtype=jnp.float32))
+        np.testing.assert_array_equal(lazy, mat)
+
+
+def test_blocked_path_unaligned_tail():
+    """k > k_block with an unaligned tail: the tail block is padded in
+    isolation (the full operands are never k-padded) and the result
+    stays exact."""
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(32, 300))
+    b = rng.normal(size=(300, 16))
+    got = np.asarray(matmul_hiprec(jnp.asarray(a), jnp.asarray(b),
+                                   k_block=128))
+    want = a @ b
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-14
