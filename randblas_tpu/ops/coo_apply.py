@@ -42,6 +42,45 @@ def coo_left_apply(
     return alpha * out.astype(b.dtype)
 
 
+# Memory budget (elements) for the one-shot densified operator of
+# coo_left_apply_dense: 2^28 f32 elements = 1 GB of the 16 GB HBM.
+_DENSE_BUDGET = 1 << 28
+
+
+def coo_left_apply_dense(
+    rows: jax.Array,
+    cols: jax.Array,
+    vals: jax.Array,
+    b: jax.Array,          # (m, n)
+    d: int,
+    m: int,
+    ro: int = 0,
+    co: int = 0,
+    alpha=1.0,
+) -> jax.Array:
+    """alpha * submat(Asp) @ b via ONE flat scatter-add into the full
+    (d, m) densified operator + one MXU GEMM.
+
+    TPU scatter costs ~10 ns per scattered index regardless of target
+    shape (measured, benchmarks/coo_probe.py) — so the panel variant's
+    re-scatter of all nnz indices once per panel is pure waste, and a
+    linearized 1-D index beats the 2-D (row, col) scatter by another
+    ~8%. At the config-4 shape (d=10000, m=20000, nnz=1e6, n=512) this
+    is 2.7x over the panel path: 12.8 ms vs 34.7 (sorting the indices
+    first costs more than sortedness saves; gather+segment-sum is
+    worse still — probe table in benchmarks/coo_probe.py).
+    """
+    r = rows.astype(jnp.int32) - jnp.int32(ro)
+    c = cols.astype(jnp.int32) - jnp.int32(co)
+    mask = (r >= 0) & (r < d) & (c >= 0) & (c < m)
+    w = jnp.where(mask, vals, jnp.zeros((), vals.dtype)).astype(b.dtype)
+    idx = jnp.where(mask, r * jnp.int32(m) + c, 0)
+    dense = jnp.zeros((d * m,), b.dtype).at[idx].add(w)
+    out = jnp.matmul(dense.reshape(d, m), b,
+                     preferred_element_type=b.dtype)
+    return jnp.asarray(alpha, b.dtype) * out
+
+
 def coo_left_apply_panels(
     rows: jax.Array,
     cols: jax.Array,
@@ -77,10 +116,12 @@ def coo_left_apply_panels(
         c0 = p * panel
         in_panel = (c >= c0) & (c < c0 + panel)
         w = jnp.where(in_panel, w_all, jnp.zeros((), b.dtype))
-        r_safe = jnp.where(in_panel & window, r, 0)
-        c_safe = jnp.where(in_panel & window, c - c0, 0)
-        s_panel = jnp.zeros((d, panel), dtype=b.dtype)
-        s_panel = s_panel.at[r_safe, c_safe].add(w)
+        # linearized 1-D scatter index (measured ~8% cheaper than the
+        # 2-D (row, col) form — benchmarks/coo_probe.py)
+        idx = jnp.where(in_panel & window,
+                        r * jnp.int32(panel) + (c - c0), 0)
+        s_panel = jnp.zeros((d * panel,), b.dtype).at[idx].add(w)
+        s_panel = s_panel.reshape(d, panel)
         b_panel = jax.lax.dynamic_slice(b_pad, (c0, 0), (panel, n))
         acc = acc + jnp.matmul(s_panel, b_panel,
                                preferred_element_type=b.dtype)
@@ -188,11 +229,17 @@ def row_gather_apply(
 def coo_left_apply_auto(rows, cols, vals, b, d, m, ro=0, co=0, alpha=1.0
                         ) -> jax.Array:
     """Heuristic dispatch between gather/segment-sum (cheap for skinny b)
-    and densify-panels + GEMM (cheap for wide b)."""
+    and densify + GEMM (cheap for wide b). The densify route scatters
+    ONCE into the full (d, m) operator when that buffer fits the memory
+    budget; the panel variant (re-scatters all nnz per panel) is only
+    the fallback for operators too large to densify whole."""
     nnz = rows.shape[0]
     n = b.shape[1]
     # segment-sum traffic ~ nnz*n; densify traffic ~ d*m + GEMM flops.
     if nnz * n > 4 * d * m or (n >= 64 and nnz * n > (1 << 22)):
+        if d * m <= _DENSE_BUDGET:
+            return coo_left_apply_dense(rows, cols, vals, b, d, m, ro, co,
+                                        alpha)
         return coo_left_apply_panels(rows, cols, vals, b, d, m, ro, co,
                                      alpha)
     return coo_left_apply(rows, cols, vals, b, d, m, ro, co, alpha)
