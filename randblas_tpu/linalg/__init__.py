@@ -1,8 +1,14 @@
 """Sketching-based linear algebra building blocks (the reference's
 examples/ tier, as a library)."""
 
+from .leverage import exact_leverage_scores, leverage_scores
+from .nystrom import nystrom, nystrom_apply
 from .qb import qb_decompose, qb_to_svd, rangefinder
+from .rsvd import rsvd
 from .tls import sketched_tls, tls_via_svd
+from .trace import exact_trace, hutchinson, hutchpp, rademacher_probes
 
-__all__ = ["qb_decompose", "qb_to_svd", "rangefinder", "sketched_tls",
-           "tls_via_svd"]
+__all__ = ["exact_leverage_scores", "exact_trace", "hutchinson",
+           "hutchpp", "leverage_scores", "nystrom", "nystrom_apply",
+           "qb_decompose", "qb_to_svd", "rademacher_probes",
+           "rangefinder", "rsvd", "sketched_tls", "tls_via_svd"]

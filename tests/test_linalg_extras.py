@@ -1,0 +1,202 @@
+"""Tests for the linalg extensions: trace estimation (Hutchinson /
+Hutch++), Nyström PSD approximation, randomized SVD, and sketched
+leverage scores.
+
+These are downstream consumers of the sketching core, so the tests pin
+(a) statistical accuracy against exact dense answers on controlled
+spectra and (b) the library's reproducibility contract (same state ->
+same estimate; next_state chains).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import randblas_tpu as rbt
+from randblas_tpu import linalg as rla
+from randblas_tpu.sparse_data import COOMatrix
+
+
+def _psd(n, rank, seed, decay=0.5):
+    rng = np.random.default_rng(seed)
+    q, _ = np.linalg.qr(rng.normal(size=(n, rank)))
+    lam = decay ** np.arange(rank)
+    a = (q * lam) @ q.T
+    return a.astype(np.float32), lam
+
+
+# ---------------------------------------------------------------- trace
+
+def test_hutchinson_converges():
+    a, lam = _psd(96, 96, seed=0, decay=0.97)
+    want = lam.sum()
+    est, nxt = rla.hutchinson(jnp.asarray(a), 96, 400, rbt.default_state(1))
+    assert abs(float(est) - want) / want < 0.08
+    assert nxt.to_dict() != rbt.default_state(1).to_dict()
+
+
+def test_hutchinson_matvec_and_reproducible():
+    a, lam = _psd(64, 64, seed=1, decay=0.9)
+    aj = jnp.asarray(a)
+    st = rbt.default_state(7)
+    e1, _ = rla.hutchinson(aj, 64, 64, st)
+    e2, _ = rla.hutchinson(lambda x: aj @ x, 64, 64, st)
+    assert float(e1) == float(e2)  # same probes, same arithmetic
+
+
+def test_hutchpp_beats_hutchinson_on_decaying_spectrum():
+    # fast spectral decay: Hutch++ captures the top space exactly
+    a, lam = _psd(128, 128, seed=2, decay=0.6)
+    want = lam.sum()
+    errs_h, errs_hpp = [], []
+    for s in range(5):
+        eh, _ = rla.hutchinson(jnp.asarray(a), 128, 48,
+                               rbt.default_state(10 + s))
+        ehpp, _ = rla.hutchpp(jnp.asarray(a), 128, 48,
+                              rbt.default_state(10 + s))
+        errs_h.append(abs(float(eh) - want))
+        errs_hpp.append(abs(float(ehpp) - want))
+    assert np.mean(errs_hpp) < np.mean(errs_h)
+    assert np.mean(errs_hpp) / want < 0.02
+
+
+def test_exact_trace_sparse():
+    rng = np.random.default_rng(3)
+    rows = rng.integers(0, 50, 300).astype(np.int32)
+    cols = rng.integers(0, 50, 300).astype(np.int32)
+    vals = rng.normal(size=300).astype(np.float32)
+    coo = COOMatrix(jnp.asarray(rows), jnp.asarray(cols),
+                    jnp.asarray(vals), 50, 50)
+    dense = np.zeros((50, 50), np.float32)
+    np.add.at(dense, (rows, cols), vals)
+    np.testing.assert_allclose(float(rla.exact_trace(coo)),
+                               np.trace(dense), rtol=1e-5)
+
+
+def test_hutchinson_on_sparse_container():
+    rng = np.random.default_rng(4)
+    n = 80
+    rows = rng.integers(0, n, 600).astype(np.int32)
+    cols = rng.integers(0, n, 600).astype(np.int32)
+    vals = rng.normal(size=600).astype(np.float32)
+    coo = COOMatrix(jnp.asarray(rows), jnp.asarray(cols),
+                    jnp.asarray(vals), n, n)
+    dense = np.zeros((n, n), np.float32)
+    np.add.at(dense, (rows, cols), vals)
+    est, _ = rla.hutchinson(coo, n, 600, rbt.default_state(5))
+    want = np.trace(dense)
+    scale = np.abs(dense).sum() / n  # offdiag-dominated: loose check
+    assert abs(float(est) - want) < 6 * scale
+
+
+# -------------------------------------------------------------- nystrom
+
+def test_nystrom_exact_on_low_rank():
+    a, lam = _psd(120, 12, seed=5)
+    u, lam_hat, nxt = rla.nystrom(jnp.asarray(a), 24, rbt.default_state(6))
+    approx = np.asarray(rla.nystrom_apply(u, lam_hat, jnp.eye(120)))
+    err = np.abs(approx - a).max() / np.abs(a).max()
+    assert err < 1e-3, err
+    # orthonormal factor
+    gram = np.asarray(u.T @ u)
+    np.testing.assert_allclose(gram, np.eye(24), atol=1e-3)
+    assert nxt.to_dict() != rbt.default_state(6).to_dict()
+
+
+def test_nystrom_truncates_spectrum():
+    a, lam = _psd(100, 40, seed=7, decay=0.8)
+    u, lam_hat, _ = rla.nystrom(jnp.asarray(a), 20, rbt.default_state(8))
+    # top eigenvalues recovered within the tail energy
+    tail = lam[20:].sum()
+    np.testing.assert_allclose(np.sort(np.asarray(lam_hat))[::-1][:5],
+                               lam[:5], atol=2 * tail)
+
+
+def test_nystrom_jits():
+    a, _ = _psd(64, 8, seed=9)
+    aj = jnp.asarray(a)
+    st = rbt.default_state(10)
+    u1, l1, _ = rla.nystrom(aj, 16, st)
+    u2, l2 = jax.jit(lambda x: rla.nystrom(x, 16, st)[:2])(aj)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+# ----------------------------------------------------------------- rsvd
+
+def test_rsvd_recovers_low_rank():
+    rng = np.random.default_rng(11)
+    m, n, r = 200, 90, 10
+    u0, _ = np.linalg.qr(rng.normal(size=(m, r)))
+    v0, _ = np.linalg.qr(rng.normal(size=(n, r)))
+    s0 = np.linspace(5.0, 1.0, r)
+    a = (u0 * s0) @ v0.T
+    a = a.astype(np.float32)
+    u, s, vt = rla.rsvd(jnp.asarray(a), r, rbt.default_state(12),
+                        oversample=6, power_iters=2)
+    np.testing.assert_allclose(np.asarray(s), s0, rtol=1e-3)
+    approx = np.asarray(u) * np.asarray(s) @ np.asarray(vt)
+    assert np.abs(approx - a).max() < 1e-3
+
+
+def test_rsvd_sparse_data():
+    rng = np.random.default_rng(13)
+    m, n = 150, 60
+    # rank-5 sparse-ish matrix: outer products with sparse supports
+    dense = np.zeros((m, n), np.float32)
+    for j in range(5):
+        ridx = rng.choice(m, 30, replace=False)
+        cidx = rng.choice(n, 12, replace=False)
+        dense[np.ix_(ridx, cidx)] += rng.normal() * np.outer(
+            rng.normal(size=30), rng.normal(size=12)).astype(np.float32)
+    rr, cc = np.nonzero(dense)
+    coo = COOMatrix(jnp.asarray(rr.astype(np.int32)),
+                    jnp.asarray(cc.astype(np.int32)),
+                    jnp.asarray(dense[rr, cc]), m, n)
+    u, s, vt = rla.rsvd(coo, 5, rbt.default_state(14), oversample=5)
+    want = np.linalg.svd(dense, compute_uv=False)[:5]
+    np.testing.assert_allclose(np.asarray(s), want, rtol=1e-2)
+
+
+def test_rsvd_validates():
+    a = jnp.zeros((20, 10))
+    with pytest.raises(ValueError):
+        rla.rsvd(a, 8, rbt.default_state(0), oversample=8)  # k > min dim
+
+
+# ------------------------------------------------------------- leverage
+
+@pytest.mark.parametrize("use_saso", [True, False])
+def test_leverage_scores_close_to_exact(use_saso):
+    rng = np.random.default_rng(15)
+    m, n = 400, 20
+    a = rng.normal(size=(m, n)).astype(np.float32)
+    a[:5] *= 20.0  # a few high-leverage rows
+    want = np.asarray(rla.exact_leverage_scores(jnp.asarray(a)))
+    got, nxt = rla.leverage_scores(jnp.asarray(a), rbt.default_state(16),
+                                   embed_factor=6, use_saso=use_saso)
+    got = np.asarray(got)
+    # relative error on the meaningful (large) scores
+    big = want > np.median(want)
+    rel = np.abs(got[big] - want[big]) / want[big]
+    assert np.quantile(rel, 0.9) < 0.6, rel.max()
+    # ranking preserved: top-5 high-leverage rows identified
+    assert set(np.argsort(got)[-5:]) == set(np.argsort(want)[-5:])
+    assert nxt.to_dict() != rbt.default_state(16).to_dict()
+
+
+def test_leverage_scores_jl_estimates_norms():
+    rng = np.random.default_rng(17)
+    m, n = 300, 32
+    a = rng.normal(size=(m, n)).astype(np.float32)
+    a[:3] *= 15.0
+    want = np.asarray(rla.exact_leverage_scores(jnp.asarray(a)))
+    got, _ = rla.leverage_scores(jnp.asarray(a), rbt.default_state(18),
+                                 embed_factor=6, jl_dim=16)
+    got = np.asarray(got)
+    assert set(np.argsort(got)[-3:]) == set(np.argsort(want)[-3:])
+
+
+def test_leverage_scores_validates():
+    with pytest.raises(ValueError):
+        rla.leverage_scores(jnp.zeros((10, 20)), rbt.default_state(0))
