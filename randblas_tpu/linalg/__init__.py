@@ -2,13 +2,15 @@
 examples/ tier, as a library)."""
 
 from .leverage import exact_leverage_scores, leverage_scores
+from .lstsq import cgls, sketch_and_precondition, sketch_and_solve_lsq
 from .nystrom import nystrom, nystrom_apply
 from .qb import qb_decompose, qb_to_svd, rangefinder
 from .rsvd import rsvd
 from .tls import sketched_tls, tls_via_svd
 from .trace import exact_trace, hutchinson, hutchpp, rademacher_probes
 
-__all__ = ["exact_leverage_scores", "exact_trace", "hutchinson",
+__all__ = ["cgls", "exact_leverage_scores", "exact_trace", "hutchinson",
            "hutchpp", "leverage_scores", "nystrom", "nystrom_apply",
            "qb_decompose", "qb_to_svd", "rademacher_probes",
-           "rangefinder", "rsvd", "sketched_tls", "tls_via_svd"]
+           "rangefinder", "rsvd", "sketch_and_precondition",
+           "sketch_and_solve_lsq", "sketched_tls", "tls_via_svd"]

@@ -1,0 +1,180 @@
+"""Sketched overdetermined least squares: sketch-and-solve and
+sketch-and-precondition (Blendenpik / LSRN family).
+
+The two classic RandNLA regression workloads next to the reference's TLS
+examples (/root/reference/examples/total-least-squares/
+tls_dense_skop.cc:101-203):
+
+  * sketch-and-solve: solve min ||S A x - S b|| on a d ~ 2n row sketch —
+    one small QR, delta-accurate (residual within (1+delta) of optimal).
+  * sketch-and-precondition: use R from qr(S A) as a RIGHT preconditioner
+    for CGLS on the FULL problem — cond(A R^-1) = O(1) with high
+    probability, so the iteration converges in a few dozen steps
+    independent of cond(A), to full solver accuracy.
+
+TPU notes: the sketch rides sketch_general / sketch_sparse dispatch
+(fused or one-hot SASO panels — the operator never hits HBM); CGLS is a
+lax.while_loop of two GEMV-shaped products; block right-hand sides get
+per-column step sizes so the whole block converges in one loop. f64
+products route through the int8-sliced MXU GEMM (ops/f64gemm.py), which
+is what makes preconditioned iterations (an f64 method once cond(A) is
+large) viable at MXU speed.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..base import require
+from ..dense import DenseDist, DenseSkOp
+from ..rng.state import RNGState
+from ..skge import sketch_general
+from ..sksp import sketch_sparse
+from ..sparse import SparseDist, SparseSkOp
+from .qb import _apply, _apply_t, _is_sparse
+
+
+def cgls(matvec: Callable, rmatvec: Callable, b: jax.Array, n: int, *,
+         x0: Optional[jax.Array] = None, tol: Optional[float] = None,
+         maxiter: int = 100) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Conjugate gradient on the normal equations (CGLS), in-graph.
+
+    Solves min ||M x - b|| for the operator given by ``matvec`` (n -> m)
+    and ``rmatvec`` (m -> n). ``b`` may be (m,) or (m, k); block right-hand
+    sides use independent per-column step sizes. Stops when every
+    column's normal-equation residual ||M^T r|| has dropped below
+    ``tol * ||M^T b||`` (relative to the ZERO-start residual even when
+    ``x0`` is given — a threshold relative to a good warm start is
+    unreachable, and CG iterated past machine precision amplifies
+    rounding noise instead of staying converged), or after ``maxiter``
+    iterations. ``tol`` defaults to 100x the dtype epsilon.
+
+    Returns ``(x, iterations, gamma)`` with ``gamma`` the final squared
+    normal-residual norm per column.
+    """
+    vec = b.ndim == 1
+    bb = b[:, None] if vec else b
+    if tol is None:
+        tol = 100.0 * float(jnp.finfo(bb.dtype).eps)
+    x0b = (jnp.zeros((n, bb.shape[1]), bb.dtype) if x0 is None
+           else (x0[:, None] if vec else x0))
+    r0 = bb - matvec(x0b)
+    s0 = rmatvec(r0)
+    gamma0 = jnp.sum(s0 * s0, axis=0)                       # (k,)
+    if x0 is None:
+        gamma_ref = gamma0
+    else:
+        sb = rmatvec(bb)
+        gamma_ref = jnp.sum(sb * sb, axis=0)
+    eps_floor = jnp.asarray(jnp.finfo(bb.dtype).tiny, gamma0.dtype)
+
+    def cond(state):
+        _, _, _, _, gamma, k = state
+        return jnp.logical_and(
+            jnp.any(gamma > jnp.maximum(tol * tol * gamma_ref, eps_floor)),
+            k < maxiter)
+
+    def body(state):
+        x, r, s, p, gamma, k = state
+        q = matvec(p)
+        qq = jnp.sum(q * q, axis=0)
+        alpha = jnp.where(qq > 0, gamma / jnp.where(qq > 0, qq, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * q
+        s = rmatvec(r)
+        gamma_new = jnp.sum(s * s, axis=0)
+        beta = jnp.where(gamma > 0, gamma_new / jnp.where(gamma > 0,
+                                                          gamma, 1.0), 0.0)
+        p = s + beta * p
+        return x, r, s, p, gamma_new, k + 1
+
+    x, _, _, _, gamma, k = jax.lax.while_loop(
+        cond, body, (x0b, r0, s0, s0, gamma0, jnp.int32(0)))
+    return (x[:, 0] if vec else x), k, gamma
+
+
+def _sketch_pair(a, b, d: int, state: RNGState, use_saso: bool,
+                 vec_nnz: int, dtype) -> Tuple[jax.Array, jax.Array,
+                                               RNGState]:
+    """(S A, S b, next_state) with one shared operator for A and b."""
+    m = a.shape[0]
+    if use_saso:
+        S = SparseSkOp(SparseDist(d, m, vec_nnz=min(vec_nnz, d)), state)
+    else:
+        S = DenseSkOp(DenseDist(d, m), state, dtype=dtype)
+    bb = b[:, None] if b.ndim == 1 else b
+    if _is_sparse(a):
+        if use_saso:
+            # sparse operator x sparse data has no library core (neither
+            # does the reference); d x m is small — densify the OPERATOR
+            # and ride the sparse-data SpMM: S @ A = (A^T @ S^T)^T.
+            st = S.materialize().astype(bb.dtype)            # (d, m)
+            sa = _apply_t(a, st.T).T                         # (d, n)
+            sb = st @ bb
+        else:
+            sa = sketch_sparse(S, a)
+            sb = sketch_general(S, bb)
+    else:
+        sa = sketch_general(S, a.astype(dtype) if dtype is not None else a)
+        sb = sketch_general(S, bb.astype(sa.dtype))
+    return sa, sb.astype(sa.dtype), S.next_state
+
+
+def sketch_and_solve_lsq(a, b, d: int, state: RNGState, *,
+                         use_saso: bool = True, vec_nnz: int = 8,
+                         dtype=None) -> Tuple[jax.Array, RNGState]:
+    """Delta-accurate least squares: x = argmin ||S A x - S b||.
+
+    ``a`` is tall (m, n) dense or sparse (COO/CSR/CSC); ``b`` is (m,) or
+    (m, k); ``d`` is the sketch size (2n..4n gives the classic
+    (1+delta) residual guarantees). Returns (x, next_state).
+    """
+    m, n = a.shape
+    require(m >= n, "sketch_and_solve_lsq expects a tall system (m >= n)")
+    require(n <= d <= m, "sketch size d must satisfy n <= d <= m")
+    sa, sb, nxt = _sketch_pair(a, b, d, state, use_saso, vec_nnz, dtype)
+    q, r = jnp.linalg.qr(sa)
+    x = jax.scipy.linalg.solve_triangular(r, q.T @ sb, lower=False)
+    return (x[:, 0] if b.ndim == 1 else x), nxt
+
+
+def sketch_and_precondition(a, b, state: RNGState, *, d: Optional[int] = None,
+                            use_saso: bool = True, vec_nnz: int = 8,
+                            tol: Optional[float] = None, maxiter: int = 200,
+                            warm_start: bool = True, dtype=None
+                            ) -> Tuple[jax.Array, jax.Array, RNGState]:
+    """Solver-accurate least squares via sketched preconditioning.
+
+    Sketch A to d ~ 2n rows, QR the sketch, run CGLS on the full problem
+    in the preconditioned variable y = R x (cond(A R^-1) = O(1) whp).
+    ``warm_start`` seeds the iteration with the sketch-and-solve
+    solution, which typically saves ~1/3 of the iterations for free (the
+    sketch and its QR are already paid for).
+
+    Returns ``(x, cgls_iterations, next_state)``. For ill-conditioned
+    systems run under float64 (jax.config.update("jax_enable_x64", True));
+    the f64 products ride the int8-sliced MXU GEMM.
+    """
+    m, n = a.shape
+    require(m >= n, "sketch_and_precondition expects a tall system")
+    d = 2 * n if d is None else d
+    d = min(d, m)
+    require(d >= n, "sketch size d must be >= n")
+
+    sa, sb, nxt = _sketch_pair(a, b, d, state, use_saso, vec_nnz, dtype)
+    q, r = jnp.linalg.qr(sa)
+    solve_r = lambda v: jax.scipy.linalg.solve_triangular(r, v, lower=False)
+    solve_rt = lambda v: jax.scipy.linalg.solve_triangular(
+        r.T, v, lower=True)
+
+    bb = b if b.ndim > 1 else b[:, None]
+    y0 = (q.T @ sb) if warm_start else None   # R x_sketched, in y variables
+    y, iters, _ = cgls(
+        lambda y: _apply(a, solve_r(y)),
+        lambda rr: solve_rt(_apply_t(a, rr)),
+        bb.astype(sa.dtype), n, x0=y0, tol=tol, maxiter=maxiter)
+    x = solve_r(y)
+    return (x[:, 0] if b.ndim == 1 else x), iters, nxt

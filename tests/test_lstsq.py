@@ -1,0 +1,161 @@
+"""Tests for linalg/lstsq.py: CGLS, sketch-and-solve, sketch-and-precondition.
+
+Model: the reference's examples-tier TLS checks (tls_dense_skop.cc) —
+sketched answers compared against the dense direct solver on problems
+with known solutions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from randblas_tpu import RNGState
+from randblas_tpu.linalg import (
+    cgls, sketch_and_precondition, sketch_and_solve_lsq,
+)
+from randblas_tpu.sparse_data.coo import COOMatrix
+
+
+def _tall_problem(m=600, n=40, cond=1e3, noise=1e-4, seed=0, k_rhs=None):
+    rng = np.random.default_rng(seed)
+    u, _ = np.linalg.qr(rng.normal(size=(m, n)))
+    v, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    sv = np.logspace(0, -np.log10(cond), n)
+    a = (u * sv) @ v.T
+    shape = (n,) if k_rhs is None else (n, k_rhs)
+    x_true = rng.normal(size=shape)
+    b = a @ x_true + noise * rng.normal(size=(m,) if k_rhs is None
+                                        else (m, k_rhs))
+    return (jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32),
+            jnp.asarray(x_true, jnp.float32))
+
+
+def _residual(a, b, x):
+    return float(jnp.linalg.norm(a @ x - b))
+
+
+class TestCGLS:
+    def test_matches_direct_solve(self):
+        a, b, _ = _tall_problem(cond=10.0)
+        x, iters, _ = cgls(lambda y: a @ y, lambda r: a.T @ r, b,
+                           a.shape[1], tol=1e-6, maxiter=400)
+        x_ref, *_ = jnp.linalg.lstsq(a, b)
+        assert _residual(a, b, x) <= _residual(a, b, x_ref) * (1 + 1e-4)
+        assert int(iters) < 400
+
+    def test_block_rhs_columns_independent(self):
+        a, b, _ = _tall_problem(cond=10.0, k_rhs=3)
+        x, _, _ = cgls(lambda y: a @ y, lambda r: a.T @ r, b,
+                       a.shape[1], tol=1e-6, maxiter=400)
+        assert x.shape == (a.shape[1], 3)
+        for j in range(3):
+            xj, _, _ = cgls(lambda y: a @ y, lambda r: a.T @ r, b[:, j],
+                            a.shape[1], tol=1e-6, maxiter=400)
+            np.testing.assert_allclose(np.asarray(x[:, j]), np.asarray(xj),
+                                       rtol=2e-3, atol=2e-4)
+
+    def test_warm_start_skips_work(self):
+        a, b, _ = _tall_problem(cond=10.0)
+        x_ref, *_ = jnp.linalg.lstsq(a, b)
+        _, iters, _ = cgls(lambda y: a @ y, lambda r: a.T @ r, b,
+                           a.shape[1], x0=x_ref, tol=1e-3, maxiter=100)
+        assert int(iters) <= 2
+
+
+class TestSketchAndSolve:
+    @pytest.mark.parametrize("use_saso", [True, False])
+    def test_residual_near_optimal(self, use_saso):
+        a, b, _ = _tall_problem(noise=1e-2)
+        n = a.shape[1]
+        x, nxt = sketch_and_solve_lsq(a, b, 4 * n, RNGState.from_key(7),
+                                      use_saso=use_saso)
+        r_opt = _residual(a, b, jnp.linalg.lstsq(a, b)[0])
+        # d = 4n gives delta ~ 0.5-accurate residuals whp
+        assert _residual(a, b, x) <= 1.5 * r_opt
+        assert nxt is not None
+
+    def test_block_rhs_shape(self):
+        a, b, _ = _tall_problem(noise=1e-2, k_rhs=2)
+        x, _ = sketch_and_solve_lsq(a, b, 4 * a.shape[1],
+                                    RNGState.from_key(7))
+        assert x.shape == (a.shape[1], 2)
+
+    def test_reproducible(self):
+        a, b, _ = _tall_problem()
+        st = RNGState.from_key(3)
+        x1, n1 = sketch_and_solve_lsq(a, b, 160, st)
+        x2, n2 = sketch_and_solve_lsq(a, b, 160, st)
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+        np.testing.assert_array_equal(np.asarray(n1.counter),
+                                      np.asarray(n2.counter))
+
+
+class TestSketchAndPrecondition:
+    @pytest.mark.parametrize("use_saso", [True, False])
+    def test_solver_accurate(self, use_saso):
+        a, b, _ = _tall_problem(cond=1e3, noise=1e-3)
+        x, iters, _ = sketch_and_precondition(
+            a, b, RNGState.from_key(1), use_saso=use_saso, tol=1e-6,
+            maxiter=100)
+        r_opt = _residual(a, b, jnp.linalg.lstsq(a, b)[0])
+        assert _residual(a, b, x) <= r_opt * (1 + 1e-3)
+        # the whole point: iteration count independent of cond(A)
+        assert int(iters) < 60
+
+    def test_warm_start_saves_iterations(self):
+        a, b, _ = _tall_problem(cond=1e3, noise=1e-3)
+        _, it_warm, _ = sketch_and_precondition(
+            a, b, RNGState.from_key(1), tol=1e-6, maxiter=200,
+            warm_start=True)
+        _, it_cold, _ = sketch_and_precondition(
+            a, b, RNGState.from_key(1), tol=1e-6, maxiter=200,
+            warm_start=False)
+        assert int(it_warm) <= int(it_cold)
+
+    def test_block_rhs(self):
+        a, b, _ = _tall_problem(cond=100.0, noise=1e-3, k_rhs=3)
+        x, _, _ = sketch_and_precondition(a, b, RNGState.from_key(2),
+                                          tol=1e-6, maxiter=100)
+        x_ref, *_ = jnp.linalg.lstsq(a, b)
+        np.testing.assert_allclose(np.asarray(a @ x), np.asarray(a @ x_ref),
+                                   rtol=0, atol=5e-3)
+
+    def test_jittable(self):
+        a, b, _ = _tall_problem(cond=100.0)
+        f = jax.jit(lambda a, b: sketch_and_precondition(
+            a, b, RNGState.from_key(1), tol=1e-6, maxiter=100)[0])
+        x = f(a, b)
+        r_opt = _residual(a, b, jnp.linalg.lstsq(a, b)[0])
+        assert _residual(a, b, x) <= r_opt * (1 + 1e-3)
+
+
+class TestSparseData:
+    def _sparse_problem(self, m=500, n=30, density=0.05, seed=0):
+        rng = np.random.default_rng(seed)
+        mask = rng.random((m, n)) < density
+        dense = np.where(mask, rng.normal(size=(m, n)), 0.0)
+        # ensure full column rank: add a scaled identity block on top
+        dense[:n, :] += np.eye(n)
+        a_dense = jnp.asarray(dense, jnp.float32)
+        coo = COOMatrix.from_dense(a_dense)
+        b = jnp.asarray(rng.normal(size=(m,)), jnp.float32)
+        return coo, a_dense, b
+
+    @pytest.mark.parametrize("use_saso", [True, False])
+    def test_sparse_matches_dense_route(self, use_saso):
+        coo, a_dense, b = self._sparse_problem()
+        x_sp, iters, _ = sketch_and_precondition(
+            coo, b, RNGState.from_key(5), use_saso=use_saso, tol=1e-6,
+            maxiter=150)
+        x_ref, *_ = jnp.linalg.lstsq(a_dense, b)
+        np.testing.assert_allclose(np.asarray(a_dense @ x_sp),
+                                   np.asarray(a_dense @ x_ref),
+                                   rtol=0, atol=5e-3)
+
+    def test_sparse_sketch_and_solve(self):
+        coo, a_dense, b = self._sparse_problem()
+        n = a_dense.shape[1]
+        x, _ = sketch_and_solve_lsq(coo, b, 4 * n, RNGState.from_key(5))
+        r_opt = _residual(a_dense, b, jnp.linalg.lstsq(a_dense, b)[0])
+        assert _residual(a_dense, b, x) <= 1.5 * r_opt + 1e-5
