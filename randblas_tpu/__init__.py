@@ -24,6 +24,8 @@ from .sparse import (
     SparseDist, SparseSkOp, fill_sparse, print_sparse,
     repeated_fisher_yates,
 )
+from .trig import TrigDist, TrigSkOp, srht_operator
+from .ops.hadamard import hadamard_matrix, hadamard_transform
 from .skge import sketch_general, sketch
 from .skve import sketch_vector
 from .sksy import sketch_symmetric, require_symmetric
@@ -45,6 +47,8 @@ __all__ = [
     "DenseDistName", "DenseDist", "DenseSkOp",
     "fill_dense", "fill_dense_submat", "isometry_scale_factor",
     "SparseDist", "SparseSkOp", "fill_sparse", "repeated_fisher_yates",
+    "TrigDist", "TrigSkOp", "srht_operator",
+    "hadamard_matrix", "hadamard_transform",
     "sketch_general", "sketch", "sketch_vector", "sketch_symmetric",
     "require_symmetric", "sketch_sparse",
     "COOMatrix", "CSRMatrix", "CSCMatrix", "IndexBase", "NonzeroSort",

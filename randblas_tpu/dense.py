@@ -96,6 +96,9 @@ def isometry_scale_factor(d) -> float:
     """Scale making E[ (c S)^T (c S) ] = I (dense_skops.hh:318-326 for
     DenseDist; sparse_skops.hh:167-177 for SparseDist)."""
     from .sparse import SparseDist  # local import to avoid a cycle
+    from .trig import TrigDist, trig_isometry_scale
+    if isinstance(d, TrigDist):
+        return trig_isometry_scale(d)
     if isinstance(d, SparseDist):
         if d.major_axis == MajorAxis.Short:
             return d.vec_nnz ** -0.5

@@ -26,8 +26,9 @@ from .base import Op, Side, dims_before_op, require
 from .dense import DenseSkOp
 from .ops.coo_apply import coo_left_apply_auto as coo_left_apply
 from .sparse import SparseSkOp
+from .trig import TrigSkOp
 
-SkOp = Union[DenseSkOp, SparseSkOp]
+SkOp = Union[DenseSkOp, SparseSkOp, TrigSkOp]
 
 # Fused-kernel dispatch policy: "auto" uses the Pallas RNG-in-GEMM kernel
 # on TPU whenever the call shape qualifies; True forces it (errors if
@@ -404,7 +405,13 @@ def sketch_general(
         require(S.n_rows >= rows_s + ro_s, "S row range out of bounds")
         require(S.n_cols >= cols_s + co_s, "S column range out of bounds")
         a_mat = A if op_a == Op.NoTrans else A.T
-        if isinstance(S, SparseSkOp):
+        if isinstance(S, TrigSkOp):
+            require(ro_s == 0 and co_s == 0 and (rows_s, cols_s) == S.shape,
+                    "TrigSkOp has no submatrix addressing (H mixes all "
+                    "rows); apply the full operator")
+            raw = S.lmult(a_mat) if op_s == Op.NoTrans else S.lmult_t(a_mat)
+            prod = jnp.asarray(alpha, dtype) * raw.astype(dtype)
+        elif isinstance(S, SparseSkOp):
             prod = _sparse_left_apply(S, d, m, ro_s, co_s, op_s, a_mat,
                                       alpha)
         elif _fused_eligible(S, rows_s, cols_s, ro_s, co_s, op_s, dtype):
@@ -438,7 +445,15 @@ def sketch_general(
         require(S.n_rows >= rows_s + ro_s, "S row range out of bounds")
         require(S.n_cols >= cols_s + co_s, "S column range out of bounds")
         a_mat = A if op_a == Op.NoTrans else A.T
-        if isinstance(S, SparseSkOp):
+        if isinstance(S, TrigSkOp):
+            require(ro_s == 0 and co_s == 0 and (rows_s, cols_s) == S.shape,
+                    "TrigSkOp has no submatrix addressing (H mixes all "
+                    "rows); apply the full operator")
+            # A @ op_s(S) = (op_s(S)^T @ A^T)^T
+            raw = (S.lmult_t(a_mat.T) if op_s == Op.NoTrans
+                   else S.lmult(a_mat.T)).T
+            prod = jnp.asarray(alpha, dtype) * raw.astype(dtype)
+        elif isinstance(S, SparseSkOp):
             # (A @ op_s(S)) = (op_s(S)^T @ A^T)^T; flip the op to fold the
             # transpose into the COO view (right_spmm reduction,
             # spmm_dispatch.hh:163-200).
