@@ -24,58 +24,21 @@ import jax                                                       # noqa: E402
 import jax.numpy as jnp                                          # noqa: E402
 import numpy as np                                               # noqa: E402
 
-from randblas_tpu import (                                       # noqa: E402
-    RNGState, SparseDist, SparseSkOp, sketch,
+from randblas_tpu import RNGState                                # noqa: E402
+from randblas_tpu.linalg import (                                # noqa: E402
+    cgls, sketch_and_precondition,
 )
 
 
-def cgls(matvec, rmatvec, b, n, tol=1e-12, maxiter=200):
-    """Conjugate gradient on the normal equations (CGLS), in-graph.
-
-    Solves min ||M x - b|| for the linear operator given by
-    matvec/rmatvec. Returns (x, iterations, final residual norm of the
-    normal equations)."""
-    x0 = jnp.zeros((n,), b.dtype)
-    r0 = b - matvec(x0)
-    s0 = rmatvec(r0)
-    gamma0 = jnp.vdot(s0, s0)
-
-    def cond(state):
-        _, _, _, _, gamma, k = state
-        return jnp.logical_and(gamma > tol * tol * gamma0, k < maxiter)
-
-    def body(state):
-        x, r, s, p, gamma, k = state
-        q = matvec(p)
-        alpha = gamma / jnp.vdot(q, q)
-        x = x + alpha * p
-        r = r - alpha * q
-        s = rmatvec(r)
-        gamma_new = jnp.vdot(s, s)
-        p = s + (gamma_new / gamma) * p
-        return x, r, s, p, gamma_new, k + 1
-
-    x, r, s, p, gamma, k = jax.lax.while_loop(
-        cond, body, (x0, r0, s0, s0, gamma0, jnp.int32(0)))
-    return x, k, jnp.sqrt(gamma)
-
-
 def solve_preconditioned(A, b, seed=0, vec_nnz=8, d=None):
-    """min ||A x - b|| via SASO sketch -> QR -> right-preconditioned CGLS.
+    """min ||A x - b|| via SASO sketch -> QR -> right-preconditioned CGLS
+    (library call: randblas_tpu.linalg.sketch_and_precondition).
 
     Returns (x, cgls_iterations)."""
-    m, n = A.shape
-    d = 2 * n if d is None else d
-    S = SparseSkOp(SparseDist(d, m, vec_nnz=vec_nnz), RNGState.from_key(seed))
-    SA = sketch(S, A)                          # (d, n), in-graph FY + apply
-    R = jnp.linalg.qr(SA, mode="r")            # (n, n) upper triangular
-    solve_R = lambda v: jax.scipy.linalg.solve_triangular(R, v, lower=False)
-    solve_Rt = lambda v: jax.scipy.linalg.solve_triangular(
-        R.T, v, lower=True)
-    # M = A R^-1: cond(M) = O(1) whp -> CGLS converges fast
-    x_pre, iters, _ = cgls(lambda y: A @ solve_R(y),
-                           lambda r: solve_Rt(A.T @ r), b, n)
-    return solve_R(x_pre), iters
+    x, iters, _ = sketch_and_precondition(
+        A, b, RNGState.from_key(seed), d=d, vec_nnz=vec_nnz, tol=1e-12,
+        maxiter=200)
+    return x, iters
 
 
 def main():
