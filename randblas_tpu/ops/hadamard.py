@@ -38,16 +38,21 @@ def next_pow2(m: int) -> int:
     return p
 
 
-def _balanced_factors(m: int) -> list:
-    """Split m = 2^L into balanced power-of-two factors, each <= 128.
+def _balanced_factors(m: int, max_factor: int = 128) -> list:
+    """Split m = 2^L into balanced power-of-two factors, each
+    <= max_factor.
 
     Balancing keeps the smallest factor as large as possible (e.g.
-    2^16 -> [64, 32, 32] rather than greedy [128, 128, 4]) so every
-    contraction has MXU-worthy depth."""
+    2^16 at cap 128 -> [64, 32, 32] rather than greedy [128, 128, 4])
+    so every contraction has MXU-worthy depth. Each stage is one full
+    HBM pass over the block, so a LARGER cap trades MXU flops (sum of
+    factors) for fewer passes — the transform is bandwidth-bound at
+    big m (see benchmarks/trig_probe.py)."""
     lg = m.bit_length() - 1
     if lg == 0:
         return [1]
-    stages = -(-lg // 7)                    # ceil(L / log2(128))
+    cap_lg = max(max_factor.bit_length() - 1, 1)
+    stages = -(-lg // cap_lg)
     base, extra = divmod(lg, stages)
     return [1 << (base + (1 if s < extra else 0)) for s in range(stages)]
 
@@ -69,20 +74,27 @@ def hadamard_matrix(k: int, dtype=jnp.float32) -> jax.Array:
     return jnp.asarray(_hadamard_np(k), dtype=dtype)
 
 
-def hadamard_transform(x: jax.Array) -> jax.Array:
+def hadamard_transform(x: jax.Array, max_factor: int = 128) -> jax.Array:
     """H_m @ x for x of shape (m, n), m a power of two. Unnormalized
     (H H^T = m I); divide by sqrt(m) for the orthonormal transform.
+
+    ``max_factor`` caps the per-stage Kronecker factor (a power of two
+    in [2, 4096]); every stage costs one HBM pass over the block plus
+    2*m*n*factor MXU flops, so larger caps help once the block exceeds
+    cache (measured on v5e: see benchmarks/trig_probe.py).
 
     Differentiable and jittable; the transform is its own transpose
     (H symmetric), so the VJP is another Hadamard transform for free.
     """
     require(x.ndim == 2, "hadamard_transform expects an (m, n) block")
+    require(is_pow2(max_factor) and 2 <= max_factor <= 4096,
+            "max_factor must be a power of two in [2, 4096]")
     m = x.shape[0]
     require(is_pow2(m), "leading dimension must be a power of two "
                         "(pad rows with zeros; see trig.py)")
     if m == 1:
         return x
-    factors = _balanced_factors(m)
+    factors = _balanced_factors(m, max_factor)
     y = x.reshape(*factors, x.shape[1])
     for ax, f in enumerate(factors):
         h = hadamard_matrix(f, x.dtype)

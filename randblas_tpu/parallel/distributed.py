@@ -34,6 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..base import require
 from ..dense import DenseSkOp, fill_dense_submat_traced
 from ..sparse import SparseSkOp
+from ..trig import TrigSkOp
 from ..ops.coo_apply import coo_left_apply
 
 
@@ -467,8 +468,17 @@ def distributed_sketch_cols(
     to feed further sharded stages; on a mesh with model == 1 this reduces
     to the pure column-sharded layout. Shapes need not divide the mesh:
     pad-and-shard (see _shard_extent) slices phantom rows/columns off.
+
+    Also accepts a TrigSkOp (SRHT): the Hadamard transform acts along
+    rows, so the column layout is the one sharding where SRHT work is
+    embarrassingly parallel — each device transforms its own column
+    block and gathers its 'model' slice of the sampled rows (the
+    m-sharded layouts would need cross-device butterflies; use the dense
+    family there).
     """
-    require(isinstance(S, DenseSkOp), "takes a DenseSkOp")
+    if isinstance(S, TrigSkOp):
+        return _distributed_sketch_cols_trig(S, A, mesh, alpha)
+    require(isinstance(S, DenseSkOp), "takes a DenseSkOp or TrigSkOp")
     from ..base import Layout
     from ..dense import DenseDistName, dist_to_layout
     from ..ops import fused_sketch as fs
@@ -530,6 +540,59 @@ def distributed_sketch_cols(
     key = ("cols", mesh, dist, str(dtype), d, m, n, str(A.dtype),
            fused_ok, interpret, seed.rng, seed.key.shape[0])
     out = _cached(key, build)(A, seed, jnp.asarray(alpha, jnp.float32))
+    if d_pad_g != d or n_pad_g != n:
+        out = out[:d, :n]
+    return out
+
+
+def _distributed_sketch_cols_trig(S: TrigSkOp, A: jax.Array, mesh: Mesh,
+                                  alpha) -> jax.Array:
+    """Column-sharded SRHT sketch (see distributed_sketch_cols).
+
+    The operator's randomness (signs, sampled row indices) is tiny and
+    sampled ONCE on the host — every device sees the identical global
+    operator; each 'model' row of the mesh gathers its slice of the
+    sampled Hadamard rows, so results are bitwise equal to the
+    single-device lmult per column block."""
+    from ..ops.hadamard import hadamard_transform
+
+    d, m = S.shape
+    n = A.shape[1]
+    require(A.ndim == 2 and A.shape[0] == m,
+            "A row count must equal S.n_cols")
+    pm = mesh.shape["model"]
+    pd = mesh.shape["data"]
+    d_per = _shard_extent(d, pm)
+    n_per = _shard_extent(n, pd)
+    d_pad_g, n_pad_g = pm * d_per, pd * n_per
+    if n_pad_g != n:
+        A = jnp.pad(A, ((0, 0), (0, n_pad_g - n)))
+    signs, indices = S._sample()
+    if d_pad_g != d:
+        indices = jnp.pad(indices, (0, d_pad_g - d))
+    m_pad = S.dist.padded_cols
+
+    def build():
+        def shard_fn(a_blk, sg, idx, al):
+            mi = jax.lax.axis_index("model")
+            idx_blk = jax.lax.dynamic_slice(
+                idx, (mi.astype(jnp.int32) * d_per,), (d_per,))
+            x = sg[:, None].astype(a_blk.dtype) * a_blk
+            if m_pad != m:
+                x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+            h = hadamard_transform(x)
+            return al.astype(h.dtype) * h[idx_blk, :]
+
+        return jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(None, "data"), P(), P(), P()),
+            out_specs=P("model", "data"),
+            check_vma=False,
+        )
+
+    key = ("cols-trig", mesh, S.dist, str(S.dtype), d, m, n, str(A.dtype))
+    out = _cached(key, build)(A, signs, indices,
+                              jnp.asarray(alpha, jnp.float32))
     if d_pad_g != d or n_pad_g != n:
         out = out[:d, :n]
     return out

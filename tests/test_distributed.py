@@ -158,6 +158,26 @@ def test_distributed_sketch_cols(model, data):
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("model,data,d", [(1, 8, 16), (2, 4, 16),
+                                          (2, 4, 13)])
+def test_distributed_sketch_cols_trig(model, data, d):
+    """SRHT over the column-sharded layout: the Hadamard transform acts
+    along rows, so each device transforms its own column block and
+    gathers its 'model' slice of the sampled rows — zero collectives,
+    any d (pad-and-shard)."""
+    from randblas_tpu import TrigDist, TrigSkOp
+    from randblas_tpu.parallel.distributed import distributed_sketch_cols
+    S = TrigSkOp(TrigDist(d, M), RNGState.from_key(23))
+    A = jnp.asarray(
+        np.random.default_rng(2).normal(size=(M, N)).astype(np.float32))
+    devices = jax.devices()[:model * data]
+    mesh = make_sketch_mesh(model, data, devices)
+    out = distributed_sketch_cols(S, A, mesh, alpha=0.5)
+    want = 0.5 * np.asarray(S.materialize()) @ np.asarray(A)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5,
+                               atol=1e-4)
+
+
 # -------------------- round-3 additions (VERDICT items 3, 4, 8) ------------
 
 @pytest.mark.parametrize("model,data", [(1, 8), (2, 4), (8, 1)])
