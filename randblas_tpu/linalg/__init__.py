@@ -2,7 +2,8 @@
 examples/ tier, as a library)."""
 
 from .leverage import exact_leverage_scores, leverage_scores
-from .lstsq import cgls, sketch_and_precondition, sketch_and_solve_lsq
+from .lstsq import (cgls, make_embedding, sketch_and_precondition,
+                    sketch_and_solve_lsq)
 from .nystrom import nystrom, nystrom_apply
 from .qb import qb_decompose, qb_to_svd, rangefinder
 from .rsvd import rsvd
@@ -10,6 +11,7 @@ from .tls import sketched_tls, tls_via_svd
 from .trace import exact_trace, hutchinson, hutchpp, rademacher_probes
 
 __all__ = ["cgls", "exact_leverage_scores", "exact_trace", "hutchinson",
+           "make_embedding",
            "hutchpp", "leverage_scores", "nystrom", "nystrom_apply",
            "qb_decompose", "qb_to_svd", "rademacher_probes",
            "rangefinder", "rsvd", "sketch_and_precondition",

@@ -28,7 +28,6 @@ from ..base import require
 from ..dense import DenseDist, DenseSkOp, isometry_scale_factor
 from ..rng.state import RNGState
 from ..skge import sketch_general
-from ..sparse import SparseDist, SparseSkOp
 
 
 def exact_leverage_scores(a: jax.Array) -> jax.Array:
@@ -38,7 +37,7 @@ def exact_leverage_scores(a: jax.Array) -> jax.Array:
 
 
 def leverage_scores(a: jax.Array, state: RNGState, embed_factor: int = 4,
-                    jl_dim: int = 0, use_saso: bool = True,
+                    jl_dim: int = 0, operator: str = "saso",
                     dtype=jnp.float32
                     ) -> Tuple[jax.Array, RNGState]:
     """Estimated leverage scores of tall ``a`` (m x n, m >= n).
@@ -47,29 +46,28 @@ def leverage_scores(a: jax.Array, state: RNGState, embed_factor: int = 4,
     ~ +-50% relative error bounds; raise for tighter estimates).
     ``jl_dim``: columns of the second JL sketch; 0 disables it and
     computes exact row norms of A R^{-1} (still sketched in stage 1).
-    ``use_saso``: stage-1 embedding is a sparse sign operator (cheap,
-    vec_nnz=8) instead of dense Gaussian.
+    ``operator``: the stage-1 embedding family — 'saso' (sparse sign,
+    vec_nnz=8, default), 'gaussian', or 'srht'.
 
     Returns (scores (m,), next_state).
     """
     m, n = a.shape
     require(m >= n, "leverage_scores expects a tall matrix (m >= n)")
+    require(jl_dim < n, "jl_dim must be < n (a JL sketch must reduce the "
+                        "column count; use jl_dim=0 for exact row norms)")
     d = min(embed_factor * n, m)
     require(d >= n, "embedding dimension must be >= n")
 
     a = a.astype(dtype)
-    if use_saso:
-        dist = SparseDist(d, m, vec_nnz=min(8, d))
-        S = SparseSkOp(dist, state)
-    else:
-        dist = DenseDist(d, m)
-        S = DenseSkOp(dist, state, dtype=dtype)
+    from .lstsq import make_embedding
+    S = make_embedding(operator, d, m, state, vec_nnz=8, dtype=dtype)
+    dist = S.dist
     # isometry scaling matters here: scores = row norms of A R^{-1}
     # scale as 1/c^2 under S -> cS, so S must satisfy E[S^T S] = I.
     sa = sketch_general(S, a, alpha=isometry_scale_factor(dist))  # (d, n)
     r = jnp.linalg.qr(sa, mode="r")               # (n, n)
 
-    if jl_dim and jl_dim < n:
+    if jl_dim:
         G = DenseSkOp(DenseDist(n, jl_dim), S.next_state, dtype=dtype)
         nxt = G.next_state
         # A (R^{-1} G): solve the small system first, one m x n GEMM

@@ -96,24 +96,45 @@ def cgls(matvec: Callable, rmatvec: Callable, b: jax.Array, n: int, *,
     return (x[:, 0] if vec else x), k, gamma
 
 
-def _sketch_pair(a, b, d: int, state: RNGState, use_saso: bool,
+def make_embedding(operator: str, d: int, m: int, state: RNGState, *,
+                   vec_nnz: int = 8, dtype=jnp.float32):
+    """A (d, m) sketching operator of the requested family:
+    'saso' (sparse sign, cheap and general), 'gaussian' (dense), or
+    'srht' (subsampled randomized Hadamard — O(mn log m) apply
+    independent of d; dense data only)."""
+    if operator == "saso":
+        return SparseSkOp(SparseDist(d, m, vec_nnz=min(vec_nnz, d)), state)
+    if operator == "gaussian":
+        return DenseSkOp(DenseDist(d, m), state, dtype=dtype)
+    if operator == "srht":
+        from ..trig import TrigDist, TrigSkOp
+        return TrigSkOp(TrigDist(d, m), state, dtype=dtype)
+    require(False, f"unknown embedding family {operator!r}; "
+                   "expected 'saso', 'gaussian', or 'srht'")
+
+
+def _sketch_pair(a, b, d: int, state: RNGState, operator: str,
                  vec_nnz: int, dtype) -> Tuple[jax.Array, jax.Array,
                                                RNGState]:
     """(S A, S b, next_state) with one shared operator for A and b."""
     m = a.shape[0]
-    if use_saso:
-        S = SparseSkOp(SparseDist(d, m, vec_nnz=min(vec_nnz, d)), state)
-    else:
-        S = DenseSkOp(DenseDist(d, m), state, dtype=dtype)
+    if dtype is None and operator != "saso":
+        dtype = b.dtype if _is_sparse(a) else a.dtype
+    S = make_embedding(operator, d, m, state, vec_nnz=vec_nnz,
+                       dtype=dtype or jnp.float32)
     bb = b[:, None] if b.ndim == 1 else b
     if _is_sparse(a):
-        if use_saso:
+        if operator == "saso":
             # sparse operator x sparse data has no library core (neither
             # does the reference); d x m is small — densify the OPERATOR
             # and ride the sparse-data SpMM: S @ A = (A^T @ S^T)^T.
             st = S.materialize().astype(bb.dtype)            # (d, m)
             sa = _apply_t(a, st.T).T                         # (d, n)
             sb = st @ bb
+        elif operator == "srht":
+            require(False, "the SRHT embedding needs dense data "
+                           "(the Hadamard transform has no sparse apply); "
+                           "use 'saso' or 'gaussian' for sparse a")
         else:
             sa = sketch_sparse(S, a)
             sb = sketch_general(S, bb)
@@ -124,35 +145,37 @@ def _sketch_pair(a, b, d: int, state: RNGState, use_saso: bool,
 
 
 def sketch_and_solve_lsq(a, b, d: int, state: RNGState, *,
-                         use_saso: bool = True, vec_nnz: int = 8,
+                         operator: str = "saso", vec_nnz: int = 8,
                          dtype=None) -> Tuple[jax.Array, RNGState]:
     """Delta-accurate least squares: x = argmin ||S A x - S b||.
 
     ``a`` is tall (m, n) dense or sparse (COO/CSR/CSC); ``b`` is (m,) or
     (m, k); ``d`` is the sketch size (2n..4n gives the classic
-    (1+delta) residual guarantees). Returns (x, next_state).
+    (1+delta) residual guarantees); ``operator`` picks the embedding
+    family ('saso' | 'gaussian' | 'srht'). Returns (x, next_state).
     """
     m, n = a.shape
     require(m >= n, "sketch_and_solve_lsq expects a tall system (m >= n)")
     require(n <= d <= m, "sketch size d must satisfy n <= d <= m")
-    sa, sb, nxt = _sketch_pair(a, b, d, state, use_saso, vec_nnz, dtype)
+    sa, sb, nxt = _sketch_pair(a, b, d, state, operator, vec_nnz, dtype)
     q, r = jnp.linalg.qr(sa)
     x = jax.scipy.linalg.solve_triangular(r, q.T @ sb, lower=False)
     return (x[:, 0] if b.ndim == 1 else x), nxt
 
 
 def sketch_and_precondition(a, b, state: RNGState, *, d: Optional[int] = None,
-                            use_saso: bool = True, vec_nnz: int = 8,
+                            operator: str = "saso", vec_nnz: int = 8,
                             tol: Optional[float] = None, maxiter: int = 200,
                             warm_start: bool = True, dtype=None
                             ) -> Tuple[jax.Array, jax.Array, RNGState]:
     """Solver-accurate least squares via sketched preconditioning.
 
-    Sketch A to d ~ 2n rows, QR the sketch, run CGLS on the full problem
-    in the preconditioned variable y = R x (cond(A R^-1) = O(1) whp).
-    ``warm_start`` seeds the iteration with the sketch-and-solve
-    solution, which typically saves ~1/3 of the iterations for free (the
-    sketch and its QR are already paid for).
+    Sketch A to d ~ 2n rows (``operator``: 'saso' | 'gaussian' | 'srht'
+    — 'srht' is the classic Blendenpik transform), QR the sketch, run
+    CGLS on the full problem in the preconditioned variable y = R x
+    (cond(A R^-1) = O(1) whp). ``warm_start`` seeds the iteration with
+    the sketch-and-solve solution, which typically saves ~1/3 of the
+    iterations for free (the sketch and its QR are already paid for).
 
     Returns ``(x, cgls_iterations, next_state)``. For ill-conditioned
     systems run under float64 (jax.config.update("jax_enable_x64", True));
@@ -164,7 +187,7 @@ def sketch_and_precondition(a, b, state: RNGState, *, d: Optional[int] = None,
     d = min(d, m)
     require(d >= n, "sketch size d must be >= n")
 
-    sa, sb, nxt = _sketch_pair(a, b, d, state, use_saso, vec_nnz, dtype)
+    sa, sb, nxt = _sketch_pair(a, b, d, state, operator, vec_nnz, dtype)
     q, r = jnp.linalg.qr(sa)
     solve_r = lambda v: jax.scipy.linalg.solve_triangular(r, v, lower=False)
     solve_rt = lambda v: jax.scipy.linalg.solve_triangular(

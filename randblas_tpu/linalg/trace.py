@@ -84,7 +84,8 @@ def hutchpp(a, n: int, num_matvecs: int, state: RNGState,
 
     g, nxt = rademacher_probes(n, k, st1, dtype)
     g = g - q @ (q.T @ g)                          # project out range(Q)
-    t_resid = jnp.sum(g * (mv(g) - q @ (q.T @ mv(g)))) / k
+    ag = mv(g)                                     # one application, reused
+    t_resid = jnp.sum(g * (ag - q @ (q.T @ ag))) / k
     return t_low + t_resid, nxt
 
 

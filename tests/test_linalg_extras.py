@@ -166,15 +166,15 @@ def test_rsvd_validates():
 
 # ------------------------------------------------------------- leverage
 
-@pytest.mark.parametrize("use_saso", [True, False])
-def test_leverage_scores_close_to_exact(use_saso):
+@pytest.mark.parametrize("operator", ["saso", "gaussian", "srht"])
+def test_leverage_scores_close_to_exact(operator):
     rng = np.random.default_rng(15)
     m, n = 400, 20
     a = rng.normal(size=(m, n)).astype(np.float32)
     a[:5] *= 20.0  # a few high-leverage rows
     want = np.asarray(rla.exact_leverage_scores(jnp.asarray(a)))
     got, nxt = rla.leverage_scores(jnp.asarray(a), rbt.default_state(16),
-                                   embed_factor=6, use_saso=use_saso)
+                                   embed_factor=6, operator=operator)
     got = np.asarray(got)
     # relative error on the meaningful (large) scores
     big = want > np.median(want)

@@ -64,12 +64,12 @@ class TestCGLS:
 
 
 class TestSketchAndSolve:
-    @pytest.mark.parametrize("use_saso", [True, False])
-    def test_residual_near_optimal(self, use_saso):
+    @pytest.mark.parametrize("operator", ["saso", "gaussian", "srht"])
+    def test_residual_near_optimal(self, operator):
         a, b, _ = _tall_problem(noise=1e-2)
         n = a.shape[1]
         x, nxt = sketch_and_solve_lsq(a, b, 4 * n, RNGState.from_key(7),
-                                      use_saso=use_saso)
+                                      operator=operator)
         r_opt = _residual(a, b, jnp.linalg.lstsq(a, b)[0])
         # d = 4n gives delta ~ 0.5-accurate residuals whp
         assert _residual(a, b, x) <= 1.5 * r_opt
@@ -92,11 +92,11 @@ class TestSketchAndSolve:
 
 
 class TestSketchAndPrecondition:
-    @pytest.mark.parametrize("use_saso", [True, False])
-    def test_solver_accurate(self, use_saso):
+    @pytest.mark.parametrize("operator", ["saso", "gaussian", "srht"])
+    def test_solver_accurate(self, operator):
         a, b, _ = _tall_problem(cond=1e3, noise=1e-3)
         x, iters, _ = sketch_and_precondition(
-            a, b, RNGState.from_key(1), use_saso=use_saso, tol=1e-6,
+            a, b, RNGState.from_key(1), operator=operator, tol=1e-6,
             maxiter=100)
         r_opt = _residual(a, b, jnp.linalg.lstsq(a, b)[0])
         assert _residual(a, b, x) <= r_opt * (1 + 1e-3)
@@ -142,11 +142,11 @@ class TestSparseData:
         b = jnp.asarray(rng.normal(size=(m,)), jnp.float32)
         return coo, a_dense, b
 
-    @pytest.mark.parametrize("use_saso", [True, False])
-    def test_sparse_matches_dense_route(self, use_saso):
+    @pytest.mark.parametrize("operator", ["saso", "gaussian"])
+    def test_sparse_matches_dense_route(self, operator):
         coo, a_dense, b = self._sparse_problem()
         x_sp, iters, _ = sketch_and_precondition(
-            coo, b, RNGState.from_key(5), use_saso=use_saso, tol=1e-6,
+            coo, b, RNGState.from_key(5), operator=operator, tol=1e-6,
             maxiter=150)
         x_ref, *_ = jnp.linalg.lstsq(a_dense, b)
         np.testing.assert_allclose(np.asarray(a_dense @ x_sp),
@@ -159,3 +159,9 @@ class TestSparseData:
         x, _ = sketch_and_solve_lsq(coo, b, 4 * n, RNGState.from_key(5))
         r_opt = _residual(a_dense, b, jnp.linalg.lstsq(a_dense, b)[0])
         assert _residual(a_dense, b, x) <= 1.5 * r_opt + 1e-5
+
+    def test_srht_rejects_sparse_data(self):
+        coo, _, b = self._sparse_problem()
+        with pytest.raises(ValueError):
+            sketch_and_solve_lsq(coo, b, 120, RNGState.from_key(5),
+                                 operator="srht")
