@@ -13,6 +13,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Linearized scatter indices are int32 (x64 stays off for kernel
+# throughput); targets at or above this element count route through
+# the 2-D (row, col) scatter instead. Module-level so tests can
+# lower it to exercise the fallback at small shapes.
+_FLAT_SCATTER_LIMIT = 2 ** 31
+
 
 def coo_left_apply(
     rows: jax.Array,
@@ -74,10 +80,15 @@ def coo_left_apply_dense(
     c = cols.astype(jnp.int32) - jnp.int32(co)
     mask = (r >= 0) & (r < d) & (c >= 0) & (c < m)
     w = jnp.where(mask, vals, jnp.zeros((), vals.dtype)).astype(b.dtype)
-    idx = jnp.where(mask, r * jnp.int32(m) + c, 0)
-    dense = jnp.zeros((d * m,), b.dtype).at[idx].add(w)
-    out = jnp.matmul(dense.reshape(d, m), b,
-                     preferred_element_type=b.dtype)
+    if d * m < _FLAT_SCATTER_LIMIT:
+        idx = jnp.where(mask, r * jnp.int32(m) + c, 0)
+        dense = jnp.zeros((d * m,), b.dtype).at[idx].add(w).reshape(d, m)
+    else:
+        # linearized int32 index would overflow; 2-D scatter has no limit
+        rr = jnp.where(mask, r, 0)
+        cc = jnp.where(mask, c, 0)
+        dense = jnp.zeros((d, m), b.dtype).at[rr, cc].add(w)
+    out = jnp.matmul(dense, b, preferred_element_type=b.dtype)
     return jnp.asarray(alpha, b.dtype) * out
 
 
@@ -112,16 +123,23 @@ def coo_left_apply_panels(
     n = b.shape[1]
     b_pad = jnp.pad(b, ((0, m_pad - m), (0, 0))) if m_pad != m else b
 
+    flat_ok = d * panel < _FLAT_SCATTER_LIMIT  # int32 linear index wraps
+
     def step(acc, p):
         c0 = p * panel
         in_panel = (c >= c0) & (c < c0 + panel)
         w = jnp.where(in_panel, w_all, jnp.zeros((), b.dtype))
-        # linearized 1-D scatter index (measured ~8% cheaper than the
-        # 2-D (row, col) form — benchmarks/coo_probe.py)
-        idx = jnp.where(in_panel & window,
-                        r * jnp.int32(panel) + (c - c0), 0)
-        s_panel = jnp.zeros((d * panel,), b.dtype).at[idx].add(w)
-        s_panel = s_panel.reshape(d, panel)
+        if flat_ok:
+            # linearized 1-D scatter index (measured ~8% cheaper than the
+            # 2-D (row, col) form — benchmarks/coo_probe.py)
+            idx = jnp.where(in_panel & window,
+                            r * jnp.int32(panel) + (c - c0), 0)
+            s_panel = jnp.zeros((d * panel,), b.dtype).at[idx].add(w)
+            s_panel = s_panel.reshape(d, panel)
+        else:
+            rr = jnp.where(in_panel & window, r, 0)
+            cc = jnp.where(in_panel & window, c - c0, 0)
+            s_panel = jnp.zeros((d, panel), b.dtype).at[rr, cc].add(w)
         b_panel = jax.lax.dynamic_slice(b_pad, (c0, 0), (panel, n))
         acc = acc + jnp.matmul(s_panel, b_panel,
                                preferred_element_type=b.dtype)

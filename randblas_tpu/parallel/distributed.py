@@ -208,7 +208,7 @@ def distributed_sketch(
 
     key = ("left", mesh, dist, str(dtype), d, m, n, str(A.dtype),
            fused_ok, interpret, seed.rng, seed.key.shape[0])
-    out = _cached(key, build)(A, seed, jnp.asarray(alpha, jnp.float32))
+    out = _cached(key, build)(A, seed, jnp.asarray(alpha, dtype))
     return out[:d] if d_pad_g != d else out
 
 
@@ -329,7 +329,7 @@ def distributed_sketch_right(
 
     key = ("right", mesh, dist, str(dtype), d, m, rows, str(A.dtype),
            fused_ok, interpret, seed.rng, seed.key.shape[0])
-    out = _cached(key, build)(A, seed, jnp.asarray(alpha, jnp.float32))
+    out = _cached(key, build)(A, seed, jnp.asarray(alpha, dtype))
     return out[:, :d] if d_pad_g != d else out
 
 
@@ -418,7 +418,7 @@ def distributed_sparse_sketch(
         key = ("sparse_canon", mesh, d, m, k, d_per, m_per, str(A.dtype),
                str(vals_mk.dtype), on_tpu)
         out = _cached(key, build)(A, rows_mk, vals_mk,
-                                  jnp.asarray(alpha, jnp.float32))
+                                  jnp.asarray(alpha, A.dtype))
         return out[:d] if d_pad_g != d else out
 
     rows, cols, vals = s.rows, s.cols, s.vals
@@ -443,7 +443,7 @@ def distributed_sparse_sketch(
     key = ("sparse_coo", mesh, d, m, d_per, m_per, rows.shape[0],
            str(A.dtype), str(vals.dtype), str(rows.dtype))
     out = _cached(key, build)(A, rows, cols, vals,
-                              jnp.asarray(alpha, jnp.float32))
+                              jnp.asarray(alpha, A.dtype))
     return out[:d] if d_pad_g != d else out
 
 
@@ -539,7 +539,7 @@ def distributed_sketch_cols(
 
     key = ("cols", mesh, dist, str(dtype), d, m, n, str(A.dtype),
            fused_ok, interpret, seed.rng, seed.key.shape[0])
-    out = _cached(key, build)(A, seed, jnp.asarray(alpha, jnp.float32))
+    out = _cached(key, build)(A, seed, jnp.asarray(alpha, dtype))
     if d_pad_g != d or n_pad_g != n:
         out = out[:d, :n]
     return out
@@ -592,7 +592,7 @@ def _distributed_sketch_cols_trig(S: TrigSkOp, A: jax.Array, mesh: Mesh,
 
     key = ("cols-trig", mesh, S.dist, str(S.dtype), d, m, n, str(A.dtype))
     out = _cached(key, build)(A, signs, indices,
-                              jnp.asarray(alpha, jnp.float32))
+                              jnp.asarray(alpha, A.dtype))
     if d_pad_g != d or n_pad_g != n:
         out = out[:d, :n]
     return out
@@ -667,5 +667,5 @@ def distributed_sketch_sparse_data(
            str(vals.dtype), str(rows.dtype), seed.rng,
            seed.key.shape[0])
     out = _cached(key, build)(rows, cols, vals, seed,
-                              jnp.asarray(alpha, jnp.float32))
+                              jnp.asarray(alpha, dtype))
     return out[:d] if d_pad_g != d else out

@@ -105,10 +105,13 @@ def _dense_block(S: DenseSkOp, rows_s: int, cols_s: int, ro_s: int,
     if S.materialized is None and use_pallas_fill is not False:
         from .ops import fused_sketch as fs
         if (fs.pallas_fill_supported(S.dist, blk_dtype, S.seed_state.rng)
-                and (use_pallas_fill is True or _tpu_backend())):
-            blk = fs.pallas_fill_block(S, rows_s, cols_s, ro_s, co_s,
-                                       interpret=use_pallas_fill is True
-                                       and not _tpu_backend())
+                and (use_pallas_fill in (True, "interp")
+                     or _tpu_backend())):
+            blk = fs.pallas_fill_block(
+                S, rows_s, cols_s, ro_s, co_s,
+                interpret=(use_pallas_fill == "interp"
+                           or (use_pallas_fill is True
+                               and not _tpu_backend())))
             return blk.T if op_s == Op.Trans else blk
     blk = S.submat(rows_s, cols_s, ro_s, co_s, dtype=blk_dtype)
     return blk.T if op_s == Op.Trans else blk

@@ -162,3 +162,113 @@ def test_sample_indices_iid_f64_cdf_path():
     samples = np.asarray(samples)
     assert samples.min() >= 0 and samples.max() < 1000
     assert nxt.counter_as_int() == -(-64 // 4)
+
+
+# -- round-3 code-review findings ---------------------------------------------
+
+def test_distributed_alpha_keeps_f64_precision():
+    """alpha must reach the shard body in the compute dtype: an f32
+    round-trip of 0.1 costs ~1.5e-8 relative error on every f64 output
+    element (code-review finding, round 3)."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    try:
+        from randblas_tpu import DenseDist, DenseSkOp, RNGState
+        mesh = make_sketch_mesh(2, 4)
+        S = DenseSkOp(DenseDist(8, 32), RNGState.from_key(3),
+                      dtype=jnp.float64)
+        A = jnp.asarray(np.random.default_rng(0).normal(size=(32, 6)))
+        got = np.asarray(distributed_sketch(S, A, mesh, alpha=0.1))
+        want = 0.1 * np.asarray(S.materialize(), np.float64) @ np.asarray(A)
+        # rtol far below f32(0.1)'s 1.5e-8 representation error
+        np.testing.assert_allclose(got, want, rtol=1e-13)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_hutchpp_matvec_budget():
+    """hutchpp must spend exactly its documented matvec budget: k (sketch)
+    + k (trace of the projected block) + k (residual) applications."""
+    from randblas_tpu.linalg import hutchpp
+    from randblas_tpu import RNGState
+    n, budget = 32, 12
+    a = jnp.asarray(np.random.default_rng(1).normal(size=(n, n)),
+                    jnp.float32)
+    a = a @ a.T
+    calls = []
+
+    def mv(x):
+        calls.append(x.shape[1])
+        return a @ x
+
+    est, _ = hutchpp(mv, n, budget, RNGState.from_key(2))
+    assert sum(calls) == 3 * (budget // 3), calls
+    np.testing.assert_allclose(float(est), float(jnp.trace(a)),
+                               rtol=0.5)
+
+
+def test_leverage_rejects_jl_dim_ge_n():
+    from randblas_tpu.linalg import leverage_scores
+    from randblas_tpu import RNGState
+    a = jnp.asarray(np.random.default_rng(0).normal(size=(60, 8)),
+                    jnp.float32)
+    with pytest.raises(ValueError, match="jl_dim"):
+        leverage_scores(a, RNGState.from_key(1), jl_dim=8)
+
+
+def test_coo_flat_scatter_limit_fallback():
+    """The 2-D scatter fallback (flat int32 index would overflow) must
+    produce the same product as the linearized path."""
+    from randblas_tpu.ops import coo_apply as ca
+    rng = np.random.default_rng(5)
+    d, m, nnz, n = 40, 50, 300, 7
+    rows = jnp.asarray(rng.integers(0, d, nnz), jnp.int32)
+    cols = jnp.asarray(rng.integers(0, m, nnz), jnp.int32)
+    vals = jnp.asarray(rng.normal(size=nnz), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(m, n)), jnp.float32)
+    want_dense = ca.coo_left_apply_dense(rows, cols, vals, b, d, m)
+    want_panel = ca.coo_left_apply_panels(rows, cols, vals, b, d, m,
+                                          panel=16)
+    old = ca._FLAT_SCATTER_LIMIT
+    ca._FLAT_SCATTER_LIMIT = 1   # force the 2-D branch everywhere
+    try:
+        got_dense = ca.coo_left_apply_dense(rows, cols, vals, b, d, m)
+        got_panel = ca.coo_left_apply_panels(rows, cols, vals, b, d, m,
+                                             panel=16)
+    finally:
+        ca._FLAT_SCATTER_LIMIT = old
+    np.testing.assert_allclose(np.asarray(got_dense), np.asarray(want_dense),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_panel), np.asarray(want_panel),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_fill_interp_flag_is_live():
+    """flags(use_pallas_fill='interp') must actually route through the
+    Pallas fill (interpret mode off-TPU); uniform streams are exact
+    float arithmetic, so the block must be bit-identical to the XLA
+    fill."""
+    import randblas_tpu as rb
+    from randblas_tpu.skge import _dense_block
+    from randblas_tpu.base import Op
+    from randblas_tpu.ops import fused_sketch as fs
+    S = rb.DenseSkOp(rb.DenseDist(16, 64, family=rb.DenseDistName.Uniform),
+                     rb.RNGState.from_key(9))
+    if not fs.pallas_fill_supported(S.dist, jnp.float32, S.seed_state.rng):
+        pytest.skip("pallas fill does not support this dist")
+    base = _dense_block(S, 16, 64, 0, 0, Op.NoTrans, jnp.float32)
+    calls = {}
+    orig = fs.pallas_fill_block
+
+    def spy(*a, **k):
+        calls["interpret"] = k.get("interpret")
+        return orig(*a, **k)
+
+    fs.pallas_fill_block = spy
+    try:
+        with rb.flags(use_pallas_fill="interp"):
+            blk = _dense_block(S, 16, 64, 0, 0, Op.NoTrans, jnp.float32)
+    finally:
+        fs.pallas_fill_block = orig
+    assert calls.get("interpret") is True
+    np.testing.assert_array_equal(np.asarray(blk), np.asarray(base))
