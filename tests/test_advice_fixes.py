@@ -171,19 +171,21 @@ def test_distributed_alpha_keeps_f64_precision():
     round-trip of 0.1 costs ~1.5e-8 relative error on every f64 output
     element (code-review finding, round 3)."""
     import jax
+    was_x64 = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", True)
     try:
         from randblas_tpu import DenseDist, DenseSkOp, RNGState
         mesh = make_sketch_mesh(2, 4)
         S = DenseSkOp(DenseDist(8, 32), RNGState.from_key(3),
                       dtype=jnp.float64)
-        A = jnp.asarray(np.random.default_rng(0).normal(size=(32, 6)))
+        A = jnp.asarray(np.random.default_rng(0).normal(size=(32, 6)),
+                        jnp.float64)
         got = np.asarray(distributed_sketch(S, A, mesh, alpha=0.1))
         want = 0.1 * np.asarray(S.materialize(), np.float64) @ np.asarray(A)
         # rtol far below f32(0.1)'s 1.5e-8 representation error
         np.testing.assert_allclose(got, want, rtol=1e-13)
     finally:
-        jax.config.update("jax_enable_x64", False)
+        jax.config.update("jax_enable_x64", was_x64)
 
 
 def test_hutchpp_matvec_budget():
