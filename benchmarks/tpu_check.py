@@ -30,7 +30,7 @@ def main():
                  "threefry, unaligned submatrix, fused ColMajor, "
                  "BlockedELL, word-plane fill bit-identity, word-major "
                  "BlockedELL fast path, fused-kernel jax.grad, f64 "
-                 "hiprec — componentwise bound)",
+                 "hiprec, SRHT apply+adjoint — componentwise bound)",
     }
     path = os.path.join(ROOT, f"TPUCHECK_r{rnd}.json")
     with open(path, "w") as f:

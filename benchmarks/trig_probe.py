@@ -26,6 +26,8 @@ from randblas_tpu.ops.hadamard import _balanced_factors, next_pow2
 def main():
     small = "--small" in sys.argv
     d, m, n = (256, 8192, 512) if small else (1024, 65536, 4096)
+    if "--d" in sys.argv:
+        d = int(sys.argv[sys.argv.index("--d") + 1])
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.normal(size=(m, n)), jnp.float32)
     mp = next_pow2(m)
@@ -58,6 +60,27 @@ def main():
 
         report(f"srht mf={mf:4d}", time_loop(body, a, iters_large=12),
                max_factor=mf)
+
+    # bf16 data: the transform is bandwidth-bound, so halving the block
+    # bytes should nearly halve the time (+-1 stage constants are exact
+    # in bf16; XLA accumulates the MXU dots in f32 either way)
+    a16 = a.astype(jnp.bfloat16)
+
+    def body16(i, carry, a16):
+        st = rb.RNGState.from_arrays(
+            jnp.zeros(4, jnp.uint32).at[0].set(
+                (carry * 1e-30).astype(jnp.uint32) + i.astype(jnp.uint32)),
+            jnp.zeros(2, jnp.uint32))
+        S = rb.TrigSkOp(trig_dist, st, dtype=jnp.bfloat16)
+        signs, idx = S._sample()
+        x = signs[:, None] * a16
+        if mp != m:
+            x = jnp.pad(x, ((0, mp - m), (0, 0)))
+        out = rb.hadamard_transform(x, max_factor=512)[idx, :]
+        return (jnp.sum(out.astype(jnp.float32)) * jnp.float32(1e-20))
+
+    report("srht bf16    ", time_loop(body16, a16, iters_large=12),
+           max_factor=512)
 
     dense_dist = rb.DenseDist(d, m)
 

@@ -69,6 +69,14 @@ def main():
     print(f"SASO-sketch TLS (vec_nnz=8): {t_sparse:.3f}s, "
           f"rel err {err_s:.4f}, speedup {t_classic / t_sparse:.1f}x")
 
+    # SRHT (no reference analog): O(mn log m) apply, independent of d
+    from randblas_tpu import TrigDist, TrigSkOp
+    St = TrigSkOp(TrigDist(d, m), RNGState.from_key(3))
+    x_t, t_trig = timed(sketched_tls, St, ab)
+    err_t = float(jnp.linalg.norm(x_t - x_true) / jnp.linalg.norm(x_true))
+    print(f"SRHT-sketch TLS (d={d}): {t_trig:.3f}s, "
+          f"rel err {err_t:.4f}, speedup {t_classic / t_trig:.1f}x")
+
 
 if __name__ == "__main__":
     main()

@@ -43,13 +43,27 @@ def _apply_t(a, x):
 
 
 def rangefinder(a, k: int, state: RNGState, power_iters: int = 2,
-                dtype=jnp.float32) -> jax.Array:
+                dtype=jnp.float32, operator: str = "gaussian") -> jax.Array:
     """Orthonormal Q (m x k) approximating range(A) via sketch + power
-    iteration with QR re-orthonormalization each pass."""
+    iteration with QR re-orthonormalization each pass.
+
+    ``operator`` picks the rangefinder's embedding family ('gaussian' |
+    'saso' | 'srht', dense data only for the latter two): the initial
+    sketch becomes A @ S^T with S a (k, n) operator, so 'srht' costs
+    O(mn log n) instead of the dense 2mnk — cheaper whenever
+    k > log2(n)/2, i.e. essentially always."""
     n_rows, n_cols = a.shape
     require(k <= min(n_rows, n_cols), "rank must be <= min dim")
-    S = DenseSkOp(DenseDist(n_cols, k), state, dtype=dtype)
-    y = _apply(a, S.materialize())          # (m, k)
+    if operator == "gaussian" or _is_sparse(a):
+        require(operator == "gaussian",
+                "sparse data supports only the 'gaussian' rangefinder "
+                "(materialized thin operator through the SpMM dispatcher)")
+        S = DenseSkOp(DenseDist(n_cols, k), state, dtype=dtype)
+        y = _apply(a, S.materialize())          # (m, k)
+    else:
+        from .lstsq import make_embedding
+        S = make_embedding(operator, k, n_cols, state, dtype=dtype)
+        y = sketch_general(S, a.astype(dtype), side="right", op_s="T")
     q, _ = jnp.linalg.qr(y)
     for _ in range(power_iters):
         z = _apply_t(a, q)
@@ -60,9 +74,10 @@ def rangefinder(a, k: int, state: RNGState, power_iters: int = 2,
 
 
 def qb_decompose(a, k: int, state: RNGState, power_iters: int = 2,
-                 dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+                 dtype=jnp.float32, operator: str = "gaussian"
+                 ) -> Tuple[jax.Array, jax.Array]:
     """A ~= Q @ B with Q (m x k) orthonormal, B = Q^T A (k x n)."""
-    q = rangefinder(a, k, state, power_iters, dtype)
+    q = rangefinder(a, k, state, power_iters, dtype, operator)
     b = _apply_t(a, q).T if _is_sparse(a) else jnp.matmul(
         q.T, a, preferred_element_type=dtype)
     return q, b

@@ -19,17 +19,21 @@ from .qb import qb_decompose, qb_to_svd
 
 
 def rsvd(a, rank: int, state: RNGState, oversample: int = 8,
-         power_iters: int = 2, dtype=jnp.float32
+         power_iters: int = 2, dtype=jnp.float32,
+         operator: str = "gaussian"
          ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Rank-``rank`` approximate SVD: returns (u, s, vt) with u (m, rank),
     s (rank,), vt (rank, n). ``oversample`` extra sketch columns and
     ``power_iters`` subspace iterations sharpen the tail (HMT 2011
-    recommends 5-10 and 1-2 respectively)."""
+    recommends 5-10 and 1-2 respectively). ``operator`` picks the
+    rangefinder embedding ('gaussian' | 'saso' | 'srht'; see
+    rangefinder)."""
     n_rows, n_cols = a.shape
     k = rank + oversample
     require(rank >= 1, "rank must be >= 1")
     require(k <= min(n_rows, n_cols),
             "rank + oversample must be <= min(A.shape)")
-    q, b = qb_decompose(a, k, state, power_iters=power_iters, dtype=dtype)
+    q, b = qb_decompose(a, k, state, power_iters=power_iters, dtype=dtype,
+                        operator=operator)
     u, s, vt = qb_to_svd(q, b)
     return u[:, :rank], s[:rank], vt[:rank, :]

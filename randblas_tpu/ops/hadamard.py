@@ -74,14 +74,24 @@ def hadamard_matrix(k: int, dtype=jnp.float32) -> jax.Array:
     return jnp.asarray(_hadamard_np(k), dtype=dtype)
 
 
-def hadamard_transform(x: jax.Array, max_factor: int = 128) -> jax.Array:
+def hadamard_transform(x: jax.Array, max_factor: int = 512,
+                       precision=None) -> jax.Array:
     """H_m @ x for x of shape (m, n), m a power of two. Unnormalized
     (H H^T = m I); divide by sqrt(m) for the orthonormal transform.
 
     ``max_factor`` caps the per-stage Kronecker factor (a power of two
     in [2, 4096]); every stage costs one HBM pass over the block plus
-    2*m*n*factor MXU flops, so larger caps help once the block exceeds
-    cache (measured on v5e: see benchmarks/trig_probe.py).
+    2*m*n*factor MXU flops, so the transform is bandwidth-bound and
+    larger caps win by cutting passes (v5e, m=65536 n=4096: cap 128 =
+    3 passes 6.1 ms; cap 512 = 2 passes 4.85 ms at ~885 GB/s — probe
+    table in benchmarks/trig_probe.py). 512 keeps the stage constants
+    MXU-tiled; raise it for m > 2^18 if HBM remains the bottleneck.
+
+    ``precision`` forwards to the stage contractions (None = backend
+    default: bf16-on-MXU effective f32, like every other f32 GEMM here;
+    'highest' = 3-pass bf16 for f32-accurate stages at 3x the MXU work
+    — the transform is bandwidth-bound, so this mainly matters for
+    tight numerical cross-checks, tests/test_tpu_hardware.py).
 
     Differentiable and jittable; the transform is its own transpose
     (H symmetric), so the VJP is another Hadamard transform for free.
@@ -98,5 +108,6 @@ def hadamard_transform(x: jax.Array, max_factor: int = 128) -> jax.Array:
     y = x.reshape(*factors, x.shape[1])
     for ax, f in enumerate(factors):
         h = hadamard_matrix(f, x.dtype)
-        y = jnp.moveaxis(jnp.tensordot(h, y, axes=([1], [ax])), 0, ax)
+        y = jnp.moveaxis(jnp.tensordot(h, y, axes=([1], [ax]),
+                                       precision=precision), 0, ax)
     return y.reshape(m, x.shape[1])

@@ -129,7 +129,7 @@ class TrigSkOp:
 
     # -- application ---------------------------------------------------------
 
-    def lmult(self, a: jax.Array) -> jax.Array:
+    def lmult(self, a: jax.Array, precision=None) -> jax.Array:
         """S @ a for a of shape (m, n): sign-flip, pad to m_pad, Hadamard,
         subsample d rows."""
         require(a.ndim == 2 and a.shape[0] == self.n_cols,
@@ -139,9 +139,9 @@ class TrigSkOp:
         m_pad = self.dist.padded_cols
         if m_pad != self.n_cols:
             x = jnp.pad(x, ((0, m_pad - self.n_cols), (0, 0)))
-        return hadamard_transform(x)[indices, :]
+        return hadamard_transform(x, precision=precision)[indices, :]
 
-    def lmult_t(self, b: jax.Array) -> jax.Array:
+    def lmult_t(self, b: jax.Array, precision=None) -> jax.Array:
         """S^T @ b for b of shape (d, n): the exact adjoint of lmult
         (H is symmetric): scatter rows, Hadamard, truncate, sign-flip."""
         require(b.ndim == 2 and b.shape[0] == self.n_rows,
@@ -150,7 +150,7 @@ class TrigSkOp:
         m_pad = self.dist.padded_cols
         y = jnp.zeros((m_pad, b.shape[1]), b.dtype)
         y = y.at[indices, :].add(b)
-        z = hadamard_transform(y)[:self.n_cols, :]
+        z = hadamard_transform(y, precision=precision)[:self.n_cols, :]
         return signs[:, None].astype(b.dtype) * z
 
     def materialize(self) -> jax.Array:

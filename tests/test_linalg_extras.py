@@ -124,7 +124,8 @@ def test_nystrom_jits():
 
 # ----------------------------------------------------------------- rsvd
 
-def test_rsvd_recovers_low_rank():
+@pytest.mark.parametrize("operator", ["gaussian", "saso", "srht"])
+def test_rsvd_recovers_low_rank(operator):
     rng = np.random.default_rng(11)
     m, n, r = 200, 90, 10
     u0, _ = np.linalg.qr(rng.normal(size=(m, r)))
@@ -133,10 +134,17 @@ def test_rsvd_recovers_low_rank():
     a = (u0 * s0) @ v0.T
     a = a.astype(np.float32)
     u, s, vt = rla.rsvd(jnp.asarray(a), r, rbt.default_state(12),
-                        oversample=6, power_iters=2)
+                        oversample=6, power_iters=2, operator=operator)
     np.testing.assert_allclose(np.asarray(s), s0, rtol=1e-3)
     approx = np.asarray(u) * np.asarray(s) @ np.asarray(vt)
     assert np.abs(approx - a).max() < 1e-3
+
+
+def test_rangefinder_rejects_non_gaussian_sparse():
+    from randblas_tpu.sparse_data.coo import COOMatrix
+    a = COOMatrix.from_dense(jnp.eye(20, dtype=jnp.float32))
+    with pytest.raises(ValueError, match="gaussian"):
+        rla.rangefinder(a, 4, rbt.default_state(1), operator="srht")
 
 
 def test_rsvd_sparse_data():

@@ -195,3 +195,47 @@ def test_f64_hiprec_on_hardware():
     want = a @ b
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 1e-14
+
+
+def test_srht_on_hardware():
+    """SRHT apply on the chip, two assertions per direction:
+
+    1. precision='highest' (3-pass bf16 = f32-accurate stages) must meet
+       the f32-eps componentwise bound — this validates the compiled
+       Kronecker staging, the zero-pad, and the sampled-row gather.
+    2. the default (production) precision runs each stage at bf16-on-MXU
+       effective precision with bf16-rounded INTERMEDIATES between
+       stages, so it only promises ~eps_bf16-level relative accuracy —
+       checked as a relative Frobenius bound against the f64 oracle
+       (catches gross bugs without over-claiming stage precision)."""
+    import jax.numpy as jnp
+    import randblas_tpu as rb
+    from oracle import assert_componentwise_close
+
+    d, m, n = 512, 6000, 256     # m non-pow2: exercises the zero-pad
+    S = rb.TrigSkOp(rb.TrigDist(d, m), rb.RNGState.from_key(3))
+    A = jnp.asarray(np.random.default_rng(0).normal(size=(m, n)),
+                    jnp.float32)
+    y = jnp.asarray(np.random.default_rng(1).normal(size=(d, 8)),
+                    jnp.float32)
+    s_dense = np.asarray(S.materialize()).astype(np.float64)
+
+    B_hi = np.asarray(jax.jit(
+        lambda a: S.lmult(a, precision="highest"))(A))
+    assert_componentwise_close(B_hi, s_dense, np.asarray(A),
+                               eps=float(np.finfo(np.float32).eps))
+    Bt_hi = np.asarray(jax.jit(
+        lambda y: S.lmult_t(y, precision="highest"))(y))
+    assert_componentwise_close(Bt_hi, s_dense.T, np.asarray(y),
+                               eps=float(np.finfo(np.float32).eps))
+
+    for got, want in [
+        (np.asarray(jax.jit(lambda a: rb.sketch(S, a))(A)),
+         s_dense @ np.asarray(A, np.float64)),
+        (np.asarray(jax.jit(lambda y: rb.sketch_general(
+            S, y, op_s="T"))(y)),
+         s_dense.T @ np.asarray(y, np.float64)),
+    ]:
+        rel = (np.linalg.norm(got - want)
+               / max(np.linalg.norm(want), 1e-30))
+        assert rel < 3e-2, rel

@@ -235,3 +235,47 @@ class TestStatistical:
                            compute_uv=False)
         # delta ~ sqrt(n log(n) / d) + ... ~ 0.4 at these sizes; use 0.5
         assert sv.max() < 1.5 and sv.min() > 0.5
+
+
+class TestComposition:
+    """TrigSkOp composes with the wrapper entry points and transforms
+    out of the box (pure-XLA apply) — pinned here so it stays true."""
+
+    def test_sketch_vector(self):
+        from randblas_tpu import sketch_vector
+        S = srht_operator(8, 60, key=2)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(60,)),
+                        jnp.float32)
+        y = sketch_vector(S, x)
+        want = np.asarray(S.materialize()) @ np.asarray(x)
+        np.testing.assert_allclose(np.asarray(y).ravel(), want,
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_sketch_symmetric(self):
+        from randblas_tpu import sketch_symmetric
+        S = srht_operator(8, 60, key=2)
+        a = np.random.default_rng(1).normal(size=(60, 60)).astype(
+            np.float32)
+        a = (a + a.T) / 2
+        y = sketch_symmetric(S, jnp.asarray(a))
+        np.testing.assert_allclose(np.asarray(y),
+                                   np.asarray(S.materialize()) @ a,
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_vmap_over_seeds_matches_serial(self):
+        """Ensemble sketching: vmapping the seed state through sampling
+        and apply is bitwise equal to the serial per-seed results (the
+        trig analog of test_vmap_ensemble)."""
+        from randblas_tpu import RNGState
+
+        def one(key_ctr):
+            st = RNGState.from_arrays(key_ctr[:4], key_ctr[4:6])
+            T = TrigSkOp(TrigDist(8, 60), st)
+            return T.lmult(jnp.ones((60, 3), jnp.float32))
+
+        ctrs = jnp.zeros((4, 6), jnp.uint32).at[:, 4].set(
+            jnp.arange(4, dtype=jnp.uint32))
+        outs = jax.vmap(one)(ctrs)
+        for i in range(4):
+            np.testing.assert_array_equal(np.asarray(outs[i]),
+                                          np.asarray(one(ctrs[i])))
