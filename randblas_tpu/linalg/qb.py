@@ -29,17 +29,23 @@ def _is_sparse(a) -> bool:
 
 
 def _apply(a, x):
-    """a @ x for dense or sparse a."""
+    """a @ x for dense or sparse a. Dense f64 products route through the
+    int8-sliced MXU GEMM on TPU (skge._matmul / use_hiprec_f64 policy) —
+    XLA's emulated f64 matmul is orders of magnitude off the MXU, and
+    the iterative consumers here (CGLS, power iteration) are exactly the
+    f64-on-TPU workloads."""
     if _is_sparse(a):
         return left_spmm(a, x)
-    return jnp.matmul(a, x, preferred_element_type=x.dtype)
+    from ..skge import _matmul
+    return _matmul(a, x, x.dtype)
 
 
 def _apply_t(a, x):
-    """a.T @ x for dense or sparse a."""
+    """a.T @ x for dense or sparse a (same f64 routing as _apply)."""
     if _is_sparse(a):
         return left_spmm(a, x, op_a="T")
-    return jnp.matmul(a.T, x, preferred_element_type=x.dtype)
+    from ..skge import _matmul
+    return _matmul(a.T, x, x.dtype)
 
 
 def rangefinder(a, k: int, state: RNGState, power_iters: int = 2,

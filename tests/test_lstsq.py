@@ -165,3 +165,21 @@ class TestSparseData:
         with pytest.raises(ValueError):
             sketch_and_solve_lsq(coo, b, 120, RNGState.from_key(5),
                                  operator="srht")
+
+
+def test_f64_matvecs_route_through_hiprec():
+    """qb._apply (the CGLS/power-iteration matvec) must honor the
+    use_hiprec_f64 policy: forced True routes dense f64 products through
+    the int8-sliced GEMM, matching the plain f64 product to its
+    documented accuracy."""
+    import randblas_tpu as rb
+    from randblas_tpu.linalg.qb import _apply, _apply_t
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(64, 32)), jnp.float64)
+    x = jnp.asarray(rng.normal(size=(32, 3)), jnp.float64)
+    want = np.asarray(a, np.float64) @ np.asarray(x, np.float64)
+    with rb.flags(use_hiprec_f64=True):
+        got = np.asarray(_apply(a, x))
+        got_t = np.asarray(_apply_t(a.T, x))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    np.testing.assert_allclose(got_t, want, rtol=1e-12)
