@@ -2,8 +2,8 @@
 examples/ tier, as a library)."""
 
 from .leverage import exact_leverage_scores, leverage_scores
-from .lstsq import (cgls, make_embedding, sketch_and_precondition,
-                    sketch_and_solve_lsq)
+from .embed import make_embedding
+from .lstsq import cgls, sketch_and_precondition, sketch_and_solve_lsq
 from .nystrom import nystrom, nystrom_apply
 from .qb import qb_decompose, qb_to_svd, rangefinder
 from .rsvd import rsvd

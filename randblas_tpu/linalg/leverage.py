@@ -59,7 +59,7 @@ def leverage_scores(a: jax.Array, state: RNGState, embed_factor: int = 4,
     require(d >= n, "embedding dimension must be >= n")
 
     a = a.astype(dtype)
-    from .lstsq import make_embedding
+    from .embed import make_embedding
     S = make_embedding(operator, d, m, state, vec_nnz=8, dtype=dtype)
     dist = S.dist
     # isometry scaling matters here: scores = row norms of A R^{-1}

@@ -29,11 +29,11 @@ import jax
 import jax.numpy as jnp
 
 from ..base import require
-from ..dense import DenseDist, DenseSkOp
 from ..rng.state import RNGState
 from ..skge import sketch_general
 from ..sksp import sketch_sparse
-from ..sparse import SparseDist, SparseSkOp
+from ..sparse import SparseSkOp
+from .embed import make_embedding
 from .qb import _apply, _apply_t, _is_sparse
 
 
@@ -96,52 +96,38 @@ def cgls(matvec: Callable, rmatvec: Callable, b: jax.Array, n: int, *,
     return (x[:, 0] if vec else x), k, gamma
 
 
-def make_embedding(operator: str, d: int, m: int, state: RNGState, *,
-                   vec_nnz: int = 8, dtype=jnp.float32):
-    """A (d, m) sketching operator of the requested family:
-    'saso' (sparse sign, cheap and general), 'gaussian' (dense), or
-    'srht' (subsampled randomized Hadamard — O(mn log m) apply
-    independent of d; dense data only)."""
-    if operator == "saso":
-        return SparseSkOp(SparseDist(d, m, vec_nnz=min(vec_nnz, d)), state)
-    if operator == "gaussian":
-        return DenseSkOp(DenseDist(d, m), state, dtype=dtype)
-    if operator == "srht":
-        from ..trig import TrigDist, TrigSkOp
-        return TrigSkOp(TrigDist(d, m), state, dtype=dtype)
-    require(False, f"unknown embedding family {operator!r}; "
-                   "expected 'saso', 'gaussian', or 'srht'")
-
-
 def _sketch_pair(a, b, d: int, state: RNGState, operator: str,
-                 vec_nnz: int, dtype) -> Tuple[jax.Array, jax.Array,
-                                               RNGState]:
-    """(S A, S b, next_state) with one shared operator for A and b."""
+                 vec_nnz: int, dtype):
+    """(S A, S b, next_state) with one shared operator for A and b.
+    b=None skips the right-hand-side sketch (returns sb=None) — the
+    cold-start preconditioner only needs R from qr(S A)."""
     m = a.shape[0]
     if dtype is None and operator != "saso":
-        dtype = b.dtype if _is_sparse(a) else a.dtype
+        dtype = a.dtype if not _is_sparse(a) else (
+            b.dtype if b is not None else jnp.float32)
     S = make_embedding(operator, d, m, state, vec_nnz=vec_nnz,
                        dtype=dtype or jnp.float32)
-    bb = b[:, None] if b.ndim == 1 else b
+    bb = None if b is None else (b[:, None] if b.ndim == 1 else b)
     if _is_sparse(a):
         if operator == "saso":
             # sparse operator x sparse data has no library core (neither
             # does the reference); d x m is small — densify the OPERATOR
             # and ride the sparse-data SpMM: S @ A = (A^T @ S^T)^T.
-            st = S.materialize().astype(bb.dtype)            # (d, m)
+            st = S.materialize().astype(a.vals.dtype if bb is None
+                                        else bb.dtype)       # (d, m)
             sa = _apply_t(a, st.T).T                         # (d, n)
-            sb = st @ bb
+            sb = None if bb is None else st @ bb
         elif operator == "srht":
             require(False, "the SRHT embedding needs dense data "
                            "(the Hadamard transform has no sparse apply); "
                            "use 'saso' or 'gaussian' for sparse a")
         else:
             sa = sketch_sparse(S, a)
-            sb = sketch_general(S, bb)
+            sb = None if bb is None else sketch_general(S, bb)
     else:
         sa = sketch_general(S, a.astype(dtype) if dtype is not None else a)
-        sb = sketch_general(S, bb.astype(sa.dtype))
-    return sa, sb.astype(sa.dtype), S.next_state
+        sb = None if bb is None else sketch_general(S, bb.astype(sa.dtype))
+    return sa, None if sb is None else sb.astype(sa.dtype), S.next_state
 
 
 def sketch_and_solve_lsq(a, b, d: int, state: RNGState, *,
@@ -187,14 +173,22 @@ def sketch_and_precondition(a, b, state: RNGState, *, d: Optional[int] = None,
     d = min(d, m)
     require(d >= n, "sketch size d must be >= n")
 
-    sa, sb, nxt = _sketch_pair(a, b, d, state, operator, vec_nnz, dtype)
-    q, r = jnp.linalg.qr(sa)
+    if warm_start:
+        sa, sb, nxt = _sketch_pair(a, b, d, state, operator, vec_nnz,
+                                   dtype)
+        q, r = jnp.linalg.qr(sa)
+        y0 = q.T @ sb                         # R x_sketched, in y variables
+    else:
+        # cold start needs only R: skip the b sketch and the Q factor
+        sa, _, nxt = _sketch_pair(a, None, d, state, operator, vec_nnz,
+                                  dtype)
+        r = jnp.linalg.qr(sa, mode="r")
+        y0 = None
     solve_r = lambda v: jax.scipy.linalg.solve_triangular(r, v, lower=False)
     solve_rt = lambda v: jax.scipy.linalg.solve_triangular(
         r.T, v, lower=True)
 
     bb = b if b.ndim > 1 else b[:, None]
-    y0 = (q.T @ sb) if warm_start else None   # R x_sketched, in y variables
     y, iters, _ = cgls(
         lambda y: _apply(a, solve_r(y)),
         lambda rr: solve_rt(_apply_t(a, rr)),

@@ -67,7 +67,7 @@ def rangefinder(a, k: int, state: RNGState, power_iters: int = 2,
         S = DenseSkOp(DenseDist(n_cols, k), state, dtype=dtype)
         y = _apply(a, S.materialize())          # (m, k)
     else:
-        from .lstsq import make_embedding
+        from .embed import make_embedding
         S = make_embedding(operator, k, n_cols, state, dtype=dtype)
         y = sketch_general(S, a.astype(dtype), side="right", op_s="T")
     q, _ = jnp.linalg.qr(y)

@@ -104,10 +104,25 @@ def hadamard_transform(x: jax.Array, max_factor: int = 512,
                         "(pad rows with zeros; see trig.py)")
     if m == 1:
         return x
+    hiprec = False
+    if jnp.dtype(x.dtype) == jnp.float64:
+        # f64 stage contractions ride the int8-sliced MXU GEMM under the
+        # same policy as every other dense f64 product (skge._matmul);
+        # XLA's emulated f64 tensordot is orders of magnitude off the
+        # MXU. Deferred import: skge imports trig imports this module.
+        from ..skge import _hiprec_route
+        hiprec = _hiprec_route(x.dtype)
     factors = _balanced_factors(m, max_factor)
     y = x.reshape(*factors, x.shape[1])
     for ax, f in enumerate(factors):
         h = hadamard_matrix(f, x.dtype)
-        y = jnp.moveaxis(jnp.tensordot(h, y, axes=([1], [ax]),
-                                       precision=precision), 0, ax)
+        if hiprec:
+            from .f64gemm import matmul_hiprec
+            y0 = jnp.moveaxis(y, ax, 0)
+            rest = y0.shape[1:]
+            z = matmul_hiprec(h, y0.reshape(f, -1))
+            y = jnp.moveaxis(z.reshape((f,) + rest), 0, ax)
+        else:
+            y = jnp.moveaxis(jnp.tensordot(h, y, axes=([1], [ax]),
+                                           precision=precision), 0, ax)
     return y.reshape(m, x.shape[1])

@@ -477,6 +477,10 @@ def distributed_sketch_cols(
     family there).
     """
     if isinstance(S, TrigSkOp):
+        require(use_fused is not True,
+                "SRHT has no fused RNG-in-GEMM kernel (the transform IS "
+                "the apply); use_fused=True cannot be honored for a "
+                "TrigSkOp")
         return _distributed_sketch_cols_trig(S, A, mesh, alpha)
     require(isinstance(S, DenseSkOp), "takes a DenseSkOp or TrigSkOp")
     from ..base import Layout

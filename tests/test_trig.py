@@ -279,3 +279,30 @@ class TestComposition:
         for i in range(4):
             np.testing.assert_array_equal(np.asarray(outs[i]),
                                           np.asarray(one(ctrs[i])))
+
+
+class TestF64AndContracts:
+    def test_f64_transform_hiprec_route(self):
+        """Forced use_hiprec_f64 must route f64 Hadamard stages through
+        the int8-sliced GEMM, matching plain f64 tensordot tightly."""
+        import randblas_tpu as rb
+        x64 = jax.config.jax_enable_x64
+        jax.config.update("jax_enable_x64", True)
+        try:
+            x = jnp.asarray(np.random.default_rng(0).normal(size=(256, 5)),
+                            jnp.float64)
+            want = np.asarray(hadamard_transform(x))
+            with rb.flags(use_hiprec_f64=True):
+                got = np.asarray(hadamard_transform(x))
+            np.testing.assert_allclose(got, want, rtol=1e-12)
+        finally:
+            jax.config.update("jax_enable_x64", x64)
+
+    def test_distributed_cols_rejects_forced_fused(self):
+        from randblas_tpu.parallel import make_sketch_mesh
+        from randblas_tpu.parallel.distributed import distributed_sketch_cols
+        S = srht_operator(8, 64, key=1)
+        A = jnp.zeros((64, 16), jnp.float32)
+        mesh = make_sketch_mesh(2, 4)
+        with pytest.raises(ValueError, match="fused"):
+            distributed_sketch_cols(S, A, mesh, use_fused=True)
