@@ -47,22 +47,12 @@ def load_matrix(path=None):
 
 
 def sketch_qrcp(a: COOMatrix, k: int, power_iters: int = 2):
-    """Y = (A A^T)^p A S_k; QRCP on Y^T A to pick columns (the reference's
-    power-iteration + pivoted-QR pipeline, with jnp orthogonalization
-    replacing LAPACK geqrf/ungqr)."""
-    m, n = a.shape
-    S = DenseSkOp(DenseDist(n, k), RNGState.from_key(7))
-    y = left_spmm(a, S.materialize())           # (m, k)
-    q, _ = jnp.linalg.qr(y)
-    for _ in range(power_iters):
-        z = left_spmm(a, q, op_a="T")           # (n, k)
-        w, _ = jnp.linalg.qr(z)
-        y = left_spmm(a, w)
-        q, _ = jnp.linalg.qr(y)
-    b = np.asarray(left_spmm(a, q, op_a="T")).T     # (k, n) = Q^T A
-    # column-pivoted QR on the small factor (host scipy; k x n)
-    _, _, piv = scipy.linalg.qr(b, pivoting=True, mode="economic")
-    return np.asarray(q), b, piv
+    """The reference's power-iteration + pivoted-QR pipeline, now a
+    library call: randblas_tpu.linalg.sketch_qrcp."""
+    from randblas_tpu.linalg import sketch_qrcp as lib_sketch_qrcp
+    q, b, piv = lib_sketch_qrcp(a, k, RNGState.from_key(7),
+                                power_iters=power_iters)
+    return np.asarray(q), np.asarray(b), piv
 
 
 def main():

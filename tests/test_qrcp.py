@@ -1,0 +1,97 @@
+"""Tests for linalg/qrcp.py: sketched QRCP, column ID, CUR.
+
+Model: the reference's qrcp_matrixmarket.cc pipeline asserted on planted
+low-rank matrices (exactness at the true rank, pivot quality above it).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import randblas_tpu as rbt
+from randblas_tpu.linalg import column_id, cur, sketch_qrcp
+from randblas_tpu.sparse_data.coo import COOMatrix
+
+
+def _low_rank(m=300, n=120, r=8, noise=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    u, _ = np.linalg.qr(rng.normal(size=(m, r)))
+    v, _ = np.linalg.qr(rng.normal(size=(n, r)))
+    s = np.linspace(8.0, 1.0, r)
+    a = (u * s) @ v.T
+    if noise:
+        a = a + noise * rng.normal(size=(m, n))
+    return jnp.asarray(a, jnp.float32)
+
+
+class TestSketchQRCP:
+    def test_q_b_reconstruct(self):
+        a = _low_rank(r=8)
+        q, b, piv = sketch_qrcp(a, 8, rbt.default_state(1))
+        # A has exact rank 8: Q B must reconstruct it
+        np.testing.assert_allclose(np.asarray(q @ b), np.asarray(a),
+                                   atol=1e-4)
+        assert piv.shape == (a.shape[1],)
+        assert len(set(piv.tolist())) == a.shape[1]
+
+    def test_pivots_find_planted_columns(self):
+        # plant 4 dominant columns; the leading pivots must find them
+        rng = np.random.default_rng(3)
+        a = 0.01 * rng.normal(size=(200, 60)).astype(np.float32)
+        planted = [5, 17, 33, 51]
+        basis = np.linalg.qr(rng.normal(size=(200, 4)))[0]
+        for t, c in enumerate(planted):
+            a[:, c] += 30.0 * basis[:, t]
+        _, _, piv = sketch_qrcp(jnp.asarray(a), 4, rbt.default_state(2))
+        assert set(piv[:4].tolist()) == set(planted)
+
+    def test_sparse_data(self):
+        a = _low_rank(r=5)
+        coo = COOMatrix.from_dense(a)
+        q, b, piv = sketch_qrcp(coo, 5, rbt.default_state(4))
+        np.testing.assert_allclose(np.asarray(q @ b), np.asarray(a),
+                                   atol=1e-4)
+
+    def test_reproducible(self):
+        a = _low_rank()
+        _, _, p1 = sketch_qrcp(a, 8, rbt.default_state(7))
+        _, _, p2 = sketch_qrcp(a, 8, rbt.default_state(7))
+        np.testing.assert_array_equal(p1, p2)
+
+
+class TestColumnID:
+    def test_exact_at_true_rank(self):
+        a = _low_rank(r=6)
+        j, z = column_id(a, 6, rbt.default_state(5))
+        approx = np.asarray(a)[:, j] @ np.asarray(z)
+        np.testing.assert_allclose(approx, np.asarray(a), atol=2e-4)
+        # interpolation property: Z restricted to J is the identity
+        np.testing.assert_allclose(np.asarray(z)[:, j], np.eye(6),
+                                   atol=1e-4)
+
+    def test_near_low_rank(self):
+        a = _low_rank(r=6, noise=1e-3)
+        j, z = column_id(a, 6, rbt.default_state(6))
+        approx = np.asarray(a)[:, j] @ np.asarray(z)
+        rel = (np.linalg.norm(approx - np.asarray(a))
+               / np.linalg.norm(np.asarray(a)))
+        assert rel < 0.05
+
+
+class TestCUR:
+    @pytest.mark.parametrize("sparse", [False, True])
+    def test_exact_at_true_rank(self, sparse):
+        a = _low_rank(r=5)
+        data = COOMatrix.from_dense(a) if sparse else a
+        i, j, u = cur(data, 5, rbt.default_state(8))
+        an = np.asarray(a)
+        approx = an[:, j] @ np.asarray(u) @ an[i, :]
+        np.testing.assert_allclose(approx, an, atol=5e-4)
+
+    def test_skeleton_indices_in_range(self):
+        a = _low_rank(r=4, noise=1e-3)
+        i, j, u = cur(a, 4, rbt.default_state(9))
+        assert i.min() >= 0 and i.max() < a.shape[0]
+        assert j.min() >= 0 and j.max() < a.shape[1]
+        assert u.shape == (4, 4)
+        assert len(set(i.tolist())) == 4 and len(set(j.tolist())) == 4
