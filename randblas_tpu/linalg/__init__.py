@@ -2,18 +2,23 @@
 examples/ tier, as a library)."""
 
 from .leverage import exact_leverage_scores, leverage_scores
+from .distributed import (cholqr, distributed_qb, distributed_rangefinder,
+                          distributed_rsvd)
 from .embed import make_embedding
 from .lstsq import cgls, sketch_and_precondition, sketch_and_solve_lsq
-from .nystrom import nystrom, nystrom_apply
+from .nystrom import nystrom, nystrom_apply, nystrom_pcg
 from .qb import qb_decompose, qb_to_svd, rangefinder
 from .qrcp import column_id, cur, sketch_qrcp
 from .rsvd import rsvd
 from .tls import sketched_tls, tls_via_svd
 from .trace import exact_trace, hutchinson, hutchpp, rademacher_probes
 
-__all__ = ["cgls", "column_id", "cur", "exact_leverage_scores",
+__all__ = ["cgls", "cholqr", "column_id", "cur", "distributed_qb",
+           "distributed_rangefinder", "distributed_rsvd",
+           "exact_leverage_scores",
            "exact_trace", "hutchinson", "make_embedding", "sketch_qrcp",
            "hutchpp", "leverage_scores", "nystrom", "nystrom_apply",
+           "nystrom_pcg",
            "qb_decompose", "qb_to_svd", "rademacher_probes",
            "rangefinder", "rsvd", "sketch_and_precondition",
            "sketch_and_solve_lsq", "sketched_tls", "tls_via_svd"]

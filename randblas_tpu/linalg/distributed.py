@@ -1,0 +1,156 @@
+"""Distributed randomized linear algebra over a device mesh.
+
+Composes the sketching layer with mesh sharding so the WHOLE pipeline —
+sketch, orthonormalize, power-iterate, compress — runs with the data
+matrix's long axis sharded over devices and never gathered. The
+reference has no distributed tier at all (SURVEY.md §2.3); its closest
+artifact is the handrolled CholQR used by its test infrastructure
+(/root/reference/test/handrolled_lapack.hh:39-307, chol_qr /
+potrf_upper), which is exactly the tall-skinny QR that distributes: the
+only collective a CholQR needs is the k x k Gram reduction.
+
+Design (idiomatic JAX, no shard_map needed): the data matrix A (m, n)
+lives row-sharded P('data', None) on the mesh; every algorithm step is
+a matmul whose sharding XLA propagates —
+
+  * Y = A @ Sm         row-sharded, zero communication (Sm replicated,
+                        n x k is tiny next to the m-sharded A)
+  * G = Y^T Y          k x k psum over 'data' (the ONE collective of a
+                        CholQR pass)
+  * Q = Y C^{-T}       row-sharded, local triangular solve per shard
+  * Z = A^T Q          n x k all-reduce over 'data'
+  * B = Q^T A          k x n all-reduce over 'data'
+
+Q and any m-sized factor stay sharded end to end; everything replicated
+is k- or n-sized. Works on any ('model','data') mesh from
+parallel.make_sketch_mesh (the 'model' axis is simply unused by these
+row-sharded algorithms — compose with distributed_sketch for d-sharded
+sketches).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..base import require
+from ..dense import DenseDist, DenseSkOp
+from ..rng.state import RNGState
+
+
+def cholqr(y: jax.Array, *, iters: int = 2, shift: float = 0.0
+           ) -> Tuple[jax.Array, jax.Array]:
+    """Tall-skinny QR by (iterated) Cholesky QR: ``y = q @ r``.
+
+    CholQR2 (``iters=2``, the default) restores orthogonality to machine
+    precision for cond(y) up to ~1/sqrt(eps); a single pass loses
+    cond(y)^2 digits. The reference's test infrastructure hand-rolls the
+    same factorization (handrolled_lapack.hh chol_qr); here it is the
+    production tall-skinny QR because it is the one that distributes: on
+    a row-sharded ``y`` the Gram product is the only collective (a k x k
+    psum) and everything else is shard-local.
+
+    ``shift`` > 0 adds ``shift * mean(diag(G)) * I`` to the Gram matrix
+    before each factorization (shifted CholeskyQR, Fukaya et al. 2020)
+    — use ~1e-6 when y may be numerically rank-deficient; the follow-up
+    pass removes the shift's effect on orthogonality.
+    """
+    require(y.ndim == 2, "cholqr takes a 2-D array")
+    require(iters >= 1, "iters must be >= 1")
+    k = y.shape[1]
+    dtype = y.dtype
+    r = None
+    for _ in range(iters):
+        g = jnp.matmul(y.T, y, preferred_element_type=dtype)
+        g = 0.5 * (g + g.T)
+        if shift:
+            mu = shift * (jnp.trace(g) / k)
+            g = g + mu * jnp.eye(k, dtype=dtype)
+        c = jnp.linalg.cholesky(g)                       # lower, G = C C^T
+        # y <- y C^{-T}: solve C x = y^T from the left, transpose back
+        y = jax.scipy.linalg.solve_triangular(c, y.T, lower=True).T
+        r = c.T if r is None else jnp.matmul(c.T, r)
+    return y, r
+
+
+def _materialized_probe(n: int, k: int, state: RNGState, dtype
+                        ) -> Tuple[jax.Array, RNGState]:
+    """Replicated (n, k) Gaussian probe S^T for the initial range sketch.
+
+    n and k are the SHORT dimensions of the problem (the long, sharded
+    axis is m), so materializing the probe costs n*k <<< the m-sharded
+    data — the distributed tier's implicit-operator machinery
+    (parallel.distributed) is for operators whose own axes are sharded.
+    """
+    S = DenseSkOp(DenseDist(n, k), state, dtype=dtype)
+    return S.materialize(), S.next_state
+
+
+def distributed_rangefinder(a: jax.Array, k: int, state: RNGState,
+                            mesh: Mesh, *, power_iters: int = 2,
+                            dtype=jnp.float32, cholqr_iters: int = 2,
+                            gram_shift: float = 0.0) -> jax.Array:
+    """Orthonormal Q (m, k) approximating range(A), with A and Q
+    row-sharded P('data', None) over ``mesh`` throughout.
+
+    The distributed counterpart of linalg.rangefinder: same sketch +
+    power iteration, but every orthonormalization is a CholQR (Gram
+    psum + local solve) instead of a gathered Householder QR, so the
+    m-sized iterate never leaves its shards. ``gram_shift`` forwards to
+    cholqr for numerically rank-deficient sketches.
+    """
+    m, n = a.shape
+    require(k <= min(m, n), "rank must be <= min dim")
+    sm, _ = _materialized_probe(n, k, state, dtype)
+
+    a = jax.lax.with_sharding_constraint(
+        a, NamedSharding(mesh, P("data", None)))
+
+    def qfix(y):
+        q, _ = cholqr(y, iters=cholqr_iters, shift=gram_shift)
+        return jax.lax.with_sharding_constraint(
+            q, NamedSharding(mesh, P("data", None)))
+
+    y = jnp.matmul(a.astype(dtype), sm, preferred_element_type=dtype)
+    q = qfix(y)
+    for _ in range(power_iters):
+        z = jnp.matmul(a.T.astype(dtype), q,
+                       preferred_element_type=dtype)     # psum over 'data'
+        w, _ = cholqr(z, iters=cholqr_iters, shift=gram_shift)
+        y = jnp.matmul(a.astype(dtype), w, preferred_element_type=dtype)
+        q = qfix(y)
+    return q
+
+
+def distributed_qb(a: jax.Array, k: int, state: RNGState, mesh: Mesh, *,
+                   power_iters: int = 2, dtype=jnp.float32,
+                   gram_shift: float = 0.0
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """A ~= Q @ B with Q (m, k) row-sharded and B = Q^T A (k, n)
+    replicated (the k x n factor is small by construction)."""
+    q = distributed_rangefinder(a, k, state, mesh,
+                                power_iters=power_iters, dtype=dtype,
+                                gram_shift=gram_shift)
+    b = jnp.matmul(q.T, a.astype(dtype), preferred_element_type=dtype)
+    return q, b
+
+
+def distributed_rsvd(a: jax.Array, k: int, state: RNGState, mesh: Mesh, *,
+                     power_iters: int = 2, dtype=jnp.float32,
+                     gram_shift: float = 0.0
+                     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Rank-k randomized SVD with the long axis sharded end to end.
+
+    Returns ``(u, s, vt)``: ``u`` (m, k) row-sharded over 'data',
+    ``s`` (k,) and ``vt`` (k, n) replicated. The dense SVD runs on the
+    k x n factor only (qb_to_svd's shape, svd_rank1_plus_noise.cc:264-300);
+    the single m-sized product U = Q @ Ub is shard-local.
+    """
+    q, b = distributed_qb(a, k, state, mesh, power_iters=power_iters,
+                          dtype=dtype, gram_shift=gram_shift)
+    ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    u = jnp.matmul(q, ub, preferred_element_type=q.dtype)
+    return u, s, vt

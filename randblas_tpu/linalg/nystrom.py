@@ -28,21 +28,28 @@ from ..skge import sketch_general
 from .qb import _apply, _is_sparse
 
 
-def nystrom(a, d: int, state: RNGState, dtype=jnp.float32
-            ) -> Tuple[jax.Array, jax.Array, RNGState]:
+def nystrom(a, d: int, state: RNGState, dtype=jnp.float32, *,
+            n: int = None) -> Tuple[jax.Array, jax.Array, RNGState]:
     """Rank-d Nyström approximation of PSD ``a`` (n x n).
 
-    Returns ``(u, lam, next_state)`` with ``u`` (n, d) orthonormal and
+    ``a`` may also be a callable ``a(X) -> A @ X`` (pass ``n``
+    explicitly) — the sketch is the only access to A. Returns
+    ``(u, lam, next_state)`` with ``u`` (n, d) orthonormal and
     ``lam`` (d,) nonnegative, so that A ~= u @ diag(lam) @ u.T. For A of
     exact rank r <= d the approximation is exact up to the stabilizing
     shift (~ eps * ||Y||_F).
     """
-    n = a.shape[0]
-    require(a.shape[0] == a.shape[1], "nystrom needs a square PSD A")
+    if callable(a):
+        require(n is not None, "callable a needs an explicit n")
+    else:
+        n = a.shape[0]
+        require(a.shape[0] == a.shape[1], "nystrom needs a square PSD A")
     require(1 <= d <= n, "sketch size d must be in [1, n]")
 
     S = DenseSkOp(DenseDist(n, d), state, dtype=dtype)
-    if _is_sparse(a):
+    if callable(a):
+        y = a(S.materialize())
+    elif _is_sparse(a):
         y = _apply(a, S.materialize())
     else:
         y = sketch_general(S, a.astype(dtype), side="right", op_s="N")
@@ -66,3 +73,77 @@ def nystrom(a, d: int, state: RNGState, dtype=jnp.float32
 def nystrom_apply(u: jax.Array, lam: jax.Array, x: jax.Array) -> jax.Array:
     """(u diag(lam) u^T) @ x — apply the Nyström approximation."""
     return u @ (lam[:, None] * (u.T @ x))
+
+
+def nystrom_pcg(a, b, state: RNGState, *, d: int, mu: float = 0.0,
+                tol: float = None, maxiter: int = 500, dtype=None
+                ) -> Tuple[jax.Array, jax.Array, RNGState]:
+    """Solve the regularized PSD system ``(A + mu*I) x = b`` by CG with a
+    randomized Nyström preconditioner (Frangella–Tropp–Udell 2021).
+
+    The rank-``d`` Nyström sketch U diag(lam) U^T captures A's dominant
+    eigenspace; the preconditioner
+
+        P^{-1} v = U diag((lam_d + mu)/(lam + mu)) U^T v + (v - U U^T v)
+
+    (``lam_d`` the smallest retained eigenvalue) compresses the spectrum
+    of P^{-1}(A + mu I) to O(1) condition number once d exceeds A's
+    effective dimension at level mu, so CG converges in a spectrum-
+    independent number of iterations — the SPD counterpart of
+    sketch_and_precondition. One sketch pass (d matvecs through A, rides
+    the fused/SpMM dispatch) buys the whole preconditioner; each CG step
+    is one A-matvec plus two skinny (n, d) products.
+
+    ``a`` is a dense array, sparse container (COO/CSR/CSC), or a callable
+    ``a(X) -> A @ X``; ``b`` is (n,) or (n, k) (block RHS, per-column
+    steps like cgls). Returns ``(x, iterations, next_state)``.
+    """
+    vec = b.ndim == 1
+    bb = b[:, None] if vec else b
+    n = bb.shape[0]
+    require(1 <= d <= n, "sketch size d must be in [1, n]")
+    matvec = a if callable(a) else (lambda x: _apply(a, x))
+    u, lam, nxt = nystrom(a, d, state,
+                          dtype or bb.dtype, n=n)
+    lam = lam.astype(bb.dtype)
+    u = u.astype(bb.dtype)
+    lam_d = lam[-1]
+
+    def pinv(v):
+        w = u.T @ v                                   # (d, k)
+        scale = ((lam_d + mu) / (lam + mu))[:, None]
+        return u @ (scale * w) + (v - u @ w)
+
+    op = (lambda x: matvec(x) + mu * x) if mu else matvec
+    if tol is None:
+        tol = 100.0 * float(jnp.finfo(bb.dtype).eps)
+
+    r0 = bb - op(jnp.zeros_like(bb))
+    z0 = pinv(r0)
+    gamma0 = jnp.sum(r0 * z0, axis=0)
+    bnorm2 = jnp.sum(bb * pinv(bb), axis=0)
+    eps_floor = jnp.asarray(jnp.finfo(bb.dtype).tiny, gamma0.dtype)
+    thresh = jnp.maximum(tol * tol * bnorm2, eps_floor)
+
+    def cond(st):
+        _, _, _, _, gamma, k = st
+        return jnp.logical_and(jnp.any(gamma > thresh), k < maxiter)
+
+    def body(st):
+        x, r, z, p, gamma, k = st
+        q = op(p)
+        pq = jnp.sum(p * q, axis=0)
+        alpha = jnp.where(pq > 0, gamma / jnp.where(pq > 0, pq, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * q
+        z = pinv(r)
+        gamma_new = jnp.sum(r * z, axis=0)
+        beta = jnp.where(gamma > 0,
+                         gamma_new / jnp.where(gamma > 0, gamma, 1.0), 0.0)
+        p = z + beta * p
+        return x, r, z, p, gamma_new, k + 1
+
+    x, _, _, _, _, k = jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros_like(bb), r0, z0, z0, gamma0, jnp.int32(0)))
+    return (x[:, 0] if vec else x), k, nxt

@@ -1,0 +1,161 @@
+"""Distributed randomized linalg (linalg/distributed.py) on the 8-device
+virtual mesh: CholQR, row-sharded rangefinder/QB/RSVD, and the
+"sharded inputs just work" property of the lstsq tier.
+
+Model: the reference's handrolled_lapack.hh CholQR (test infrastructure)
+promoted to the production tall-skinny QR, plus the QB/RSVD logic of
+svd_rank1_plus_noise.cc asserted on planted low-rank matrices — here
+with the long axis sharded and never gathered.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import randblas_tpu as rbt
+from randblas_tpu.linalg import (cholqr, distributed_qb,
+                                 distributed_rangefinder, distributed_rsvd,
+                                 sketch_and_precondition)
+from randblas_tpu.parallel import make_sketch_mesh
+
+
+def _low_rank(m, n, r, noise=0.0, seed=0, spectrum_hi=8.0):
+    rng = np.random.default_rng(seed)
+    u, _ = np.linalg.qr(rng.normal(size=(m, r)))
+    v, _ = np.linalg.qr(rng.normal(size=(n, r)))
+    s = np.linspace(spectrum_hi, 1.0, r)
+    a = (u * s) @ v.T
+    if noise:
+        a = a + noise * rng.normal(size=(m, n))
+    return jnp.asarray(a, jnp.float32), s
+
+
+def _shard_rows(a, mesh):
+    return jax.device_put(a, NamedSharding(mesh, P("data", None)))
+
+
+class TestCholQR:
+    def test_matches_qr_span_and_orthonormality(self):
+        rng = np.random.default_rng(1)
+        y = jnp.asarray(rng.normal(size=(400, 24)), jnp.float32)
+        q, r = cholqr(y)
+        np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(24),
+                                   atol=5e-6)
+        np.testing.assert_allclose(np.asarray(q @ r), np.asarray(y),
+                                   rtol=2e-5, atol=2e-5)
+        # r upper triangular
+        assert np.allclose(np.tril(np.asarray(r), -1), 0.0)
+
+    def test_cholqr2_fixes_bad_conditioning(self):
+        # cond ~ 3e3: one pass leaves ~cond^2*eps orthogonality error,
+        # two passes restore machine precision
+        rng = np.random.default_rng(2)
+        u, _ = np.linalg.qr(rng.normal(size=(300, 16)))
+        v, _ = np.linalg.qr(rng.normal(size=(16, 16)))
+        y = jnp.asarray((u * np.logspace(0, 3.5, 16)) @ v.T, jnp.float32)
+        q1, _ = cholqr(y, iters=1)
+        q2, _ = cholqr(y, iters=2)
+        e1 = np.abs(np.asarray(q1.T @ q1) - np.eye(16)).max()
+        e2 = np.abs(np.asarray(q2.T @ q2) - np.eye(16)).max()
+        assert e2 < 1e-5
+        assert e2 < e1 / 10
+
+    def test_shift_rescues_rank_deficiency(self):
+        # exactly rank-8 Y in 12 columns: unshifted Gram is singular
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=(200, 8)).astype(np.float32)
+        y = jnp.asarray(base @ rng.normal(size=(8, 12)).astype(np.float32))
+        q, _ = cholqr(y, iters=2, shift=1e-5)
+        assert np.all(np.isfinite(np.asarray(q)))
+
+    def test_sharded_input_stays_sharded(self):
+        mesh = make_sketch_mesh(2, 4)
+        rng = np.random.default_rng(4)
+        y = _shard_rows(jnp.asarray(rng.normal(size=(320, 16)),
+                                    jnp.float32), mesh)
+        q, r = jax.jit(cholqr)(y)
+        np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(16),
+                                   atol=5e-6)
+        # the m-sized factor must not have been gathered to one device
+        assert len(q.sharding.device_set) > 1
+
+
+class TestDistributedRangefinder:
+    def test_qb_reconstructs_at_true_rank(self):
+        mesh = make_sketch_mesh(2, 4)
+        a, _ = _low_rank(640, 96, r=8, seed=5)
+        ash = _shard_rows(a, mesh)
+        q, b = distributed_qb(ash, 8, rbt.default_state(1), mesh)
+        np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(8),
+                                   atol=5e-6)
+        np.testing.assert_allclose(np.asarray(q @ b), np.asarray(a),
+                                   atol=2e-4)
+        assert len(q.sharding.device_set) > 1
+
+    def test_mesh_shape_invariance(self):
+        # same seed, different mesh factorizations: the algorithm is
+        # deterministic up to psum reassociation
+        a, _ = _low_rank(320, 64, r=6, noise=1e-3, seed=6)
+        outs = []
+        for model, data in [(1, 8), (2, 4), (4, 2)]:
+            mesh = make_sketch_mesh(model, data)
+            q = distributed_rangefinder(_shard_rows(a, mesh), 6,
+                                        rbt.default_state(2), mesh)
+            outs.append(np.asarray(q))
+        np.testing.assert_allclose(outs[0], outs[1], atol=1e-4)
+        np.testing.assert_allclose(outs[0], outs[2], atol=1e-4)
+
+    def test_matches_single_device_subspace(self):
+        # CholQR and Householder QR give different Q bases; the SUBSPACE
+        # must agree with the single-device rangefinder at the true rank
+        from randblas_tpu.linalg import rangefinder
+        mesh = make_sketch_mesh(2, 4)
+        a, _ = _low_rank(320, 64, r=6, seed=7)
+        qd = distributed_rangefinder(_shard_rows(a, mesh), 6,
+                                     rbt.default_state(3), mesh)
+        qs = rangefinder(a, 6, rbt.default_state(3))
+        # projector difference
+        pd = np.asarray(qd @ qd.T)
+        ps = np.asarray(qs @ qs.T)
+        assert np.abs(pd - ps).max() < 1e-4
+
+
+class TestDistributedRSVD:
+    def test_singular_values_and_reconstruction(self):
+        mesh = make_sketch_mesh(2, 4)
+        a, s_true = _low_rank(640, 80, r=7, seed=8)
+        u, s, vt = distributed_rsvd(_shard_rows(a, mesh), 7,
+                                    rbt.default_state(4), mesh)
+        np.testing.assert_allclose(np.asarray(s), s_true, rtol=1e-4)
+        approx = np.asarray(u) * np.asarray(s) @ np.asarray(vt)
+        np.testing.assert_allclose(approx, np.asarray(a), atol=5e-4)
+        assert len(u.sharding.device_set) > 1
+
+    def test_near_low_rank_spectrum(self):
+        mesh = make_sketch_mesh(1, 8)
+        a, s_true = _low_rank(512, 64, r=5, noise=1e-4, seed=9)
+        _, s, _ = distributed_rsvd(_shard_rows(a, mesh), 5,
+                                   rbt.default_state(5), mesh,
+                                   power_iters=3)
+        np.testing.assert_allclose(np.asarray(s), s_true, rtol=1e-3)
+
+
+class TestShardedLstsq:
+    def test_sketch_and_precondition_sharded_inputs(self):
+        # the lstsq tier is pure jnp products: handing it a row-sharded A
+        # must give the single-device answer (XLA inserts the collectives)
+        mesh = make_sketch_mesh(2, 4)
+        rng = np.random.default_rng(10)
+        a = jnp.asarray(rng.normal(size=(512, 32)), jnp.float32)
+        x_true = rng.normal(size=(32,)).astype(np.float32)
+        b = jnp.asarray(np.asarray(a) @ x_true
+                        + 1e-4 * rng.normal(size=512).astype(np.float32))
+        x_ref, _, _ = sketch_and_precondition(a, b, rbt.default_state(6))
+        x_sh, _, _ = sketch_and_precondition(
+            _shard_rows(a, mesh),
+            jax.device_put(b, NamedSharding(mesh, P("data"))),
+            rbt.default_state(6))
+        np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                                   rtol=2e-4, atol=2e-4)

@@ -208,3 +208,62 @@ def test_leverage_scores_jl_estimates_norms():
 def test_leverage_scores_validates():
     with pytest.raises(ValueError):
         rla.leverage_scores(jnp.zeros((10, 20)), rbt.default_state(0))
+
+
+# ---------------------------------------------------------- nystrom_pcg
+
+def _regularized_system(n, rank, mu, seed):
+    """Ill-conditioned PSD A (fast-decaying spectrum) + mu ridge."""
+    a, lam = _psd(n, rank, seed=seed, decay=0.45)
+    rng = np.random.default_rng(seed + 1)
+    x_true = rng.normal(size=(n,)).astype(np.float32)
+    b = (a + mu * np.eye(n, dtype=np.float32)) @ x_true
+    return jnp.asarray(a), jnp.asarray(b), x_true
+
+
+def test_nystrom_pcg_solves_regularized_system():
+    mu = 1e-4
+    a, b, x_true = _regularized_system(200, 30, mu, seed=11)
+    x, iters, nxt = rla.nystrom_pcg(a, b, rbt.default_state(12), d=40,
+                                    mu=mu, tol=1e-6)
+    res = np.asarray(a @ x + mu * x - b)
+    assert np.linalg.norm(res) / np.linalg.norm(np.asarray(b)) < 1e-5
+    assert nxt.to_dict() != rbt.default_state(12).to_dict()
+
+
+def test_nystrom_pcg_beats_plain_cg_iterations():
+    # spectrum decays over ~13 orders: plain CG on (A + mu I) crawls,
+    # the Nystrom-preconditioned system converges spectrum-independently
+    mu = 1e-6
+    a, b, _ = _regularized_system(240, 60, mu, seed=13)
+
+    # plain CG = nystrom_pcg with an identity preconditioner is not
+    # exposed; run the same while_loop via d=1 (near-useless sketch)
+    _, iters_bad, _ = rla.nystrom_pcg(a, b, rbt.default_state(14), d=1,
+                                      mu=mu, tol=1e-6, maxiter=400)
+    x, iters_good, _ = rla.nystrom_pcg(a, b, rbt.default_state(14), d=60,
+                                       mu=mu, tol=1e-6, maxiter=400)
+    assert int(iters_good) < int(iters_bad) / 2, (iters_good, iters_bad)
+    res = np.asarray(a @ x + mu * x - b)
+    assert np.linalg.norm(res) / np.linalg.norm(np.asarray(b)) < 1e-4
+
+
+def test_nystrom_pcg_block_rhs_and_callable():
+    mu = 1e-3
+    a, b, _ = _regularized_system(160, 24, mu, seed=15)
+    bb = jnp.stack([b, 2.0 * b], axis=1)
+    x_blk, _, _ = rla.nystrom_pcg(lambda x: a @ x, bb,
+                                  rbt.default_state(16), d=32, mu=mu,
+                                  tol=1e-6)
+    assert x_blk.shape == (160, 2)
+    res = np.asarray(a @ x_blk + mu * x_blk - bb)
+    assert np.abs(res).max() / np.abs(np.asarray(bb)).max() < 1e-4
+    # column 2 of the solution is exactly 2x column 1's system
+    np.testing.assert_allclose(np.asarray(x_blk[:, 1]),
+                               2 * np.asarray(x_blk[:, 0]), rtol=1e-3,
+                               atol=1e-5)
+
+
+def test_nystrom_callable_needs_n():
+    with pytest.raises(ValueError):
+        rla.nystrom(lambda x: x, 4, rbt.default_state(17))
