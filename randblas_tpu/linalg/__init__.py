@@ -4,6 +4,7 @@ examples/ tier, as a library)."""
 from .leverage import exact_leverage_scores, leverage_scores
 from .distributed import (cholqr, distributed_qb, distributed_rangefinder,
                           distributed_rsvd)
+from .eigh import rand_eigh
 from .embed import make_embedding
 from .lstsq import cgls, sketch_and_precondition, sketch_and_solve_lsq
 from .nystrom import nystrom, nystrom_apply, nystrom_pcg
@@ -19,6 +20,6 @@ __all__ = ["cgls", "cholqr", "column_id", "cur", "distributed_qb",
            "exact_trace", "hutchinson", "make_embedding", "sketch_qrcp",
            "hutchpp", "leverage_scores", "nystrom", "nystrom_apply",
            "nystrom_pcg",
-           "qb_decompose", "qb_to_svd", "rademacher_probes",
+           "qb_decompose", "qb_to_svd", "rademacher_probes", "rand_eigh",
            "rangefinder", "rsvd", "sketch_and_precondition",
            "sketch_and_solve_lsq", "sketched_tls", "tls_via_svd"]

@@ -267,3 +267,50 @@ def test_nystrom_pcg_block_rhs_and_callable():
 def test_nystrom_callable_needs_n():
     with pytest.raises(ValueError):
         rla.nystrom(lambda x: x, 4, rbt.default_state(17))
+
+
+# ------------------------------------------------------------- rand_eigh
+
+def _symmetric_indefinite(n, lam, seed):
+    rng = np.random.default_rng(seed)
+    q, _ = np.linalg.qr(rng.normal(size=(n, len(lam))))
+    a = (q * lam) @ q.T
+    return a.astype(np.float32), q, np.asarray(lam, np.float32)
+
+
+def test_rand_eigh_signed_spectrum_exact_rank():
+    lam = np.array([6.0, -5.0, 3.5, -2.0, 1.0])
+    a, _, _ = _symmetric_indefinite(180, lam, seed=21)
+    w, u = rla.rand_eigh(jnp.asarray(a), 5, rbt.default_state(22))
+    np.testing.assert_allclose(np.sort(np.asarray(w)), np.sort(lam),
+                               atol=1e-3)
+    # reconstruction and orthonormality
+    approx = np.asarray(u) * np.asarray(w) @ np.asarray(u).T
+    np.testing.assert_allclose(approx, a, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(u.T @ u), np.eye(5), atol=1e-4)
+
+
+def test_rand_eigh_dominant_modes_under_noise():
+    lam = np.array([10.0, -9.0, 4.0, -3.0])
+    a, _, _ = _symmetric_indefinite(150, lam, seed=23)
+    a = a + 1e-3 * _symmetric_indefinite(
+        150, np.ones(150) * 0.5, seed=24)[0]
+    w, _ = rla.rand_eigh(jnp.asarray(a), 4, rbt.default_state(25),
+                         power_iters=3)
+    np.testing.assert_allclose(np.sort(np.asarray(w)), np.sort(lam),
+                               atol=0.05)
+
+
+def test_rand_eigh_sparse_container():
+    lam = np.array([4.0, -3.0, 2.0])
+    a, _, _ = _symmetric_indefinite(120, lam, seed=26)
+    coo = COOMatrix.from_dense(jnp.asarray(a))
+    w, u = rla.rand_eigh(coo, 3, rbt.default_state(27))
+    np.testing.assert_allclose(np.sort(np.asarray(w)), np.sort(lam),
+                               atol=1e-3)
+
+
+def test_rand_eigh_validates():
+    with pytest.raises(ValueError):
+        rla.rand_eigh(jnp.zeros((4, 5), jnp.float32), 2,
+                      rbt.default_state(1))
