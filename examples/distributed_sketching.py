@@ -60,6 +60,21 @@ def main():
     print(f"rangefinder Q: {q.shape}, orthonormality error "
           f"{float(jnp.abs(q.T @ q - jnp.eye(q.shape[1])).max()):.2e}")
 
+    # full distributed randomized SVD: the m-sized factors stay sharded
+    # end to end (CholQR Gram psums are the only collectives)
+    from randblas_tpu.linalg import distributed_rsvd
+    rng = np.random.default_rng(1)
+    r = 6
+    u0, _ = np.linalg.qr(rng.normal(size=(m, r)))
+    v0, _ = np.linalg.qr(rng.normal(size=(n, r)))
+    s_true = np.linspace(5.0, 1.0, r)
+    M = jnp.asarray((u0 * s_true) @ v0.T, jnp.float32)
+    M = jax.device_put(M, NamedSharding(mesh, P("data", None)))
+    U, s_hat, Vt = distributed_rsvd(M, r, RNGState.from_key(7), mesh)
+    print(f"distributed_rsvd: U {U.shape} sharded {U.sharding.spec}, "
+          f"singular-value error "
+          f"{float(np.abs(np.asarray(s_hat) - s_true).max()):.2e}")
+
 
 if __name__ == "__main__":
     main()

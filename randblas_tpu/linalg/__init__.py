@@ -6,7 +6,8 @@ from .distributed import (cholqr, distributed_qb, distributed_rangefinder,
                           distributed_rsvd)
 from .eigh import rand_eigh
 from .embed import make_embedding
-from .lstsq import cgls, sketch_and_precondition, sketch_and_solve_lsq
+from .lstsq import (cgls, min_norm_lsq, sketch_and_precondition,
+                    sketch_and_solve_lsq)
 from .nystrom import nystrom, nystrom_apply, nystrom_pcg
 from .qb import qb_decompose, qb_to_svd, rangefinder
 from .qrcp import column_id, cur, sketch_qrcp
@@ -17,7 +18,8 @@ from .trace import exact_trace, hutchinson, hutchpp, rademacher_probes
 __all__ = ["cgls", "cholqr", "column_id", "cur", "distributed_qb",
            "distributed_rangefinder", "distributed_rsvd",
            "exact_leverage_scores",
-           "exact_trace", "hutchinson", "make_embedding", "sketch_qrcp",
+           "exact_trace", "hutchinson", "make_embedding", "min_norm_lsq",
+           "sketch_qrcp",
            "hutchpp", "leverage_scores", "nystrom", "nystrom_apply",
            "nystrom_pcg",
            "qb_decompose", "qb_to_svd", "rademacher_probes", "rand_eigh",

@@ -195,3 +195,98 @@ def sketch_and_precondition(a, b, state: RNGState, *, d: Optional[int] = None,
         bb.astype(sa.dtype), n, x0=y0, tol=tol, maxiter=maxiter)
     x = solve_r(y)
     return (x[:, 0] if b.ndim == 1 else x), iters, nxt
+
+
+def min_norm_lsq(a, b, state: RNGState, *, d: Optional[int] = None,
+                 operator: str = "saso", vec_nnz: int = 8,
+                 tol: Optional[float] = None, maxiter: int = 200,
+                 dtype=None) -> Tuple[jax.Array, jax.Array, RNGState]:
+    """Minimum-norm solution of the WIDE consistent system ``A x = b``
+    (m < n): ``x = A^T (A A^T)^+ b`` — the underdetermined counterpart
+    of sketch_and_precondition (the LSRN family's second case).
+
+    Preconditioning runs on the tall dual ``B = A^T`` (n, m): QR of the
+    sketched dual ``S B`` gives R with cond(B R^-1) = O(1), so CG on the
+    substituted Gram system
+
+        (B R^-1)^T (B R^-1) z = R^-T b,    y = R^-1 z,    x = B y
+
+    converges in O(1) iterations independent of cond(A); each step costs
+    one A and one A^T product (rides the fused/SpMM dispatch) plus two
+    m x m triangular solves. ``b`` is (m,) or (m, k). Returns
+    ``(x, iterations, next_state)``.
+
+    Accuracy: the SOLUTION error ||x - x*|| reaches ~100*eps of the
+    working dtype regardless of cond(A) (the preconditioned system is
+    O(1)-conditioned), but the residual ||A x - b|| amplifies x-error by
+    sigma_max, i.e. holds only to ~cond(A)*eps. Run under float64
+    (products ride the int8-sliced MXU GEMM) when the residual itself
+    must be small.
+    """
+    m, n = a.shape
+    require(m <= n, "min_norm_lsq expects a wide system (m <= n); "
+                    "use sketch_and_precondition for tall systems")
+    d = 2 * m if d is None else d
+    d = min(d, n)
+    require(d >= m, "sketch size d must be >= m")
+
+    # sketch the dual: S (d, n) applied to B = A^T, i.e. (S applied from
+    # the left of A^T) == sketching A from the RIGHT then transposing.
+    if _is_sparse(a):
+        require(operator != "srht", "the SRHT embedding needs dense data")
+        S = make_embedding(operator, d, n, state, vec_nnz=vec_nnz,
+                           dtype=dtype or jnp.float32)
+        st = S.materialize().astype(
+            dtype or (b.dtype if hasattr(b, "dtype") else jnp.float32))
+        sb = _apply(a, st.T).T                      # (d, m) = S A^T
+        nxt = S.next_state
+    else:
+        S = make_embedding(operator, d, n, state, vec_nnz=vec_nnz,
+                           dtype=dtype or a.dtype)
+        adt = a.astype(dtype) if dtype is not None else a
+        sb = sketch_general(S, adt, side="right", op_s="T").T   # (d, m)
+        nxt = S.next_state
+    r = jnp.linalg.qr(sb, mode="r")
+    solve_r = lambda v: jax.scipy.linalg.solve_triangular(r, v, lower=False)
+    solve_rt = lambda v: jax.scipy.linalg.solve_triangular(
+        r.T, v, lower=True)
+
+    bb = (b[:, None] if b.ndim == 1 else b).astype(sb.dtype)
+    # CG on the substituted Gram system G z = c with
+    # G = (B R^-1)^T (B R^-1) = R^-T A A^T R^-1 (cond O(1) whp) and
+    # c = R^-T b; one A^T and one A product per step.
+    def gmat(z):
+        y = solve_r(z)                              # (m, k)
+        w = _apply_t(a, y)                          # A^T y: (n, k)
+        return solve_rt(_apply(a, w))               # R^-T A w: (m, k)
+
+    c = solve_rt(bb)
+    if tol is None:
+        tol = 100.0 * float(jnp.finfo(bb.dtype).eps)
+    r0 = c
+    gamma0 = jnp.sum(r0 * r0, axis=0)
+    eps_floor = jnp.asarray(jnp.finfo(bb.dtype).tiny, gamma0.dtype)
+    thresh = jnp.maximum(tol * tol * gamma0, eps_floor)
+
+    def cond_fn(st):
+        _, _, _, gamma, k = st
+        return jnp.logical_and(jnp.any(gamma > thresh), k < maxiter)
+
+    def body_fn(st):
+        z, rr, p, gamma, k = st
+        q = gmat(p)
+        pq = jnp.sum(p * q, axis=0)
+        alpha = jnp.where(pq > 0, gamma / jnp.where(pq > 0, pq, 1.0), 0.0)
+        z = z + alpha * p
+        rr = rr - alpha * q
+        gamma_new = jnp.sum(rr * rr, axis=0)
+        beta = jnp.where(gamma > 0,
+                         gamma_new / jnp.where(gamma > 0, gamma, 1.0), 0.0)
+        p = rr + beta * p
+        return z, rr, p, gamma_new, k + 1
+
+    z, _, _, _, iters = jax.lax.while_loop(
+        cond_fn, body_fn,
+        (jnp.zeros_like(c), r0, r0, gamma0, jnp.int32(0)))
+    x = _apply_t(a, solve_r(z))                     # x = A^T R^-1 z
+    return (x[:, 0] if b.ndim == 1 else x), iters, nxt

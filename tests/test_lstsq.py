@@ -10,7 +10,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import randblas_tpu as rbt
 from randblas_tpu import RNGState
+from randblas_tpu import linalg as rla
 from randblas_tpu.linalg import (
     cgls, sketch_and_precondition, sketch_and_solve_lsq,
 )
@@ -183,3 +185,81 @@ def test_f64_matvecs_route_through_hiprec():
         got_t = np.asarray(_apply_t(a.T, x))
     np.testing.assert_allclose(got, want, rtol=1e-12)
     np.testing.assert_allclose(got_t, want, rtol=1e-12)
+
+
+# ----------------------------------------------------------- min_norm_lsq
+
+class TestMinNormLsq:
+    def _wide_consistent(self, m=40, n=400, cond=1e4, seed=0, k=None):
+        rng = np.random.default_rng(seed)
+        u, _ = np.linalg.qr(rng.normal(size=(m, m)))
+        v, _ = np.linalg.qr(rng.normal(size=(n, m)))
+        s = np.logspace(0, np.log10(cond), m)[::-1]
+        a = (u * s) @ v.T
+        b = rng.normal(size=(m,) if k is None else (m, k))
+        return (jnp.asarray(a, jnp.float32),
+                jnp.asarray(b, jnp.float32))
+
+    @pytest.mark.parametrize("operator", ["saso", "gaussian", "srht"])
+    def test_matches_numpy_min_norm(self, operator):
+        a, b = self._wide_consistent(cond=1e3, seed=1)
+        x, iters, nxt = rla.min_norm_lsq(a, b, rbt.default_state(2),
+                                         operator=operator)
+        x_ref = np.linalg.lstsq(np.asarray(a, np.float64),
+                                np.asarray(b, np.float64), rcond=None)[0]
+        # minimum norm: matches the pseudoinverse solution (the
+        # deliverable; x-space error is NOT cond-amplified)
+        np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-3,
+                                   atol=1e-4)
+        # consistency holds to ~cond(A)*eps_f32 (residual amplifies
+        # x-error by sigma_max; run f64 for tighter — see docstring)
+        np.testing.assert_allclose(np.asarray(a @ x), np.asarray(b),
+                                   rtol=2e-2, atol=2e-2)
+        assert nxt.to_dict() != rbt.default_state(2).to_dict()
+
+    def test_block_rhs(self):
+        a, b = self._wide_consistent(seed=3, k=3, cond=1e2)
+        x, _, _ = rla.min_norm_lsq(a, b, rbt.default_state(4))
+        assert x.shape == (400, 3)
+        x_ref = np.linalg.lstsq(np.asarray(a, np.float64),
+                                np.asarray(b, np.float64), rcond=None)[0]
+        np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-3,
+                                   atol=1e-4)
+
+    def test_iteration_count_cond_independent(self):
+        # cond 1e6 in f32: unpreconditioned CG on A A^T would need
+        # thousands of steps; the sketched preconditioner needs dozens
+        a, b = self._wide_consistent(cond=1e6, seed=5)
+        x, iters, _ = rla.min_norm_lsq(a, b, rbt.default_state(6))
+        assert int(iters) < 60, int(iters)
+        x_ref = np.linalg.lstsq(np.asarray(a, np.float64),
+                                np.asarray(b, np.float64), rcond=None)[0]
+        # at cond 1e6 the f32 triangular solves inject ~cond*eps noise;
+        # the iteration count (above) is the claim — accuracy is sanity
+        rel = (np.abs(np.asarray(x, np.float64) - x_ref).max()
+               / np.abs(x_ref).max())
+        assert rel < 5e-2, rel
+        norm_ratio = (np.linalg.norm(np.asarray(x))
+                      / np.linalg.norm(x_ref))
+        assert abs(norm_ratio - 1.0) < 1e-2
+
+    def test_sparse_data(self):
+        rng = np.random.default_rng(7)
+        m, n = 30, 300
+        dense = np.zeros((m, n), np.float32)
+        nnz = 1500
+        ii = rng.integers(0, m, nnz)
+        jj = rng.integers(0, n, nnz)
+        vv = rng.normal(size=nnz).astype(np.float32)
+        np.add.at(dense, (ii, jj), vv)
+        from randblas_tpu.sparse_data import COOMatrix
+        coo = COOMatrix.from_dense(jnp.asarray(dense))
+        b = jnp.asarray(rng.normal(size=m), jnp.float32)
+        x, _, _ = rla.min_norm_lsq(coo, b, rbt.default_state(8))
+        np.testing.assert_allclose(np.asarray(dense @ np.asarray(x)),
+                                   np.asarray(b), rtol=1e-3, atol=1e-3)
+
+    def test_validates_tall(self):
+        a = jnp.zeros((50, 10), jnp.float32)
+        with pytest.raises(ValueError):
+            rla.min_norm_lsq(a, jnp.zeros(50), rbt.default_state(9))
