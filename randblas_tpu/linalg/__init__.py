@@ -12,6 +12,8 @@ from .nystrom import nystrom, nystrom_apply, nystrom_pcg
 from .qb import qb_decompose, qb_to_svd, rangefinder
 from .qrcp import column_id, cur, sketch_qrcp
 from .rsvd import rsvd
+from .spectral import (extremal_eigs, power_method, required_power_iters,
+                       spectral_norm)
 from .tls import sketched_tls, tls_via_svd
 from .trace import exact_trace, hutchinson, hutchpp, rademacher_probes
 
@@ -24,4 +26,6 @@ __all__ = ["cgls", "cholqr", "column_id", "cur", "distributed_qb",
            "nystrom_pcg",
            "qb_decompose", "qb_to_svd", "rademacher_probes", "rand_eigh",
            "rangefinder", "rsvd", "sketch_and_precondition",
-           "sketch_and_solve_lsq", "sketched_tls", "tls_via_svd"]
+           "sketch_and_solve_lsq", "sketched_tls", "tls_via_svd",
+           "extremal_eigs", "power_method", "required_power_iters",
+           "spectral_norm"]

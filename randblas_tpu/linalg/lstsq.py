@@ -97,11 +97,24 @@ def cgls(matvec: Callable, rmatvec: Callable, b: jax.Array, n: int, *,
 
 
 def _sketch_pair(a, b, d: int, state: RNGState, operator: str,
-                 vec_nnz: int, dtype):
+                 vec_nnz: int, dtype, mesh=None):
     """(S A, S b, next_state) with one shared operator for A and b.
     b=None skips the right-hand-side sketch (returns sb=None) — the
-    cold-start preconditioner only needs R from qr(S A)."""
+    cold-start preconditioner only needs R from qr(S A).
+
+    With ``mesh``, the sketch runs through the parallel layer: A stays
+    m-sharded over 'data', each device generates its counter-addressed
+    tile of the one global operator (or holds its slice of the SASO
+    triplets), and the only collective is the contraction psum —
+    'gaussian' and 'saso' families, dense data (plus 'gaussian' over
+    sparse data via distributed_sketch_sparse_data). The SRHT family is
+    column-sharded only (cross-device butterflies documented out in
+    parallel/distributed.py), so it rejects a mesh here.
+    """
     m = a.shape[0]
+    if mesh is not None:
+        return _sketch_pair_distributed(a, b, d, state, operator,
+                                        vec_nnz, dtype, mesh)
     if dtype is None and operator != "saso":
         dtype = a.dtype if not _is_sparse(a) else (
             b.dtype if b is not None else jnp.float32)
@@ -130,20 +143,61 @@ def _sketch_pair(a, b, d: int, state: RNGState, operator: str,
     return sa, None if sb is None else sb.astype(sa.dtype), S.next_state
 
 
+def _sketch_pair_distributed(a, b, d: int, state: RNGState, operator: str,
+                             vec_nnz: int, dtype, mesh):
+    """Mesh-sharded _sketch_pair (see its docstring)."""
+    from ..parallel import (distributed_sketch, distributed_sparse_sketch,
+                            distributed_sketch_sparse_data)
+    require(operator in ("saso", "gaussian"),
+            "mesh-distributed sketching supports the 'saso' and "
+            "'gaussian' families (SRHT is column-sharded only; see "
+            "parallel/distributed.py)")
+    m = a.shape[0]
+    bb = None if b is None else (b[:, None] if b.ndim == 1 else b)
+    if _is_sparse(a):
+        require(operator == "gaussian",
+                "sparse data on a mesh rides the dense-operator "
+                "distributed lsksp3 (use operator='gaussian')")
+        S = make_embedding("gaussian", d, m, state,
+                           dtype=dtype or jnp.float32)
+        sa = distributed_sketch_sparse_data(S, a, mesh)
+        sb = None if bb is None else distributed_sketch(
+            S, bb.astype(sa.dtype), mesh)
+        return sa, sb, S.next_state
+    if dtype is None and operator != "saso":
+        dtype = a.dtype
+    S = make_embedding(operator, d, m, state, vec_nnz=vec_nnz,
+                       dtype=dtype or jnp.float32)
+    if operator == "saso":
+        sa = distributed_sparse_sketch(S, a, mesh)
+        sb = None if bb is None else distributed_sparse_sketch(
+            S, bb.astype(sa.dtype), mesh)
+    else:
+        adt = a.astype(dtype) if dtype is not None else a
+        sa = distributed_sketch(S, adt, mesh)
+        sb = None if bb is None else distributed_sketch(
+            S, bb.astype(sa.dtype), mesh)
+    return sa, sb, S.next_state
+
+
 def sketch_and_solve_lsq(a, b, d: int, state: RNGState, *,
                          operator: str = "saso", vec_nnz: int = 8,
-                         dtype=None) -> Tuple[jax.Array, RNGState]:
+                         dtype=None, mesh=None
+                         ) -> Tuple[jax.Array, RNGState]:
     """Delta-accurate least squares: x = argmin ||S A x - S b||.
 
     ``a`` is tall (m, n) dense or sparse (COO/CSR/CSC); ``b`` is (m,) or
     (m, k); ``d`` is the sketch size (2n..4n gives the classic
     (1+delta) residual guarantees); ``operator`` picks the embedding
-    family ('saso' | 'gaussian' | 'srht'). Returns (x, next_state).
+    family ('saso' | 'gaussian' | 'srht'). With ``mesh``, the sketch
+    runs distributed with A m-sharded over 'data' ('saso'/'gaussian';
+    see _sketch_pair). Returns (x, next_state).
     """
     m, n = a.shape
     require(m >= n, "sketch_and_solve_lsq expects a tall system (m >= n)")
     require(n <= d <= m, "sketch size d must satisfy n <= d <= m")
-    sa, sb, nxt = _sketch_pair(a, b, d, state, operator, vec_nnz, dtype)
+    sa, sb, nxt = _sketch_pair(a, b, d, state, operator, vec_nnz, dtype,
+                               mesh=mesh)
     q, r = jnp.linalg.qr(sa)
     x = jax.scipy.linalg.solve_triangular(r, q.T @ sb, lower=False)
     return (x[:, 0] if b.ndim == 1 else x), nxt
@@ -152,7 +206,7 @@ def sketch_and_solve_lsq(a, b, d: int, state: RNGState, *,
 def sketch_and_precondition(a, b, state: RNGState, *, d: Optional[int] = None,
                             operator: str = "saso", vec_nnz: int = 8,
                             tol: Optional[float] = None, maxiter: int = 200,
-                            warm_start: bool = True, dtype=None
+                            warm_start: bool = True, dtype=None, mesh=None
                             ) -> Tuple[jax.Array, jax.Array, RNGState]:
     """Solver-accurate least squares via sketched preconditioning.
 
@@ -166,6 +220,11 @@ def sketch_and_precondition(a, b, state: RNGState, *, d: Optional[int] = None,
     Returns ``(x, cgls_iterations, next_state)``. For ill-conditioned
     systems run under float64 (jax.config.update("jax_enable_x64", True));
     the f64 products ride the int8-sliced MXU GEMM.
+
+    With ``mesh``, A stays m-sharded over the mesh's 'data' axis through
+    BOTH phases: the preconditioner sketch runs through the parallel
+    layer (implicit operator tiles per device, psum-only contraction),
+    and the CGLS matvecs ride XLA's sharding propagation.
     """
     m, n = a.shape
     require(m >= n, "sketch_and_precondition expects a tall system")
@@ -175,13 +234,13 @@ def sketch_and_precondition(a, b, state: RNGState, *, d: Optional[int] = None,
 
     if warm_start:
         sa, sb, nxt = _sketch_pair(a, b, d, state, operator, vec_nnz,
-                                   dtype)
+                                   dtype, mesh=mesh)
         q, r = jnp.linalg.qr(sa)
         y0 = q.T @ sb                         # R x_sketched, in y variables
     else:
         # cold start needs only R: skip the b sketch and the Q factor
         sa, _, nxt = _sketch_pair(a, None, d, state, operator, vec_nnz,
-                                  dtype)
+                                  dtype, mesh=mesh)
         r = jnp.linalg.qr(sa, mode="r")
         y0 = None
     solve_r = lambda v: jax.scipy.linalg.solve_triangular(r, v, lower=False)

@@ -1,0 +1,121 @@
+"""Randomized spectral estimation: power method, extremal eigenvalues,
+spectral norm.
+
+TPU-native port of the reference's power-method machinery, which lives
+in its TEST infrastructure (/root/reference/test/handrolled_lapack.hh:
+214-231 required_powermethod_iters, :233-252 power_method, :254-303
+exeigs_powermethod) and backs the subspace-distortion statistical tier
+(test_distortion.cc:49-116). Here it is a library: the iteration count
+comes from the same Kuczynski-Wozniakowski-style bounds, the start
+vector is a counter-addressed Gaussian probe (seed-chained like every
+estimator in this tier), and the loop is a lax.fori_loop of
+matvec-shaped products — dense, sparse, or callable operators.
+
+Divergence from the reference: exeigs_powermethod gets lambda_min by
+powering inv(A) (a Cholesky solve per iteration). On TPU a factorization
+of an implicit/sparse operator is unavailable, so lambda_min comes from
+powering the PSD complement (sigma*I - A) with sigma slightly above the
+lambda_max estimate — same convergence theory, one extra axpy per step,
+no factorization. The reference's own comments (:254-262) discuss this
+family of trade-offs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..base import require
+from ..dense import DenseDist, DenseSkOp
+from ..rng.state import RNGState
+from .qb import _apply, _is_sparse
+
+
+def required_power_iters(n: int, p_fail: float, tol: float) -> int:
+    """Iterations for the power method on an n x n PSD matrix to reach
+    relative accuracy ``tol`` with failure probability ``p_fail``
+    (Gaussian start): max of the expectation bound and the min of two
+    probability bounds (handrolled_lapack.hh:214-231)."""
+    require(0 < tol < 1 and 0 < p_fail < 1, "need 0 < tol, p_fail < 1")
+    expectation_bound = math.ceil(
+        (1.0 + math.log(math.sqrt(math.pi * n))) / tol)
+    t0 = 1.0 - tol
+    t1 = math.log(1.0 / t0)
+    t2 = tol * p_fail * p_fail
+    prob1 = int(math.log(math.e + 0.27 * t0 * t1 / t2) / t1)
+    prob2 = int(math.log(math.sqrt(n) / p_fail) / t1)
+    return max(expectation_bound, min(prob1, prob2))
+
+
+def _probe(n: int, state: RNGState, dtype) -> Tuple[jax.Array, RNGState]:
+    """Counter-addressed Gaussian start vector (n,) + chained state."""
+    S = DenseSkOp(DenseDist(1, n), state, dtype=dtype)
+    return S.materialize()[0], S.next_state
+
+
+def power_method(matvec: Callable, n: int, state: RNGState, *,
+                 tol: float = 1e-2, p_fail: float = 1e-6,
+                 iters: int = None, dtype=jnp.float32
+                 ) -> Tuple[jax.Array, jax.Array, RNGState]:
+    """Dominant eigenpair of the PSD operator given by ``matvec``
+    (n -> n), via ``iters`` power steps (default from
+    required_power_iters). Returns ``(lam, v, next_state)`` with ``lam``
+    the Rayleigh quotient and ``v`` the unit iterate.
+    """
+    if iters is None:
+        iters = required_power_iters(n, p_fail, tol)
+    v0, nxt = _probe(n, state, dtype)
+    v0 = v0 / jnp.linalg.norm(v0)
+
+    def body(_, v):
+        w = matvec(v)
+        return w / jnp.maximum(jnp.linalg.norm(w),
+                               jnp.finfo(dtype).tiny)
+
+    v = jax.lax.fori_loop(0, iters, body, v0)
+    lam = jnp.vdot(v, matvec(v))
+    return lam, v, nxt
+
+
+def extremal_eigs(a, state: RNGState, *, tol: float = 1e-2,
+                  p_fail: float = 1e-6, iters: int = None,
+                  dtype=jnp.float32, n: int = None
+                  ) -> Tuple[jax.Array, jax.Array, RNGState]:
+    """(lambda_min, lambda_max, next_state) of the PSD operator ``a``
+    (dense array, sparse container, or callable matvec with explicit
+    ``n``) — the library form of exeigs_powermethod
+    (handrolled_lapack.hh:264-303), lambda_min via the shifted
+    complement instead of inv(A) (module docstring).
+    """
+    if callable(a):
+        require(n is not None, "callable a needs an explicit n")
+        matvec = a
+    else:
+        require(a.shape[0] == a.shape[1], "extremal_eigs needs square A")
+        n = a.shape[0]
+        matvec = lambda v: _apply(a, v[:, None])[:, 0]
+    lam_max, _, st = power_method(matvec, n, state, tol=tol,
+                                  p_fail=p_fail, iters=iters, dtype=dtype)
+    sigma = lam_max * (1.0 + tol)
+    comp = lambda v: sigma * v - matvec(v)
+    mu, _, nxt = power_method(comp, n, st, tol=tol, p_fail=p_fail,
+                              iters=iters, dtype=dtype)
+    lam_min = jnp.maximum(sigma - mu, 0.0)
+    return lam_min, lam_max, nxt
+
+
+def spectral_norm(a, state: RNGState, *, tol: float = 1e-2,
+                  p_fail: float = 1e-6, iters: int = None,
+                  dtype=jnp.float32) -> Tuple[jax.Array, RNGState]:
+    """sigma_max(A) for rectangular A (dense or sparse), via the power
+    method on the PSD Gram operator A^T A. Returns
+    ``(sigma_max, next_state)``."""
+    from .qb import _apply_t
+    m, n = a.shape
+    gram = lambda v: _apply_t(a, _apply(a, v[:, None]))[:, 0]
+    lam, _, nxt = power_method(gram, n, state, tol=tol, p_fail=p_fail,
+                               iters=iters, dtype=dtype)
+    return jnp.sqrt(jnp.maximum(lam, 0.0)), nxt

@@ -159,3 +159,53 @@ class TestShardedLstsq:
             rbt.default_state(6))
         np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
                                    rtol=2e-4, atol=2e-4)
+
+
+class TestMeshSketchPair:
+    @pytest.mark.parametrize("operator", ["saso", "gaussian"])
+    def test_precondition_mesh_matches_single_device(self, operator):
+        mesh = make_sketch_mesh(2, 4)
+        rng = np.random.default_rng(20)
+        a = jnp.asarray(rng.normal(size=(512, 24)), jnp.float32)
+        x_true = rng.normal(size=24).astype(np.float32)
+        b = jnp.asarray(np.asarray(a) @ x_true)
+        x_ref, _, nxt_ref = sketch_and_precondition(
+            a, b, rbt.default_state(21), operator=operator)
+        x_mesh, _, nxt_mesh = sketch_and_precondition(
+            _shard_rows(a, mesh),
+            jax.device_put(b, NamedSharding(mesh, P("data"))),
+            rbt.default_state(21), operator=operator, mesh=mesh)
+        # same operator stream (generation is mesh-invariant), so the
+        # answers agree to psum-reassociation noise
+        np.testing.assert_allclose(np.asarray(x_mesh), np.asarray(x_ref),
+                                   rtol=2e-4, atol=2e-4)
+        assert nxt_mesh.to_dict() == nxt_ref.to_dict()
+
+    def test_sparse_data_mesh_gaussian(self):
+        from randblas_tpu.sparse_data.coo import COOMatrix
+        from randblas_tpu.linalg import sketch_and_solve_lsq
+        mesh = make_sketch_mesh(2, 4)
+        rng = np.random.default_rng(22)
+        m, n = 256, 16
+        dense = np.zeros((m, n), np.float32)
+        nnz = 2000
+        ii = rng.integers(0, m, nnz)
+        jj = rng.integers(0, n, nnz)
+        vv = rng.normal(size=nnz).astype(np.float32)
+        np.add.at(dense, (ii, jj), vv)
+        coo = COOMatrix.from_dense(jnp.asarray(dense))
+        b = jnp.asarray(rng.normal(size=m), jnp.float32)
+        x_ref, _ = sketch_and_solve_lsq(coo, b, 64, rbt.default_state(23),
+                                        operator="gaussian")
+        x_mesh, _ = sketch_and_solve_lsq(coo, b, 64, rbt.default_state(23),
+                                         operator="gaussian", mesh=mesh)
+        np.testing.assert_allclose(np.asarray(x_mesh), np.asarray(x_ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_srht_mesh_rejected(self):
+        mesh = make_sketch_mesh(2, 4)
+        a = jnp.zeros((128, 8), jnp.float32)
+        b = jnp.zeros((128,), jnp.float32)
+        with pytest.raises(ValueError):
+            sketch_and_precondition(a, b, rbt.default_state(24),
+                                    operator="srht", mesh=mesh)
