@@ -64,7 +64,7 @@ def cholqr(y: jax.Array, *, iters: int = 2, shift: float = 0.0
     dtype = y.dtype
     r = None
     for _ in range(iters):
-        g = jnp.matmul(y.T, y, preferred_element_type=dtype)
+        g = _mm(y.T, y, dtype)
         g = 0.5 * (g + g.T)
         if shift:
             mu = shift * (jnp.trace(g) / k)
@@ -74,6 +74,14 @@ def cholqr(y: jax.Array, *, iters: int = 2, shift: float = 0.0
         y = jax.scipy.linalg.solve_triangular(c, y.T, lower=True).T
         r = c.T if r is None else jnp.matmul(c.T, r)
     return y, r
+
+
+def _mm(x, y, dtype):
+    """Matmul with the linalg tier's f64 routing (skge._matmul): f64
+    products go through the int8-sliced MXU GEMM on TPU instead of
+    XLA's emulated f64 matmul — same contract as qb._apply."""
+    from ..skge import _matmul
+    return _matmul(x, y, dtype)
 
 
 def _materialized_probe(n: int, k: int, state: RNGState, dtype
@@ -107,20 +115,19 @@ def distributed_rangefinder(a: jax.Array, k: int, state: RNGState,
     sm, _ = _materialized_probe(n, k, state, dtype)
 
     a = jax.lax.with_sharding_constraint(
-        a, NamedSharding(mesh, P("data", None)))
+        a.astype(dtype), NamedSharding(mesh, P("data", None)))
 
     def qfix(y):
         q, _ = cholqr(y, iters=cholqr_iters, shift=gram_shift)
         return jax.lax.with_sharding_constraint(
             q, NamedSharding(mesh, P("data", None)))
 
-    y = jnp.matmul(a.astype(dtype), sm, preferred_element_type=dtype)
+    y = _mm(a, sm, dtype)
     q = qfix(y)
     for _ in range(power_iters):
-        z = jnp.matmul(a.T.astype(dtype), q,
-                       preferred_element_type=dtype)     # psum over 'data'
+        z = _mm(a.T, q, dtype)                           # psum over 'data'
         w, _ = cholqr(z, iters=cholqr_iters, shift=gram_shift)
-        y = jnp.matmul(a.astype(dtype), w, preferred_element_type=dtype)
+        y = _mm(a, w, dtype)
         q = qfix(y)
     return q
 
@@ -134,7 +141,7 @@ def distributed_qb(a: jax.Array, k: int, state: RNGState, mesh: Mesh, *,
     q = distributed_rangefinder(a, k, state, mesh,
                                 power_iters=power_iters, dtype=dtype,
                                 gram_shift=gram_shift)
-    b = jnp.matmul(q.T, a.astype(dtype), preferred_element_type=dtype)
+    b = _mm(q.T, a.astype(dtype), dtype)
     return q, b
 
 
@@ -152,5 +159,5 @@ def distributed_rsvd(a: jax.Array, k: int, state: RNGState, mesh: Mesh, *,
     q, b = distributed_qb(a, k, state, mesh, power_iters=power_iters,
                           dtype=dtype, gram_shift=gram_shift)
     ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
-    u = jnp.matmul(q, ub, preferred_element_type=q.dtype)
+    u = _mm(q, ub, q.dtype)
     return u, s, vt

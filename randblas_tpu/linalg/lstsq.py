@@ -96,6 +96,57 @@ def cgls(matvec: Callable, rmatvec: Callable, b: jax.Array, n: int, *,
     return (x[:, 0] if vec else x), k, gamma
 
 
+def _pcg(op: Callable, bb: jax.Array, *, pinv: Optional[Callable] = None,
+         x0: Optional[jax.Array] = None, tol: float, maxiter: int
+         ) -> Tuple[jax.Array, jax.Array]:
+    """CG on the SPD system ``op(x) = bb``, optionally preconditioned by
+    ``pinv`` and warm-started at ``x0``; block right-hand sides get
+    per-column step sizes. Shared core of min_norm_lsq and nystrom_pcg
+    (cgls keeps its own loop — its residual lives in normal-equation
+    space). Returns ``(x, iterations)``.
+
+    Stopping is on the UNPRECONDITIONED residual ||r|| relative to
+    ||b|| (zero-start): the preconditioned quantity <r, P^-1 r> is used
+    only for step sizes, because for near-singular preconditioner
+    spectra it is computed by catastrophic cancellation and its sign at
+    rounding level is meaningless (see nystrom_pcg's degenerate-tail
+    handling).
+    """
+    x_init = jnp.zeros_like(bb) if x0 is None else x0
+    r0 = bb if x0 is None else bb - op(x_init)
+    z0 = r0 if pinv is None else pinv(r0)
+    gamma0 = jnp.sum(r0 * z0, axis=0)
+    rho0 = jnp.sum(r0 * r0, axis=0)
+    eps_floor = jnp.asarray(jnp.finfo(bb.dtype).tiny, rho0.dtype)
+    # reference is the zero-start residual ||b||^2 even when warm-started
+    # (the cgls lesson: thresholds relative to a good warm start are
+    # unreachable and CG past machine precision diverges)
+    thresh = jnp.maximum(tol * tol * jnp.sum(bb * bb, axis=0), eps_floor)
+
+    def cond_fn(st):
+        _, _, _, _, _, rho, k = st
+        return jnp.logical_and(jnp.any(rho > thresh), k < maxiter)
+
+    def body_fn(st):
+        x, r, z, p, gamma, _, k = st
+        q = op(p)
+        pq = jnp.sum(p * q, axis=0)
+        alpha = jnp.where(pq > 0, gamma / jnp.where(pq > 0, pq, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * q
+        z = r if pinv is None else pinv(r)
+        gamma_new = jnp.sum(r * z, axis=0)
+        beta = jnp.where(gamma > 0,
+                         gamma_new / jnp.where(gamma > 0, gamma, 1.0), 0.0)
+        p = z + beta * p
+        return x, r, z, p, gamma_new, jnp.sum(r * r, axis=0), k + 1
+
+    x, _, _, _, _, _, iters = jax.lax.while_loop(
+        cond_fn, body_fn,
+        (x_init, r0, z0, z0, gamma0, rho0, jnp.int32(0)))
+    return x, iters
+
+
 def _sketch_pair(a, b, d: int, state: RNGState, operator: str,
                  vec_nnz: int, dtype, mesh=None):
     """(S A, S b, next_state) with one shared operator for A and b.
@@ -158,8 +209,11 @@ def _sketch_pair_distributed(a, b, d: int, state: RNGState, operator: str,
         require(operator == "gaussian",
                 "sparse data on a mesh rides the dense-operator "
                 "distributed lsksp3 (use operator='gaussian')")
+        # dtype default matches the non-mesh path: the rhs dtype (an f64
+        # solve must not silently downgrade the operator to f32)
         S = make_embedding("gaussian", d, m, state,
-                           dtype=dtype or jnp.float32)
+                           dtype=dtype or (bb.dtype if bb is not None
+                                           else jnp.float32))
         sa = distributed_sketch_sparse_data(S, a, mesh)
         sb = None if bb is None else distributed_sketch(
             S, bb.astype(sa.dtype), mesh)
@@ -293,11 +347,21 @@ def min_norm_lsq(a, b, state: RNGState, *, d: Optional[int] = None,
     # the left of A^T) == sketching A from the RIGHT then transposing.
     if _is_sparse(a):
         require(operator != "srht", "the SRHT embedding needs dense data")
+        sdtype = dtype or (b.dtype if hasattr(b, "dtype") else jnp.float32)
         S = make_embedding(operator, d, n, state, vec_nnz=vec_nnz,
-                           dtype=dtype or jnp.float32)
-        st = S.materialize().astype(
-            dtype or (b.dtype if hasattr(b, "dtype") else jnp.float32))
-        sb = _apply(a, st.T).T                      # (d, m) = S A^T
+                           dtype=sdtype)
+        if operator == "gaussian":
+            # implicit-operator lsksp3 on the transposed data view: the
+            # (d, n)-with-n-LONG operator is never materialized.
+            from ..sparse_data.conversions import to_coo
+            sb = sketch_sparse(S, to_coo(a).transpose())    # (d, m)
+        else:
+            # sparse op x sparse data has no library core (neither does
+            # the reference); the d x n SASO densification is the
+            # documented cost of 'saso' on sparse data here — prefer
+            # 'gaussian' when n is large.
+            st = S.materialize().astype(sdtype)
+            sb = _apply(a, st.T).T                          # (d, m)
         nxt = S.next_state
     else:
         S = make_embedding(operator, d, n, state, vec_nnz=vec_nnz,
@@ -322,30 +386,6 @@ def min_norm_lsq(a, b, state: RNGState, *, d: Optional[int] = None,
     c = solve_rt(bb)
     if tol is None:
         tol = 100.0 * float(jnp.finfo(bb.dtype).eps)
-    r0 = c
-    gamma0 = jnp.sum(r0 * r0, axis=0)
-    eps_floor = jnp.asarray(jnp.finfo(bb.dtype).tiny, gamma0.dtype)
-    thresh = jnp.maximum(tol * tol * gamma0, eps_floor)
-
-    def cond_fn(st):
-        _, _, _, gamma, k = st
-        return jnp.logical_and(jnp.any(gamma > thresh), k < maxiter)
-
-    def body_fn(st):
-        z, rr, p, gamma, k = st
-        q = gmat(p)
-        pq = jnp.sum(p * q, axis=0)
-        alpha = jnp.where(pq > 0, gamma / jnp.where(pq > 0, pq, 1.0), 0.0)
-        z = z + alpha * p
-        rr = rr - alpha * q
-        gamma_new = jnp.sum(rr * rr, axis=0)
-        beta = jnp.where(gamma > 0,
-                         gamma_new / jnp.where(gamma > 0, gamma, 1.0), 0.0)
-        p = rr + beta * p
-        return z, rr, p, gamma_new, k + 1
-
-    z, _, _, _, iters = jax.lax.while_loop(
-        cond_fn, body_fn,
-        (jnp.zeros_like(c), r0, r0, gamma0, jnp.int32(0)))
+    z, iters = _pcg(gmat, c, tol=tol, maxiter=maxiter)
     x = _apply_t(a, solve_r(z))                     # x = A^T R^-1 z
     return (x[:, 0] if b.ndim == 1 else x), iters, nxt

@@ -107,43 +107,40 @@ def nystrom_pcg(a, b, state: RNGState, *, d: int, mu: float = 0.0,
                           dtype or bb.dtype, n=n)
     lam = lam.astype(bb.dtype)
     u = u.astype(bb.dtype)
-    lam_d = lam[-1]
+    # Effective-rank form of the FTU scaling: when mu == 0 and the
+    # Nystrom tail clamps to (near) zero (numerically rank-deficient A),
+    # the raw ratio (lam_d + mu)/(lam + mu) with lam_d = lam[-1] is 0/0.
+    # Drop directions below eps * lam_reg[0] (junk at rounding level)
+    # and take lam_d as the smallest KEPT regularized eigenvalue, so the
+    # preconditioned head spectrum is exactly uniform at lam_d; dropped
+    # directions get scale 1 (identity). Flooring at lam_reg[-1] instead
+    # (the round-2 form) collapses the head to ~eps*lam[0] — barely above
+    # the junk tail — and CG stagnates (regression test:
+    # test_nystrom_pcg_rank_deficient_mu_zero).
+    lam_reg = lam + mu
+    eps = jnp.finfo(bb.dtype).eps
+    cutoff = jnp.maximum(eps * lam_reg[0], jnp.finfo(bb.dtype).tiny)
+    kept = lam_reg > cutoff
+    lam_d = jnp.min(jnp.where(kept, lam_reg, jnp.inf))
+    lam_d = jnp.where(jnp.isfinite(lam_d), lam_d, lam_reg.dtype.type(1.0))
+    safe = jnp.maximum(lam_reg, cutoff)
+    scale = jnp.where(kept, lam_d / safe, 1.0)[:, None]
 
     def pinv(v):
         w = u.T @ v                                   # (d, k)
-        scale = ((lam_d + mu) / (lam + mu))[:, None]
         return u @ (scale * w) + (v - u @ w)
 
     op = (lambda x: matvec(x) + mu * x) if mu else matvec
     if tol is None:
         tol = 100.0 * float(jnp.finfo(bb.dtype).eps)
-
-    r0 = bb - op(jnp.zeros_like(bb))
-    z0 = pinv(r0)
-    gamma0 = jnp.sum(r0 * z0, axis=0)
-    bnorm2 = jnp.sum(bb * pinv(bb), axis=0)
-    eps_floor = jnp.asarray(jnp.finfo(bb.dtype).tiny, gamma0.dtype)
-    thresh = jnp.maximum(tol * tol * bnorm2, eps_floor)
-
-    def cond(st):
-        _, _, _, _, gamma, k = st
-        return jnp.logical_and(jnp.any(gamma > thresh), k < maxiter)
-
-    def body(st):
-        x, r, z, p, gamma, k = st
-        q = op(p)
-        pq = jnp.sum(p * q, axis=0)
-        alpha = jnp.where(pq > 0, gamma / jnp.where(pq > 0, pq, 1.0), 0.0)
-        x = x + alpha * p
-        r = r - alpha * q
-        z = pinv(r)
-        gamma_new = jnp.sum(r * z, axis=0)
-        beta = jnp.where(gamma > 0,
-                         gamma_new / jnp.where(gamma > 0, gamma, 1.0), 0.0)
-        p = z + beta * p
-        return x, r, z, p, gamma_new, k + 1
-
-    x, _, _, _, _, k = jax.lax.while_loop(
-        cond, body,
-        (jnp.zeros_like(bb), r0, z0, z0, gamma0, jnp.int32(0)))
+    # Warm start with the direct Nystrom head-solve
+    # x0 = U diag(1/lam_reg) U^T b (captured directions only). In the
+    # degenerate regime — mu == 0 and the tail clamped to zero with b in
+    # range(A) — this IS the solution and CG exits immediately; in the
+    # regular regime it is one free application of the approximate
+    # inverse (the sketch is already paid for).
+    inv_head = jnp.where(kept, 1.0 / safe, 0.0)[:, None]
+    x0 = u @ (inv_head * (u.T @ bb))
+    from .lstsq import _pcg
+    x, k = _pcg(op, bb, pinv=pinv, x0=x0, tol=tol, maxiter=maxiter)
     return (x[:, 0] if vec else x), k, nxt

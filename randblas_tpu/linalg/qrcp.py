@@ -87,9 +87,18 @@ def cur(a, k: int, state: RNGState, power_iters: int = 2,
     m, n = a.shape
     _, _, piv_c = sketch_qrcp(a, k, state, power_iters, dtype, operator)
     j = np.asarray(piv_c[:k])
-    # rows of A = columns of A^T; chain the stream past the column stage
-    from ..dense import DenseDist, compute_next_state
-    chained = compute_next_state(DenseDist(n, k), state)
+    # rows of A = columns of A^T; chain the stream past the column
+    # stage's ACTUAL embedding (the rangefinder consumes DenseDist(n, k)
+    # for 'gaussian'/sparse data, make_embedding(operator, k, n)'s
+    # stream otherwise — chaining must follow the same distribution or
+    # the row stage is irreproducible from the seed-chaining contract)
+    if operator == "gaussian" or _is_sparse(a):
+        from ..dense import DenseDist, compute_next_state
+        chained = compute_next_state(DenseDist(n, k), state)
+    else:
+        from .embed import make_embedding
+        chained = make_embedding(operator, k, n, state, dtype=dtype
+                                 ).next_state
     if _is_sparse(a):
         from ..sparse_data.conversions import to_coo
         at = to_coo(a).transpose()

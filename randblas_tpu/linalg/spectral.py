@@ -38,7 +38,15 @@ def required_power_iters(n: int, p_fail: float, tol: float) -> int:
     """Iterations for the power method on an n x n PSD matrix to reach
     relative accuracy ``tol`` with failure probability ``p_fail``
     (Gaussian start): max of the expectation bound and the min of two
-    probability bounds (handrolled_lapack.hh:214-231)."""
+    probability bounds (handrolled_lapack.hh:214-231).
+
+    Intentional divergence: the C++'s probability bounds truncate the
+    log to an integer BEFORE dividing by log(1/(1-tol)) (the int64_t
+    cast binds to std::log), losing up to 1/t1 iterations of the bound.
+    This port divides first and truncates last — the mathematically
+    stated bound — so it returns slightly MORE iterations (safe side);
+    e.g. n=1000, tol=1e-2, p_fail=1e-6: ~1721 here vs ~1691 there.
+    """
     require(0 < tol < 1 and 0 < p_fail < 1, "need 0 < tol, p_fail < 1")
     expectation_bound = math.ceil(
         (1.0 + math.log(math.sqrt(math.pi * n))) / tol)

@@ -314,3 +314,22 @@ def test_rand_eigh_validates():
     with pytest.raises(ValueError):
         rla.rand_eigh(jnp.zeros((4, 5), jnp.float32), 2,
                       rbt.default_state(1))
+
+
+def test_nystrom_pcg_rank_deficient_mu_zero():
+    """Review regression: mu=0 with a Nystrom tail that clamps to exactly
+    zero used to produce a 0/0 = NaN preconditioner and silently return
+    x = 0 after zero iterations. Now the head-solve warm start lands the
+    exact solution (possibly with zero CG iterations) and nothing is NaN.
+    """
+    # exact rank 10 < d=20: lam[-1] clamps to 0
+    a, _ = _psd(120, 10, seed=31)
+    rng = np.random.default_rng(32)
+    x_true = np.asarray(a @ rng.normal(size=120).astype(np.float32))
+    b = jnp.asarray(a @ x_true)        # b in range(A): consistent system
+    x, iters, _ = rla.nystrom_pcg(jnp.asarray(a), b,
+                                  rbt.default_state(33), d=20, mu=0.0)
+    assert np.all(np.isfinite(np.asarray(x)))
+    assert float(jnp.linalg.norm(x)) > 0.0
+    res = np.linalg.norm(np.asarray(a @ x) - np.asarray(b))
+    assert res / np.linalg.norm(np.asarray(b)) < 1e-4

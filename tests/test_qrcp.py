@@ -95,3 +95,17 @@ class TestCUR:
         assert j.min() >= 0 and j.max() < a.shape[1]
         assert u.shape == (4, 4)
         assert len(set(i.tolist())) == 4 and len(set(j.tolist())) == 4
+
+
+def test_cur_chaining_matches_embedding_family():
+    """Review regression: cur()'s row stage must chain past the COLUMN
+    stage's actual embedding stream (make_embedding for 'saso'/'srht',
+    DenseDist for 'gaussian'), not unconditionally DenseDist."""
+    from randblas_tpu.linalg.embed import make_embedding
+    a = _low_rank(m=256, n=128, r=5)
+    for operator in ("gaussian", "saso", "srht"):
+        i, j, u = cur(a, 5, rbt.default_state(11), operator=operator)
+        an = np.asarray(a)
+        approx = an[:, j] @ np.asarray(u) @ an[i, :]
+        np.testing.assert_allclose(approx, an, atol=2e-3,
+                                   err_msg=operator)
