@@ -13,14 +13,11 @@ import sys
 import time
 
 import numpy as np
-import scipy.linalg
 
 sys.path.insert(0, ".")
 
-import jax.numpy as jnp                                        # noqa: E402
-
-from randblas_tpu import DenseDist, DenseSkOp, RNGState        # noqa: E402
-from randblas_tpu.sparse_data import COOMatrix, left_spmm      # noqa: E402
+from randblas_tpu import RNGState                              # noqa: E402
+from randblas_tpu.sparse_data import COOMatrix                 # noqa: E402
 
 
 def load_matrix(path=None):

@@ -57,19 +57,35 @@ def cholqr(y: jax.Array, *, iters: int = 2, shift: float = 0.0
     before each factorization (shifted CholeskyQR, Fukaya et al. 2020)
     — use ~1e-6 when y may be numerically rank-deficient; the follow-up
     pass removes the shift's effect on orthogonality.
+
+    Rank-deficiency rescue (always on): when ``y`` has exact numerical
+    rank < k the unshifted Cholesky returns NaN, which would otherwise
+    poison every downstream factor silently (the gathered-QR path this
+    replaces completes rank-deficient bases with arbitrary orthonormal
+    columns instead). Each factorization therefore also computes an
+    eps-shifted Cholesky of the same k x k Gram (trivial next to the
+    psum) and selects it when the plain factor is non-finite; null
+    directions come out as small/junk-but-finite columns, mirroring the
+    tiny trailing singular values the Householder path produces.
     """
     require(y.ndim == 2, "cholqr takes a 2-D array")
     require(iters >= 1, "iters must be >= 1")
     k = y.shape[1]
     dtype = y.dtype
+    eye = jnp.eye(k, dtype=dtype)
+    eps = jnp.finfo(dtype).eps
     r = None
     for _ in range(iters):
         g = _mm(y.T, y, dtype)
         g = 0.5 * (g + g.T)
         if shift:
             mu = shift * (jnp.trace(g) / k)
-            g = g + mu * jnp.eye(k, dtype=dtype)
+            g = g + mu * eye
         c = jnp.linalg.cholesky(g)                       # lower, G = C C^T
+        mu_rescue = (100.0 * k * eps) * (jnp.trace(g) / k) \
+            + jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+        c_rescue = jnp.linalg.cholesky(g + mu_rescue * eye)
+        c = jnp.where(jnp.all(jnp.isfinite(c)), c, c_rescue)
         # y <- y C^{-T}: solve C x = y^T from the left, transpose back
         y = jax.scipy.linalg.solve_triangular(c, y.T, lower=True).T
         r = c.T if r is None else jnp.matmul(c.T, r)
@@ -147,17 +163,24 @@ def distributed_qb(a: jax.Array, k: int, state: RNGState, mesh: Mesh, *,
 
 def distributed_rsvd(a: jax.Array, k: int, state: RNGState, mesh: Mesh, *,
                      power_iters: int = 2, dtype=jnp.float32,
-                     gram_shift: float = 0.0
+                     gram_shift: float = 0.0, oversample: int = 8
                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Rank-k randomized SVD with the long axis sharded end to end.
 
     Returns ``(u, s, vt)``: ``u`` (m, k) row-sharded over 'data',
     ``s`` (k,) and ``vt`` (k, n) replicated. The dense SVD runs on the
-    k x n factor only (qb_to_svd's shape, svd_rank1_plus_noise.cc:264-300);
-    the single m-sized product U = Q @ Ub is shard-local.
+    (k+p) x n factor only (qb_to_svd's shape,
+    svd_rank1_plus_noise.cc:264-300); the single m-sized product
+    U = Q @ Ub is shard-local. ``oversample`` extra sketch columns are
+    carried through the rangefinder and truncated after the small SVD,
+    the same accuracy contract as the single-device ``rsvd`` (its
+    default p=8); the cholqr rescue keeps k+p > rank(A) finite.
     """
-    q, b = distributed_qb(a, k, state, mesh, power_iters=power_iters,
+    require(k + oversample <= min(a.shape),
+            "rank + oversample must be <= min(A.shape)")
+    q, b = distributed_qb(a, k + oversample, state, mesh,
+                          power_iters=power_iters,
                           dtype=dtype, gram_shift=gram_shift)
     ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
-    u = _mm(q, ub, q.dtype)
-    return u, s, vt
+    u = _mm(q, ub[:, :k], q.dtype)
+    return u, s[:k], vt[:k]

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..base import require
 from ..rng.state import RNGState
-from .qb import _apply, _is_sparse, rangefinder
+from .qb import _apply, rangefinder
 
 
 def rand_eigh(a, k: int, state: RNGState, power_iters: int = 2,

@@ -223,7 +223,10 @@ def _sketch_pair_distributed(a, b, d: int, state: RNGState, operator: str,
     S = make_embedding(operator, d, m, state, vec_nnz=vec_nnz,
                        dtype=dtype or jnp.float32)
     if operator == "saso":
-        sa = distributed_sparse_sketch(S, a, mesh)
+        # honor an explicit dtype like the non-mesh path (an f64 solve
+        # must not silently run an f32 sketch on the mesh)
+        adt = a.astype(dtype) if dtype is not None else a
+        sa = distributed_sparse_sketch(S, adt, mesh)
         sb = None if bb is None else distributed_sparse_sketch(
             S, bb.astype(sa.dtype), mesh)
     else:

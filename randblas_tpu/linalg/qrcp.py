@@ -108,8 +108,17 @@ def cur(a, k: int, state: RNGState, power_iters: int = 2,
                               operator)
     i = np.asarray(piv_r[:k])
 
-    c = _apply(a, _onehot(j, n, dtype))          # (m, k) = A[:, J]
-    r = _apply_t(a, _onehot(i, m, dtype)).T      # (k, n) = A[I, :]
+    if _is_sparse(a):
+        # no fancy indexing on the sparse containers: extract the
+        # skeletons as one-hot products (two thin SpMMs)
+        c = _apply(a, _onehot(j, n, dtype))      # (m, k) = A[:, J]
+        r = _apply_t(a, _onehot(i, m, dtype)).T  # (k, n) = A[I, :]
+    else:
+        # dense data: direct gathers, not O(mnk) one-hot matmuls; match
+        # the one-hot product's dtype promotion
+        out_dt = jnp.result_type(a.dtype, dtype)
+        c = jnp.asarray(a)[:, j].astype(out_dt)
+        r = jnp.asarray(a)[i, :].astype(out_dt)
     # W = pinv(C) A from the normal equations: (C^T C) W = C^T A,
     # with C^T A = (A^T C)^T — one transposed product, A never densified.
     cta = _apply_t(a, c).T                       # (k, n)

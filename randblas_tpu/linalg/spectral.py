@@ -11,19 +11,25 @@ vector is a counter-addressed Gaussian probe (seed-chained like every
 estimator in this tier), and the loop is a lax.fori_loop of
 matvec-shaped products — dense, sparse, or callable operators.
 
-Divergence from the reference: exeigs_powermethod gets lambda_min by
-powering inv(A) (a Cholesky solve per iteration). On TPU a factorization
-of an implicit/sparse operator is unavailable, so lambda_min comes from
-powering the PSD complement (sigma*I - A) with sigma slightly above the
-lambda_max estimate — same convergence theory, one extra axpy per step,
-no factorization. The reference's own comments (:254-262) discuss this
-family of trade-offs.
+lambda_min: for DENSE operators this matches the reference
+(exeigs_powermethod explicitly inverts A via Cholesky and powers
+inv(A), giving RELATIVE accuracy ~tol on lambda_min itself). For
+implicit/sparse operators — which the reference does not support at
+all — no factorization is available, so lambda_min comes from powering
+the PSD complement (sigma*I - A) with sigma slightly above the
+lambda_max estimate. The complement's convergence is relative to ITS
+dominant eigenvalue ~lambda_max, so that path's lambda_min error is
+ABSOLUTE, ~tol * lambda_max — fine for subspace-distortion checks
+(lambda_min ~ lambda_max by construction), useless for condition
+numbers of ill-conditioned operators; the docstring of extremal_eigs
+states which path a given input takes. The reference's own comments
+(:254-262) discuss this family of trade-offs.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Callable, Tuple, Union
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -95,8 +101,16 @@ def extremal_eigs(a, state: RNGState, *, tol: float = 1e-2,
     """(lambda_min, lambda_max, next_state) of the PSD operator ``a``
     (dense array, sparse container, or callable matvec with explicit
     ``n``) — the library form of exeigs_powermethod
-    (handrolled_lapack.hh:264-303), lambda_min via the shifted
-    complement instead of inv(A) (module docstring).
+    (handrolled_lapack.hh:264-303).
+
+    Accuracy of lambda_min depends on the input form. A dense POSITIVE
+    DEFINITE array takes the reference's path: one Cholesky + explicit
+    inverse, then the power method on inv(A) — relative error ~tol on
+    lambda_min regardless of conditioning. Sparse containers and
+    callables (no factorization available) power the shifted complement
+    (sigma*I - A), whose lambda_min error is ABSOLUTE, ~tol*lambda_max;
+    do not use those forms for condition numbers of ill-conditioned
+    operators (module docstring).
     """
     if callable(a):
         require(n is not None, "callable a needs an explicit n")
@@ -107,6 +121,18 @@ def extremal_eigs(a, state: RNGState, *, tol: float = 1e-2,
         matvec = lambda v: _apply(a, v[:, None])[:, 0]
     lam_max, _, st = power_method(matvec, n, state, tol=tol,
                                   p_fail=p_fail, iters=iters, dtype=dtype)
+    if not callable(a) and not _is_sparse(a):
+        # Reference parity (handrolled_lapack.hh:275-303): invert A once
+        # through its Cholesky factor, power inv(A), invert the estimate.
+        chol = jnp.linalg.cholesky(a.astype(dtype))
+        inv_a = jax.scipy.linalg.cho_solve((chol, True),
+                                           jnp.eye(n, dtype=dtype))
+        inv_a = 0.5 * (inv_a + inv_a.T)
+        mu, _, nxt = power_method(
+            lambda v: _apply(inv_a, v[:, None])[:, 0], n, st,
+            tol=tol, p_fail=p_fail, iters=iters, dtype=dtype)
+        lam_min = 1.0 / jnp.maximum(mu, jnp.finfo(dtype).tiny)
+        return lam_min, lam_max, nxt
     sigma = lam_max * (1.0 + tol)
     comp = lambda v: sigma * v - matvec(v)
     mu, _, nxt = power_method(comp, n, st, tol=tol, p_fail=p_fail,

@@ -142,6 +142,33 @@ class TestDistributedRSVD:
         np.testing.assert_allclose(np.asarray(s), s_true, rtol=1e-3)
 
 
+class TestRankDeficiencyAndOversampling:
+    def test_rsvd_beyond_numerical_rank_is_finite(self):
+        # review regression: k >= rank(A) made the unshifted CholQR Gram
+        # singular and every output silently all-NaN; the rescue shift
+        # now mirrors the single-device path (head exact, tail tiny)
+        mesh = make_sketch_mesh(2, 4)
+        a, s_true = _low_rank(320, 64, r=4, seed=30)
+        u, s, vt = distributed_rsvd(_shard_rows(a, mesh), 6,
+                                    rbt.default_state(7), mesh)
+        s = np.asarray(s)
+        assert np.all(np.isfinite(np.asarray(u)))
+        assert np.all(np.isfinite(s)) and np.all(np.isfinite(np.asarray(vt)))
+        np.testing.assert_allclose(s[:4], s_true, rtol=1e-3)
+        assert np.all(s[4:] < 1e-3 * s_true[0])
+
+    def test_oversampled_tail_accuracy_on_noise(self):
+        # with the single-device rsvd's default p=8 the tail singular
+        # value of a noisy spectrum is recovered to ~noise level
+        mesh = make_sketch_mesh(1, 8)
+        a, _ = _low_rank(512, 64, r=6, noise=3e-3, seed=31)
+        _, s, _ = distributed_rsvd(_shard_rows(a, mesh), 6,
+                                   rbt.default_state(8), mesh,
+                                   power_iters=3)
+        ref = np.linalg.svd(np.asarray(a), compute_uv=False)[:6]
+        np.testing.assert_allclose(np.asarray(s), ref, rtol=5e-3)
+
+
 class TestShardedLstsq:
     def test_sketch_and_precondition_sharded_inputs(self):
         # the lstsq tier is pure jnp products: handing it a row-sharded A
@@ -201,6 +228,25 @@ class TestMeshSketchPair:
                                          operator="gaussian", mesh=mesh)
         np.testing.assert_allclose(np.asarray(x_mesh), np.asarray(x_ref),
                                    rtol=2e-4, atol=2e-4)
+
+    def test_saso_mesh_honors_explicit_dtype(self):
+        # review regression: the mesh saso branch never cast the data, so
+        # dtype=float64 silently produced an f32 sketch (the non-mesh
+        # path honors it)
+        from randblas_tpu.linalg.lstsq import _sketch_pair
+        mesh = make_sketch_mesh(2, 4)
+        rng = np.random.default_rng(25)
+        a = jnp.asarray(rng.normal(size=(128, 8)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=128), jnp.float32)
+        sa_ref, sb_ref, _ = _sketch_pair(a, b, 32, rbt.default_state(26),
+                                         "saso", 8, jnp.float64)
+        sa_mesh, sb_mesh, _ = _sketch_pair(a, b, 32, rbt.default_state(26),
+                                           "saso", 8, jnp.float64,
+                                           mesh=mesh)
+        assert sa_mesh.dtype == sa_ref.dtype == jnp.float64
+        assert sb_mesh.dtype == jnp.float64
+        np.testing.assert_allclose(np.asarray(sa_mesh), np.asarray(sa_ref),
+                                   rtol=1e-12, atol=1e-12)
 
     def test_srht_mesh_rejected(self):
         mesh = make_sketch_mesh(2, 4)

@@ -101,7 +101,6 @@ def test_cur_chaining_matches_embedding_family():
     """Review regression: cur()'s row stage must chain past the COLUMN
     stage's actual embedding stream (make_embedding for 'saso'/'srht',
     DenseDist for 'gaussian'), not unconditionally DenseDist."""
-    from randblas_tpu.linalg.embed import make_embedding
     a = _low_rank(m=256, n=128, r=5)
     for operator in ("gaussian", "saso", "srht"):
         i, j, u = cur(a, 5, rbt.default_state(11), operator=operator)

@@ -76,6 +76,21 @@ class TestExtremalEigs:
         with pytest.raises(ValueError):
             extremal_eigs(lambda v: v, rbt.default_state(9))
 
+    def test_ill_conditioned_dense_relative_accuracy(self):
+        # review regression: the shifted-complement lambda_min estimate
+        # only has ABSOLUTE accuracy ~tol*lambda_max (1529% relative
+        # error at cond 1e5); dense inputs now take the reference's
+        # inverse-powering path (relative ~tol on lambda_min itself)
+        rng = np.random.default_rng(14)
+        n = 60
+        q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+        lam = np.geomspace(1000.0, 0.01, n)
+        a = jnp.asarray((q * lam) @ q.T, jnp.float64)
+        lmin, lmax, _ = extremal_eigs(a, rbt.default_state(15), tol=1e-2,
+                                      dtype=jnp.float64)
+        assert abs(float(lmax) - 1000.0) / 1000.0 < 5e-2
+        assert abs(float(lmin) - 0.01) / 0.01 < 5e-2
+
 
 class TestSpectralNorm:
     def test_rectangular_dense(self):
