@@ -6,8 +6,8 @@ from .distributed import (cholqr, distributed_qb, distributed_rangefinder,
                           distributed_rsvd)
 from .eigh import rand_eigh
 from .embed import make_embedding
-from .lstsq import (cgls, min_norm_lsq, sketch_and_precondition,
-                    sketch_and_solve_lsq)
+from .lstsq import (cgls, min_norm_lsq, ridge_lsq,
+                    sketch_and_precondition, sketch_and_solve_lsq)
 from .nystrom import nystrom, nystrom_apply, nystrom_pcg
 from .qb import qb_decompose, qb_to_svd, rangefinder
 from .qrcp import column_id, cur, sketch_qrcp
@@ -25,7 +25,7 @@ __all__ = ["cgls", "cholqr", "column_id", "cur", "distributed_qb",
            "hutchpp", "leverage_scores", "nystrom", "nystrom_apply",
            "nystrom_pcg",
            "qb_decompose", "qb_to_svd", "rademacher_probes", "rand_eigh",
-           "rangefinder", "rsvd", "sketch_and_precondition",
+           "rangefinder", "ridge_lsq", "rsvd", "sketch_and_precondition",
            "sketch_and_solve_lsq", "sketched_tls", "tls_via_svd",
            "extremal_eigs", "power_method", "required_power_iters",
            "spectral_norm"]

@@ -52,7 +52,15 @@ def cgls(matvec: Callable, rmatvec: Callable, b: jax.Array, n: int, *,
     rounding noise instead of staying converged), or after ``maxiter``
     iterations. ``tol`` defaults to 100x the dtype epsilon.
 
-    Returns ``(x, iterations, gamma)`` with ``gamma`` the final squared
+    Divergence guard: CG iterated past the working precision does not
+    stagnate, it AMPLIFIES rounding noise (observed: gamma 4.5e-15 ->
+    4.7 within 100 extra iterations). The loop therefore tracks the
+    best iterate per column and returns THAT, and it exits early once
+    every unconverged column's residual sits far (1e4x) above its own
+    best — an unreachably tight ``tol`` now costs at most wasted
+    iterations, never a diverged answer.
+
+    Returns ``(x, iterations, gamma)`` with ``gamma`` the best squared
     normal-residual norm per column.
     """
     vec = b.ndim == 1
@@ -70,15 +78,20 @@ def cgls(matvec: Callable, rmatvec: Callable, b: jax.Array, n: int, *,
         sb = rmatvec(bb)
         gamma_ref = jnp.sum(sb * sb, axis=0)
     eps_floor = jnp.asarray(jnp.finfo(bb.dtype).tiny, gamma0.dtype)
+    thresh = jnp.maximum(tol * tol * gamma_ref, eps_floor)
 
     def cond(state):
-        _, _, _, _, gamma, k = state
+        _, _, _, _, gamma, _, gamma_best, k = state
+        unconverged = gamma > thresh
+        progressing = gamma <= 1e4 * gamma_best
         return jnp.logical_and(
-            jnp.any(gamma > jnp.maximum(tol * tol * gamma_ref, eps_floor)),
-            k < maxiter)
+            jnp.any(unconverged),
+            jnp.logical_and(jnp.any(jnp.logical_and(unconverged,
+                                                    progressing)),
+                            k < maxiter))
 
     def body(state):
-        x, r, s, p, gamma, k = state
+        x, r, s, p, gamma, x_best, gamma_best, k = state
         q = matvec(p)
         qq = jnp.sum(q * q, axis=0)
         alpha = jnp.where(qq > 0, gamma / jnp.where(qq > 0, qq, 1.0), 0.0)
@@ -86,13 +99,16 @@ def cgls(matvec: Callable, rmatvec: Callable, b: jax.Array, n: int, *,
         r = r - alpha * q
         s = rmatvec(r)
         gamma_new = jnp.sum(s * s, axis=0)
+        improved = gamma_new < gamma_best
+        x_best = jnp.where(improved[None, :], x, x_best)
+        gamma_best = jnp.where(improved, gamma_new, gamma_best)
         beta = jnp.where(gamma > 0, gamma_new / jnp.where(gamma > 0,
                                                           gamma, 1.0), 0.0)
         p = s + beta * p
-        return x, r, s, p, gamma_new, k + 1
+        return x, r, s, p, gamma_new, x_best, gamma_best, k + 1
 
-    x, _, _, _, gamma, k = jax.lax.while_loop(
-        cond, body, (x0b, r0, s0, s0, gamma0, jnp.int32(0)))
+    _, _, _, _, _, x, gamma, k = jax.lax.while_loop(
+        cond, body, (x0b, r0, s0, s0, gamma0, x0b, gamma0, jnp.int32(0)))
     return (x[:, 0] if vec else x), k, gamma
 
 
@@ -110,7 +126,9 @@ def _pcg(op: Callable, bb: jax.Array, *, pinv: Optional[Callable] = None,
     only for step sizes, because for near-singular preconditioner
     spectra it is computed by catastrophic cancellation and its sign at
     rounding level is meaningless (see nystrom_pcg's degenerate-tail
-    handling).
+    handling). Same divergence guard as cgls: the best iterate per
+    column is what gets returned, and the loop exits once every
+    unconverged column has drifted far above its own best residual.
     """
     x_init = jnp.zeros_like(bb) if x0 is None else x0
     r0 = bb if x0 is None else bb - op(x_init)
@@ -124,11 +142,17 @@ def _pcg(op: Callable, bb: jax.Array, *, pinv: Optional[Callable] = None,
     thresh = jnp.maximum(tol * tol * jnp.sum(bb * bb, axis=0), eps_floor)
 
     def cond_fn(st):
-        _, _, _, _, _, rho, k = st
-        return jnp.logical_and(jnp.any(rho > thresh), k < maxiter)
+        _, _, _, _, _, rho, _, rho_best, k = st
+        unconverged = rho > thresh
+        progressing = rho <= 1e4 * rho_best
+        return jnp.logical_and(
+            jnp.any(unconverged),
+            jnp.logical_and(jnp.any(jnp.logical_and(unconverged,
+                                                    progressing)),
+                            k < maxiter))
 
     def body_fn(st):
-        x, r, z, p, gamma, _, k = st
+        x, r, z, p, gamma, _, x_best, rho_best, k = st
         q = op(p)
         pq = jnp.sum(p * q, axis=0)
         alpha = jnp.where(pq > 0, gamma / jnp.where(pq > 0, pq, 1.0), 0.0)
@@ -136,14 +160,18 @@ def _pcg(op: Callable, bb: jax.Array, *, pinv: Optional[Callable] = None,
         r = r - alpha * q
         z = r if pinv is None else pinv(r)
         gamma_new = jnp.sum(r * z, axis=0)
+        rho_new = jnp.sum(r * r, axis=0)
+        improved = rho_new < rho_best
+        x_best = jnp.where(improved[None, :], x, x_best)
+        rho_best = jnp.where(improved, rho_new, rho_best)
         beta = jnp.where(gamma > 0,
                          gamma_new / jnp.where(gamma > 0, gamma, 1.0), 0.0)
         p = z + beta * p
-        return x, r, z, p, gamma_new, jnp.sum(r * r, axis=0), k + 1
+        return x, r, z, p, gamma_new, rho_new, x_best, rho_best, k + 1
 
-    x, _, _, _, _, _, iters = jax.lax.while_loop(
+    _, _, _, _, _, _, x, _, iters = jax.lax.while_loop(
         cond_fn, body_fn,
-        (x_init, r0, z0, z0, gamma0, rho0, jnp.int32(0)))
+        (x_init, r0, z0, z0, gamma0, rho0, x_init, rho0, jnp.int32(0)))
     return x, iters
 
 
@@ -391,4 +419,78 @@ def min_norm_lsq(a, b, state: RNGState, *, d: Optional[int] = None,
         tol = 100.0 * float(jnp.finfo(bb.dtype).eps)
     z, iters = _pcg(gmat, c, tol=tol, maxiter=maxiter)
     x = _apply_t(a, solve_r(z))                     # x = A^T R^-1 z
+    return (x[:, 0] if b.ndim == 1 else x), iters, nxt
+
+
+def ridge_lsq(a, b, mu: float, state: RNGState, *,
+              d: Optional[int] = None, operator: str = "saso",
+              vec_nnz: int = 8, tol: Optional[float] = None,
+              maxiter: int = 200, warm_start: bool = True,
+              dtype=None, mesh=None
+              ) -> Tuple[jax.Array, jax.Array, RNGState]:
+    """Sketch-and-precondition ridge (Tikhonov) regression:
+
+        x = argmin ||A x - b||^2 + mu * ||x||^2
+
+    for tall ``a`` (m, n) dense or sparse, via CGLS on the augmented
+    system ``[A; sqrt(mu) I] x ~= [b; 0]`` preconditioned by R from
+    ``qr([S A; sqrt(mu) I])`` — the identity block is carried exactly
+    (only A's rows need embedding), so cond of the preconditioned
+    augmented operator is O(1) whp for any mu >= 0, and the iteration
+    count is independent of both cond(A) and the regularization
+    strength. ``mu = 0`` reduces to sketch_and_precondition (same
+    operator stream: the A-sketch is identical).
+
+    ``warm_start`` seeds CGLS with the sketched ridge solution
+    ``argmin ||S A x - S b||^2 + mu ||x||^2`` (one extra d-sized sketch
+    of b; the QR is already paid for). ``b`` is (m,) or (m, k);
+    ``operator`` picks 'saso' | 'gaussian' | 'srht'; with ``mesh`` the
+    sketch runs m-sharded through the parallel layer and the CGLS
+    matvecs ride XLA's sharding propagation. Returns
+    ``(x, cgls_iterations, next_state)``.
+
+    The reference ships no regularized solver (its examples stop at TLS
+    and plain sketch-and-solve); this rides the same lskge3/lsksp3
+    dispatch its pipelines would.
+    """
+    m, n = a.shape
+    require(m >= n, "ridge_lsq expects a tall system (m >= n); for wide "
+                    "systems solve the dual or use nystrom_pcg on the "
+                    "Gram operator")
+    require(mu >= 0.0, "mu must be >= 0")
+    d = 2 * n if d is None else d
+    d = min(d, m)
+    require(d >= n, "sketch size d must be >= n")
+
+    sa, sb, nxt = _sketch_pair(a, b if warm_start else None, d, state,
+                               operator, vec_nnz, dtype, mesh=mesh)
+    dt = sa.dtype
+    root_mu = jnp.sqrt(jnp.asarray(mu, dt))
+    aug = jnp.concatenate([sa, root_mu * jnp.eye(n, dtype=dt)], axis=0)
+    r = jnp.linalg.qr(aug, mode="r")
+    solve_r = lambda v: jax.scipy.linalg.solve_triangular(r, v, lower=False)
+    solve_rt = lambda v: jax.scipy.linalg.solve_triangular(
+        r.T, v, lower=True)
+
+    bb = (b[:, None] if b.ndim == 1 else b).astype(dt)
+    # y = R x variables; the augmented residual splits into the data
+    # block (m rows, through A) and the regularization block (n rows,
+    # sqrt(mu) * x) — never materialized as one stacked matrix for A's
+    # side (_apply keeps sparse data sparse), only the small n-block is
+    # appended.
+    def matvec(y):
+        x = solve_r(y)
+        return jnp.concatenate([_apply(a, x), root_mu * x], axis=0)
+
+    def rmatvec(rr):
+        return solve_rt(_apply_t(a, rr[:m]) + root_mu * rr[m:])
+
+    b_aug = jnp.concatenate(
+        [bb, jnp.zeros((n, bb.shape[1]), dt)], axis=0)
+    # warm start: the sketched-ridge solution solves (R^T R) x = (SA)^T Sb,
+    # i.e. y0 = R^-T (SA)^T Sb
+    y0 = solve_rt(sa.T @ sb) if warm_start else None
+    y, iters, _ = cgls(matvec, rmatvec, b_aug, n, x0=y0, tol=tol,
+                       maxiter=maxiter)
+    x = solve_r(y)
     return (x[:, 0] if b.ndim == 1 else x), iters, nxt

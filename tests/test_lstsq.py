@@ -263,3 +263,118 @@ class TestMinNormLsq:
         a = jnp.zeros((50, 10), jnp.float32)
         with pytest.raises(ValueError):
             rla.min_norm_lsq(a, jnp.zeros(50), rbt.default_state(9))
+
+
+class TestRidgeLsq:
+    @pytest.mark.parametrize("operator", ["saso", "gaussian", "srht"])
+    def test_matches_direct_normal_equations(self, operator):
+        a, b, _ = _tall_problem(cond=1e2, noise=1e-3, seed=5)
+        mu = 0.05
+        x, iters, _ = rla.ridge_lsq(a, b, mu, RNGState.from_key(3),
+                                    operator=operator, tol=1e-6,
+                                    maxiter=100)
+        an, bn = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        x_ref = np.linalg.solve(an.T @ an + mu * np.eye(an.shape[1]),
+                                an.T @ bn)
+        np.testing.assert_allclose(np.asarray(x), x_ref, rtol=0, atol=2e-4)
+        assert int(iters) < 80
+
+    def test_iterations_independent_of_conditioning(self):
+        # the augmented-system preconditioner handles cond(A) AND mu:
+        # ill-conditioned data with small mu still converges in O(1)
+        a, b, _ = _tall_problem(cond=1e6, noise=1e-3, seed=6)
+        x, iters, _ = rla.ridge_lsq(a, b, 1e-4, RNGState.from_key(4),
+                                    tol=1e-6, maxiter=150)
+        assert np.all(np.isfinite(np.asarray(x)))
+        assert int(iters) < 80
+
+    def test_mu_zero_matches_precondition(self):
+        a, b, _ = _tall_problem(cond=1e2, noise=1e-3, seed=7)
+        x0, _, nxt0 = rla.ridge_lsq(a, b, 0.0, RNGState.from_key(5),
+                                    tol=1e-8, maxiter=150)
+        x1, _, nxt1 = sketch_and_precondition(a, b, RNGState.from_key(5),
+                                              tol=1e-8, maxiter=150)
+        np.testing.assert_allclose(np.asarray(x0), np.asarray(x1),
+                                   rtol=0, atol=1e-4)
+        # identical operator stream (same A-sketch consumed)
+        assert nxt0.to_dict() == nxt1.to_dict()
+
+    def test_block_rhs_and_shrinkage(self):
+        a, b, _ = _tall_problem(cond=1e2, noise=1e-3, seed=8, k_rhs=3)
+        x_small, _, _ = rla.ridge_lsq(a, b, 1e-3, RNGState.from_key(6),
+                                      tol=1e-7, maxiter=120)
+        x_big, _, _ = rla.ridge_lsq(a, b, 100.0, RNGState.from_key(6),
+                                    tol=1e-7, maxiter=120)
+        assert x_small.shape == (a.shape[1], b.shape[1])
+        # heavier regularization shrinks the solution
+        assert float(jnp.linalg.norm(x_big)) < float(jnp.linalg.norm(x_small))
+
+    def test_sparse_data(self):
+        rng = np.random.default_rng(9)
+        m, n = 400, 24
+        dense = np.zeros((m, n), np.float32)
+        nnz = 3000
+        ii = rng.integers(0, m, nnz)
+        jj = rng.integers(0, n, nnz)
+        vv = rng.normal(size=nnz).astype(np.float32)
+        np.add.at(dense, (ii, jj), vv)
+        coo = COOMatrix.from_dense(jnp.asarray(dense))
+        b = jnp.asarray(rng.normal(size=m), jnp.float32)
+        mu = 0.1
+        x, _, _ = rla.ridge_lsq(coo, b, mu, RNGState.from_key(7),
+                                operator="gaussian", tol=1e-6, maxiter=100)
+        dn, bn = dense.astype(np.float64), np.asarray(b, np.float64)
+        x_ref = np.linalg.solve(dn.T @ dn + mu * np.eye(n), dn.T @ bn)
+        np.testing.assert_allclose(np.asarray(x), x_ref, rtol=0, atol=2e-4)
+
+    def test_mesh_matches_single_device(self):
+        from randblas_tpu.parallel import make_sketch_mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh = make_sketch_mesh(2, 4)
+        a, b, _ = _tall_problem(m=512, n=24, cond=1e2, noise=1e-3, seed=10)
+        x_ref, _, nxt_ref = rla.ridge_lsq(a, b, 0.05, RNGState.from_key(8),
+                                          tol=1e-6, maxiter=100)
+        x_mesh, _, nxt_mesh = rla.ridge_lsq(
+            jax.device_put(a, NamedSharding(mesh, P("data", None))),
+            jax.device_put(b, NamedSharding(mesh, P("data"))),
+            0.05, RNGState.from_key(8), tol=1e-6, maxiter=100, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(x_mesh), np.asarray(x_ref),
+                                   rtol=2e-4, atol=2e-4)
+        assert nxt_mesh.to_dict() == nxt_ref.to_dict()
+
+    def test_validates(self):
+        a = jnp.zeros((10, 20), jnp.float32)
+        with pytest.raises(ValueError):
+            rla.ridge_lsq(a, jnp.zeros(10), 0.1, RNGState.from_key(9))
+        with pytest.raises(ValueError):
+            rla.ridge_lsq(jnp.zeros((20, 10), jnp.float32), jnp.zeros(20),
+                          -1.0, RNGState.from_key(9))
+
+
+class TestDivergenceGuard:
+    def test_unreachable_tol_returns_best_iterate(self):
+        # review regression: an f32-unreachable tol used to make CGLS
+        # iterate past machine precision and DIVERGE (observed max err
+        # ~650 vs the direct solve); the loop now tracks the best
+        # iterate per column, exits once every unconverged column sits
+        # 1e4x above its own best, and returns the best.
+        a, b, _ = _tall_problem(cond=1e4, noise=1e-3, seed=11)
+        mu = 0.01
+        x, iters, _ = rla.ridge_lsq(a, b, mu, RNGState.from_key(10),
+                                    tol=1e-7, maxiter=200)
+        an, bn = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        x_ref = np.linalg.solve(an.T @ an + mu * np.eye(an.shape[1]),
+                                an.T @ bn)
+        err = np.abs(np.asarray(x) - x_ref).max()
+        assert err < 1e-3, err
+        # and the divergence exit fires before maxiter burns out
+        assert int(iters) < 200
+
+    def test_pcg_guard_min_norm(self):
+        rng = np.random.default_rng(12)
+        aw = jnp.asarray(rng.normal(size=(40, 300)), jnp.float32)
+        bw = jnp.asarray(rng.normal(size=40), jnp.float32)
+        xm, _, _ = rla.min_norm_lsq(aw, bw, RNGState.from_key(11),
+                                    tol=1e-10, maxiter=300)
+        rm = float(jnp.linalg.norm(aw @ xm - bw) / jnp.linalg.norm(bw))
+        assert rm < 1e-4
