@@ -8,8 +8,9 @@ from .eigh import rand_eigh
 from .embed import make_embedding
 from .lstsq import (cgls, min_norm_lsq, ridge_lsq,
                     sketch_and_precondition, sketch_and_solve_lsq)
+from .krylov import krylov_rangefinder, rsvd_krylov
 from .nystrom import nystrom, nystrom_apply, nystrom_pcg
-from .qb import qb_decompose, qb_to_svd, rangefinder
+from .qb import qb_decompose, qb_to_svd, range_error_estimate, rangefinder
 from .qrcp import column_id, cur, sketch_qrcp
 from .rsvd import rsvd
 from .spectral import (extremal_eigs, power_method, required_power_iters,
@@ -20,8 +21,9 @@ from .trace import exact_trace, hutchinson, hutchpp, rademacher_probes
 __all__ = ["cgls", "cholqr", "column_id", "cur", "distributed_qb",
            "distributed_rangefinder", "distributed_rsvd",
            "exact_leverage_scores",
-           "exact_trace", "hutchinson", "make_embedding", "min_norm_lsq",
-           "sketch_qrcp",
+           "exact_trace", "hutchinson", "krylov_rangefinder",
+           "make_embedding", "min_norm_lsq",
+           "range_error_estimate", "rsvd_krylov", "sketch_qrcp",
            "hutchpp", "leverage_scores", "nystrom", "nystrom_apply",
            "nystrom_pcg",
            "qb_decompose", "qb_to_svd", "rademacher_probes", "rand_eigh",

@@ -1,0 +1,130 @@
+"""Tests for linalg/krylov.py (block Krylov rangefinder / rsvd_krylov)
+and qb.range_error_estimate.
+
+Model: the reference's QB example assertions (svd_rank1_plus_noise.cc)
+on planted spectra, plus the Musco-Musco 2015 claim the tier exists
+for — better tail accuracy per pass than power iteration on slowly
+decaying spectra.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import randblas_tpu as rbt
+from randblas_tpu import RNGState
+from randblas_tpu import linalg as rla
+from randblas_tpu.sparse_data.coo import COOMatrix
+
+
+def _spectrum_matrix(m, n, sv, seed=0):
+    rng = np.random.default_rng(seed)
+    u, _ = np.linalg.qr(rng.normal(size=(m, len(sv))))
+    v, _ = np.linalg.qr(rng.normal(size=(n, len(sv))))
+    return jnp.asarray((u * sv) @ v.T, jnp.float32)
+
+
+class TestKrylovRangefinder:
+    def test_basis_orthonormal_and_captures_range(self):
+        sv = np.linspace(8.0, 1.0, 6)
+        a = _spectrum_matrix(400, 64, sv, seed=1)
+        q = rla.krylov_rangefinder(a, 6, RNGState.from_key(1), depth=2)
+        assert q.shape == (400, 18)
+        np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(18),
+                                   atol=5e-5)
+        # rank-6 A: the Krylov basis must contain its range
+        res = np.asarray(a) - np.asarray(q) @ (np.asarray(q).T @ np.asarray(a))
+        assert np.abs(res).max() < 1e-4
+
+    def test_depth_zero_is_single_pass(self):
+        a = _spectrum_matrix(200, 40, np.linspace(4, 1, 5), seed=2)
+        q = rla.krylov_rangefinder(a, 8, RNGState.from_key(2), depth=0)
+        assert q.shape == (200, 8)
+
+    def test_validates(self):
+        a = jnp.zeros((20, 10), jnp.float32)
+        with pytest.raises(ValueError):
+            rla.krylov_rangefinder(a, 4, RNGState.from_key(3), depth=3)
+
+    def test_sparse_data(self):
+        rng = np.random.default_rng(4)
+        dense = np.zeros((300, 50), np.float32)
+        ii = rng.integers(0, 300, 2500)
+        jj = rng.integers(0, 50, 2500)
+        np.add.at(dense, (ii, jj), rng.normal(size=2500).astype(np.float32))
+        coo = COOMatrix.from_dense(jnp.asarray(dense))
+        q = rla.krylov_rangefinder(coo, 5, RNGState.from_key(5), depth=1)
+        np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(10),
+                                   atol=5e-5)
+
+
+class TestRsvdKrylov:
+    def test_recovers_planted_spectrum(self):
+        sv = np.linspace(10.0, 2.0, 8)
+        a = _spectrum_matrix(500, 80, sv, seed=6)
+        u, s, vt = rla.rsvd_krylov(a, 8, RNGState.from_key(6), depth=2)
+        np.testing.assert_allclose(np.asarray(s), sv, rtol=1e-3)
+        approx = np.asarray(u) * np.asarray(s) @ np.asarray(vt)
+        np.testing.assert_allclose(approx, np.asarray(a), atol=2e-3)
+
+    def test_beats_power_iteration_on_slow_decay(self):
+        # the Musco-Musco regime: slowly decaying spectrum (sv_i =
+        # i^-1/2). At EQUAL passes over A (depth == power_iters) the
+        # Krylov basis keeps every intermediate block, so its top-k
+        # values converge far faster; measured across seeds 1-3 the
+        # advantage is 5-100x (0.0002-0.012 vs 0.010-0.031 at depths
+        # 2-3), so the 1.0x assertion below is seed-robust.
+        rng = np.random.default_rng(7)
+        m, n, k = 600, 300, 10
+        sv = np.arange(1, n + 1) ** -0.5
+        u0, _ = np.linalg.qr(rng.normal(size=(m, n)))
+        v0, _ = np.linalg.qr(rng.normal(size=(n, n)))
+        a = jnp.asarray((u0 * sv) @ v0.T, jnp.float32)
+        ref = sv[:k]
+        _, s_kry, _ = rla.rsvd_krylov(a, k, RNGState.from_key(7),
+                                      block=k + 2, depth=3)
+        _, s_pow, _ = rla.rsvd(a, k, RNGState.from_key(7), oversample=2,
+                               power_iters=3)
+        err_kry = np.abs(np.asarray(s_kry) - ref).max()
+        err_pow = np.abs(np.asarray(s_pow) - ref).max()
+        assert err_kry <= err_pow
+        assert err_kry < 5e-3
+
+    def test_reproducible(self):
+        a = _spectrum_matrix(200, 60, np.linspace(5, 1, 6), seed=8)
+        _, s1, _ = rla.rsvd_krylov(a, 6, RNGState.from_key(9))
+        _, s2, _ = rla.rsvd_krylov(a, 6, RNGState.from_key(9))
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+class TestRangeErrorEstimate:
+    def test_certifies_captured_range(self):
+        sv = np.linspace(6.0, 1.0, 5)
+        a = _spectrum_matrix(300, 50, sv, seed=10)
+        q = rla.rangefinder(a, 5, RNGState.from_key(10))
+        bound, nxt = rla.range_error_estimate(a, q, RNGState.from_key(11))
+        # exact rank 5 captured: the certificate must be ~rounding level
+        assert float(bound) < 1e-2
+        assert nxt.to_dict() != RNGState.from_key(11).to_dict()
+
+    def test_bound_holds_for_truncated_basis(self):
+        # basis captures only 3 of 6 directions: the true residual norm
+        # is sv[3]; the probabilistic bound must sit above it
+        sv = np.linspace(6.0, 1.0, 6)
+        a = _spectrum_matrix(300, 50, sv, seed=12)
+        q = rla.rangefinder(a, 3, RNGState.from_key(12))
+        bound, _ = rla.range_error_estimate(a, q, RNGState.from_key(13))
+        an, qn = np.asarray(a, np.float64), np.asarray(q, np.float64)
+        true_err = np.linalg.norm(an - qn @ (qn.T @ an), 2)
+        assert float(bound) >= true_err
+        # and it is not vacuous: within the alpha*sqrt(2/pi)*sqrt(n)
+        # worst-case inflation of the truth
+        assert float(bound) < 50.0 * true_err
+
+    def test_chains_like_other_estimators(self):
+        a = _spectrum_matrix(100, 30, np.linspace(3, 1, 4), seed=14)
+        q = rla.rangefinder(a, 4, RNGState.from_key(14))
+        b1, n1 = rla.range_error_estimate(a, q, RNGState.from_key(15))
+        b2, n2 = rla.range_error_estimate(a, q, RNGState.from_key(15))
+        assert float(b1) == float(b2)
+        assert n1.to_dict() == n2.to_dict()
