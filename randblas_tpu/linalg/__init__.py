@@ -10,7 +10,8 @@ from .lstsq import (cgls, min_norm_lsq, ridge_lsq,
                     sketch_and_precondition, sketch_and_solve_lsq)
 from .krylov import krylov_rangefinder, rsvd_krylov
 from .nystrom import nystrom, nystrom_apply, nystrom_pcg
-from .qb import qb_decompose, qb_to_svd, range_error_estimate, rangefinder
+from .qb import (adaptive_rangefinder, qb_decompose, qb_to_svd,
+                 range_error_estimate, rangefinder)
 from .qrcp import column_id, cur, sketch_qrcp
 from .rsvd import rsvd
 from .spectral import (extremal_eigs, power_method, required_power_iters,
@@ -18,7 +19,8 @@ from .spectral import (extremal_eigs, power_method, required_power_iters,
 from .tls import sketched_tls, tls_via_svd
 from .trace import exact_trace, hutchinson, hutchpp, rademacher_probes
 
-__all__ = ["cgls", "cholqr", "column_id", "cur", "distributed_qb",
+__all__ = ["adaptive_rangefinder",
+           "cgls", "cholqr", "column_id", "cur", "distributed_qb",
            "distributed_rangefinder", "distributed_rsvd",
            "exact_leverage_scores",
            "exact_trace", "hutchinson", "krylov_rangefinder",

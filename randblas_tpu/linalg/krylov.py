@@ -28,7 +28,7 @@ from ..base import require
 from ..dense import DenseDist, DenseSkOp
 from ..rng.state import RNGState
 from ..skge import sketch_general
-from .qb import _apply, _apply_t, _is_sparse
+from .qb import _apply, _apply_t, _is_sparse, _mm_precise
 
 
 def krylov_rangefinder(a, block: int, state: RNGState, *, depth: int = 2,
@@ -44,11 +44,22 @@ def krylov_rangefinder(a, block: int, state: RNGState, *, depth: int = 2,
     'saso' | 'srht'; sparse data is 'gaussian' only).
 
     Each new block is orthogonalized against the accumulated basis with
-    two block Gram-Schmidt passes before its thin QR — by construction
-    late Krylov blocks become nearly dependent on earlier ones (that is
-    the algorithm converging), and a single pass loses orthogonality
-    exactly then.
+    two block Gram-Schmidt passes, then absorbed through an SVD with a
+    rank cutoff — by construction late Krylov blocks become nearly
+    dependent on earlier ones (that is the algorithm converging), and
+    plain QR of such a rank-deficient residual turns its numerically
+    zero columns into only-approximately-orthogonal junk that corrupts
+    the basis (see adaptive_rangefinder). The returned width is
+    therefore AT MOST block*(depth+1): once A's range is captured to
+    working precision the basis stops growing.
+
+    On TPU the big A-products run bf16-on-MXU for throughput, so their
+    ~1e-2-relative rounding usually keeps late blocks above the rank
+    cutoff — the basis then reaches its full width with (orthonormal,
+    harmless) noise directions rather than stopping early; the early
+    stop engages under f64, on CPU, or when A's action is exact.
     """
+    import numpy as np
     m, n = a.shape
     require(block >= 1, "block must be >= 1")
     require(depth >= 0, "depth must be >= 0")
@@ -65,13 +76,24 @@ def krylov_rangefinder(a, block: int, state: RNGState, *, depth: int = 2,
         from .embed import make_embedding
         S = make_embedding(operator, block, n, state, dtype=dtype)
         y = sketch_general(S, a.astype(dtype), side="right", op_s="T")
-    basis, _ = jnp.linalg.qr(y)
+    ur, sr, _ = jnp.linalg.svd(y, full_matrices=False)
+    cut = 20.0 * float(jnp.finfo(dtype).eps) * float(m) ** 0.5 \
+        * float(sr[0])
+    keep = max(1, int((np.asarray(sr) > cut).sum()))
+    basis = prev = ur[:, :keep]
     for _ in range(depth):
-        y = _apply(a, _apply_t(a, basis[:, -block:]))
-        y = y - basis @ (basis.T @ y)
-        y = y - basis @ (basis.T @ y)                # second GS pass
-        q, _ = jnp.linalg.qr(y)
-        basis = jnp.concatenate([basis, q], axis=1)
+        y = _apply(a, _apply_t(a, prev))
+        # projections at full precision: on TPU the bf16 MXU rounding of
+        # a plain product would leave ~1e-2-relative ghosts of captured
+        # directions above the rank cutoff (see qb._mm_precise)
+        y = y - _mm_precise(basis, _mm_precise(basis.T, y))
+        y = y - _mm_precise(basis, _mm_precise(basis.T, y))
+        ur, sr, _ = jnp.linalg.svd(y, full_matrices=False)
+        keep = int((np.asarray(sr) > cut).sum())
+        if keep == 0:
+            break                                    # range captured
+        prev = ur[:, :keep]
+        basis = jnp.concatenate([basis, prev], axis=1)
     return basis
 
 
@@ -97,4 +119,13 @@ def rsvd_krylov(a, rank: int, state: RNGState, *, block: int = None,
         q.T, a.astype(dtype), preferred_element_type=dtype)
     ub, s, vt = jnp.linalg.svd(bb, full_matrices=False)
     u = jnp.matmul(q, ub[:, :rank])
-    return u, s[:rank], vt[:rank, :]
+    s, vt = s[:rank], vt[:rank, :]
+    if q.shape[1] < rank:
+        # A's numerical rank is below the request (the rangefinder's
+        # rank cutoff stopped the basis early): pad honestly with zero
+        # singular values / vectors rather than junk directions.
+        pad = rank - q.shape[1]
+        u = jnp.concatenate([u, jnp.zeros((m, pad), u.dtype)], axis=1)
+        s = jnp.concatenate([s, jnp.zeros((pad,), s.dtype)])
+        vt = jnp.concatenate([vt, jnp.zeros((pad, n), vt.dtype)], axis=0)
+    return u, s, vt

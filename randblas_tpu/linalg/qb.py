@@ -13,6 +13,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..base import require
 from ..dense import DenseDist, DenseSkOp
@@ -46,6 +47,27 @@ def _apply_t(a, x):
         return left_spmm(a, x, op_a="T")
     from ..skge import _matmul
     return _matmul(a.T, x, x.dtype)
+
+
+def _mm_precise(x, y):
+    """Full-precision matmul for the certificate/adaptive paths. On TPU,
+    plain f32 matmuls run bf16-on-MXU (~8e-3 relative rounding), which
+    floors residuals of captured ranges at 1e-2 of ||A|| — the adaptive
+    loop then can never certify a tighter tol and absorbs junk blocks
+    to its cap (observed on-chip: basis at the 256-column limit, bound
+    4330). Precision.HIGHEST forces the 3-pass f32 MXU path; these are
+    thin (m, k) x (k, b) products, so the 3x is negligible."""
+    return jnp.matmul(x, y, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=y.dtype)
+
+
+def _apply_precise(a, x):
+    """a @ x at certificate precision: dense f32/bf16 products run at
+    Precision.HIGHEST (see _mm_precise); f64 keeps the hiprec routing
+    (already ~f64-accurate); sparse applies are exact gathers/sums."""
+    if _is_sparse(a) or x.dtype == jnp.float64:
+        return _apply(a, x)
+    return _mm_precise(a, x)
 
 
 def rangefinder(a, k: int, state: RNGState, power_iters: int = 2,
@@ -97,6 +119,76 @@ def qb_to_svd(q: jax.Array, b: jax.Array):
     return u, s, vt
 
 
+def adaptive_rangefinder(a, tol: float, state: RNGState, *,
+                         block: int = 16, max_rank: int = None,
+                         alpha: float = 10.0, dtype=jnp.float32
+                         ) -> Tuple[jax.Array, jax.Array, RNGState]:
+    """Grow an orthonormal basis Q until ``||(I - Q Q^T) A||_2 <= tol``
+    is CERTIFIED (probability >= 1 - alpha**(-block) per check) — the
+    rank-adaptive rangefinder of Halko-Martinsson-Tropp 2011 alg. 4.2,
+    blocked: each round draws ``block`` fresh Gaussian probe columns,
+    uses their residuals against the current basis both as the error
+    certificate (range_error_estimate's bound) and, if the bound is
+    still above ``tol``, as the next basis block (the probes are never
+    wasted). Returns ``(q, bound, next_state)`` with ``bound`` the
+    certified estimate at exit.
+
+    The loop is host-driven (the basis width is data-dependent, which
+    cannot live under one jit); each round's work is three GEMM-shaped
+    products and a thin QR, and the number of distinct compiled shapes
+    is rank/block. ``max_rank`` caps the basis (default min(A.shape)
+    rounded down to a block multiple; the cap returning with
+    bound > tol means A's tail is heavier than tol).
+
+    The fixed-rank ``rangefinder``/``krylov_rangefinder`` remain the
+    right call when k is known — they add power/Krylov iterations this
+    adaptive form does not.
+
+    Choosing ``tol``: the certificate overestimates the spectral norm by
+    up to ~||E||_F / ||E||_2 (probe residual norms concentrate at the
+    FROBENIUS scale), so for heavy/noisy tails set ``tol`` at the
+    Frobenius level of the residual you will tolerate, not its spectral
+    norm — a tol below the certificate's noise floor makes the loop
+    absorb the noise space block by block until max_rank.
+    """
+    m, n = a.shape
+    require(tol > 0, "tol must be > 0")
+    require(block >= 1, "block must be >= 1")
+    limit = min(m, n) if max_rank is None else min(max_rank, min(m, n))
+    scale = alpha * float(jnp.sqrt(2.0 / jnp.pi))
+    q = jnp.zeros((m, 0), dtype)
+    st = state
+    a_scale = None
+    while True:
+        S = DenseSkOp(DenseDist(n, block), st, dtype=dtype)
+        y = _apply_precise(a, S.materialize())      # (m, block)
+        st = S.next_state
+        r = y - _mm_precise(q, _mm_precise(q.T, y))
+        mx = float(jnp.max(jnp.linalg.norm(r, axis=0)))
+        bound = scale * mx
+        if a_scale is None:
+            a_scale = mx                            # first round: r == y
+        if bound <= tol or q.shape[1] >= limit:
+            return q, jnp.asarray(bound, dtype), st
+        r = r - _mm_precise(q, _mm_precise(q.T, r))  # second GS pass
+        # SVD-based orthonormalization with a rank cutoff: residual
+        # blocks go rank-deficient once most of the range is captured,
+        # and plain QR turns their numerically-zero columns into
+        # only-approximately-orthogonal junk that DESTROYS the basis
+        # (observed: orthogonality error 0.77, "bound" exploding to
+        # ~700 on an exactly low-rank A with an unreachable tol). Keep
+        # only directions with real content; zero survivors means the
+        # range is captured to working precision — stop.
+        ur, sr, _ = jnp.linalg.svd(r, full_matrices=False)
+        cut = 20.0 * float(jnp.finfo(dtype).eps) * float(m) ** 0.5 \
+            * a_scale
+        keep = int((np.asarray(sr) > cut).sum())
+        keep = min(keep, limit - q.shape[1])
+        if keep == 0:
+            return q, jnp.asarray(bound, dtype), st
+        q = jnp.concatenate([q, ur[:, :keep]], axis=1)
+
+
 def range_error_estimate(a, q: jax.Array, state: RNGState, *,
                          probes: int = 10, alpha: float = 10.0,
                          dtype=None) -> Tuple[jax.Array, RNGState]:
@@ -119,8 +211,8 @@ def range_error_estimate(a, q: jax.Array, state: RNGState, *,
     require(probes >= 1, "probes must be >= 1")
     dtype = dtype or q.dtype
     W = DenseSkOp(DenseDist(n, probes), state, dtype=dtype)
-    y = _apply(a, W.materialize())                  # (m, probes)
-    r = y - q @ (q.T @ y)
+    y = _apply_precise(a, W.materialize())          # (m, probes)
+    r = y - _mm_precise(q, _mm_precise(q.T, y))
     norms = jnp.linalg.norm(r, axis=0)
     bound = alpha * jnp.sqrt(2.0 / jnp.pi) * jnp.max(norms)
     return bound.astype(dtype), W.next_state

@@ -29,17 +29,20 @@ class TestKrylovRangefinder:
         sv = np.linspace(8.0, 1.0, 6)
         a = _spectrum_matrix(400, 64, sv, seed=1)
         q = rla.krylov_rangefinder(a, 6, RNGState.from_key(1), depth=2)
-        assert q.shape == (400, 18)
-        np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(18),
+        # exact rank 6: the rank cutoff stops the basis at the range —
+        # later Krylov blocks carry no new content
+        assert q.shape == (400, 6)
+        np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(6),
                                    atol=5e-5)
         # rank-6 A: the Krylov basis must contain its range
         res = np.asarray(a) - np.asarray(q) @ (np.asarray(q).T @ np.asarray(a))
         assert np.abs(res).max() < 1e-4
 
     def test_depth_zero_is_single_pass(self):
+        # block 8 > rank 5: the cutoff keeps only the 5 real directions
         a = _spectrum_matrix(200, 40, np.linspace(4, 1, 5), seed=2)
         q = rla.krylov_rangefinder(a, 8, RNGState.from_key(2), depth=0)
-        assert q.shape == (200, 8)
+        assert q.shape == (200, 5)
 
     def test_validates(self):
         a = jnp.zeros((20, 10), jnp.float32)
@@ -128,3 +131,89 @@ class TestRangeErrorEstimate:
         b2, n2 = rla.range_error_estimate(a, q, RNGState.from_key(15))
         assert float(b1) == float(b2)
         assert n1.to_dict() == n2.to_dict()
+
+
+class TestAdaptiveRangefinder:
+    def test_finds_planted_rank(self):
+        # rank-12 signal at scale >= 1, noise at 1e-4. The certificate
+        # floor sits at ~alpha*sqrt(2/pi)*||E w|| ~ 0.18 for this noise
+        # (probe norms concentrate at the FROBENIUS scale — HMT's
+        # estimator overestimates by ~||E||_F/||E||_2); a tol above that
+        # floor but below the smallest signal value (1.0) must stop
+        # within a couple of blocks of the true rank.
+        rng = np.random.default_rng(20)
+        m, n, r = 400, 120, 12
+        u0, _ = np.linalg.qr(rng.normal(size=(m, r)))
+        v0, _ = np.linalg.qr(rng.normal(size=(n, r)))
+        a = jnp.asarray((u0 * np.linspace(9, 1, r)) @ v0.T
+                        + 1e-4 * rng.normal(size=(m, n)), jnp.float32)
+        q, bound, nxt = rla.adaptive_rangefinder(a, 0.3,
+                                                 RNGState.from_key(20),
+                                                 block=8)
+        assert float(bound) <= 0.3
+        assert r <= q.shape[1] <= r + 16       # within two blocks of rank
+        res = np.asarray(a) - np.asarray(q) @ (np.asarray(q).T
+                                               @ np.asarray(a))
+        assert np.linalg.norm(res, 2) <= 0.3   # certificate is honest
+        np.testing.assert_allclose(np.asarray(q.T @ q),
+                                   np.eye(q.shape[1]), atol=5e-5)
+
+    def test_max_rank_cap(self):
+        rng = np.random.default_rng(21)
+        a = jnp.asarray(rng.normal(size=(100, 80)), jnp.float32)
+        q, bound, _ = rla.adaptive_rangefinder(a, 1e-6,
+                                               RNGState.from_key(21),
+                                               block=16, max_rank=32)
+        assert q.shape[1] <= 32
+        assert float(bound) > 1e-6             # honestly reports failure
+
+    def test_zero_matrix_stops_immediately(self):
+        a = jnp.zeros((50, 40), jnp.float32)
+        q, bound, _ = rla.adaptive_rangefinder(a, 1e-3,
+                                               RNGState.from_key(22))
+        assert q.shape[1] == 0
+        assert float(bound) <= 1e-3
+
+    def test_chains_state(self):
+        rng = np.random.default_rng(23)
+        a = jnp.asarray(rng.normal(size=(60, 40)), jnp.float32)
+        _, _, n1 = rla.adaptive_rangefinder(a, 1e-2, RNGState.from_key(23),
+                                            block=8, max_rank=16)
+        _, _, n2 = rla.adaptive_rangefinder(a, 1e-2, RNGState.from_key(23),
+                                            block=8, max_rank=16)
+        assert n1.to_dict() == n2.to_dict()
+        assert n1.to_dict() != RNGState.from_key(23).to_dict()
+
+    def test_unreachable_tol_on_exact_low_rank(self):
+        # drive regression: exact rank-10 A with tol below the rounding
+        # floor used to QR numerically-zero residual blocks into junk
+        # directions — basis grew to the cap, orthonormality collapsed,
+        # and the "bound" exploded to ~700. The eps-floor cutoff now
+        # stops right after the range is captured.
+        rng = np.random.default_rng(24)
+        u0, _ = np.linalg.qr(rng.normal(size=(300, 10)))
+        v0, _ = np.linalg.qr(rng.normal(size=(80, 10)))
+        a = jnp.asarray((u0 * np.linspace(5, 1, 10)) @ v0.T, jnp.float32)
+        q, bound, _ = rla.adaptive_rangefinder(a, 1e-12,
+                                               RNGState.from_key(24),
+                                               block=6)
+        assert 10 <= q.shape[1] <= 18
+        np.testing.assert_allclose(np.asarray(q.T @ q),
+                                   np.eye(q.shape[1]), atol=5e-5)
+        res = np.asarray(a) - np.asarray(q) @ (np.asarray(q).T
+                                               @ np.asarray(a))
+        assert np.linalg.norm(res, 2) < 1e-4
+
+
+def test_rsvd_krylov_rank_above_numerical_rank_pads_with_zeros():
+    """Asking for more rank than A has: the basis stops at the numerical
+    rank and the extra singular triples come back as exact zeros, never
+    junk directions."""
+    a = _spectrum_matrix(200, 60, np.linspace(5, 1, 4), seed=30)
+    u, s, vt = rla.rsvd_krylov(a, 8, RNGState.from_key(30), block=8,
+                               depth=1)
+    assert u.shape == (200, 8) and s.shape == (8,) and vt.shape == (8, 60)
+    np.testing.assert_allclose(np.asarray(s[:4]), np.linspace(5, 1, 4),
+                               rtol=1e-3)
+    assert np.all(np.asarray(s[4:]) == 0.0)
+    assert np.all(np.asarray(u[:, 4:]) == 0.0)
