@@ -12,6 +12,7 @@ from .krylov import krylov_rangefinder, rsvd_krylov
 from .nystrom import nystrom, nystrom_apply, nystrom_pcg
 from .qb import (adaptive_rangefinder, qb_decompose, qb_to_svd,
                  range_error_estimate, rangefinder)
+from .quadrature import logdet, slq
 from .qrcp import column_id, cur, sketch_qrcp
 from .rsvd import rsvd
 from .spectral import (extremal_eigs, power_method, required_power_iters,
@@ -26,8 +27,8 @@ __all__ = ["adaptive_rangefinder",
            "exact_trace", "hutchinson", "krylov_rangefinder",
            "make_embedding", "min_norm_lsq",
            "range_error_estimate", "rsvd_krylov", "sketch_qrcp",
-           "hutchpp", "leverage_scores", "nystrom", "nystrom_apply",
-           "nystrom_pcg",
+           "hutchpp", "leverage_scores", "logdet", "nystrom",
+           "nystrom_apply", "nystrom_pcg", "slq",
            "qb_decompose", "qb_to_svd", "rademacher_probes", "rand_eigh",
            "rangefinder", "ridge_lsq", "rsvd", "sketch_and_precondition",
            "sketch_and_solve_lsq", "sketched_tls", "tls_via_svd",
