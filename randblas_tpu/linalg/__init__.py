@@ -2,7 +2,8 @@
 examples/ tier, as a library)."""
 
 from .leverage import exact_leverage_scores, leverage_scores
-from .distributed import (cholqr, distributed_qb, distributed_rangefinder,
+from .distributed import (cholqr, distributed_krylov_rangefinder,
+                          distributed_qb, distributed_rangefinder,
                           distributed_rsvd)
 from .eigh import rand_eigh
 from .embed import make_embedding
@@ -21,7 +22,8 @@ from .tls import sketched_tls, tls_via_svd
 from .trace import exact_trace, hutchinson, hutchpp, rademacher_probes
 
 __all__ = ["adaptive_rangefinder",
-           "cgls", "cholqr", "column_id", "cur", "distributed_qb",
+           "cgls", "cholqr", "column_id", "cur",
+           "distributed_krylov_rangefinder", "distributed_qb",
            "distributed_rangefinder", "distributed_rsvd",
            "exact_leverage_scores",
            "exact_trace", "hutchinson", "krylov_rangefinder",

@@ -184,3 +184,91 @@ def distributed_rsvd(a: jax.Array, k: int, state: RNGState, mesh: Mesh, *,
     ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
     u = _mm(q, ub[:, :k], q.dtype)
     return u, s[:k], vt[:k]
+
+
+def _absorb_gram(r, cut2, limit_cols: int):
+    """Mesh-native rank-cutoff orthonormalization: eigh of the psum'd
+    k x k Gram of the (already basis-projected) residual block ``r``,
+    keeping directions with eigenvalue > ``cut2`` — the distributed
+    analog of krylov_rangefinder's SVD absorption (an SVD of the
+    row-sharded block would gather it; the Gram reduction is the only
+    collective here). The Gram squares conditioning, so ``cut2`` is the
+    SQUARE of the intended singular-value cutoff; directions at the cut
+    carry ~sqrt(eps) accuracy, which the Krylov iteration's later
+    passes refine. Returns the new orthonormal columns or None."""
+    import numpy as np
+    g = _mm_hi(r.T, r)
+    g = 0.5 * (g + g.T)
+    lam, v = jnp.linalg.eigh(g)
+    keep = int((np.asarray(lam) > cut2).sum())
+    keep = min(keep, limit_cols)
+    if keep == 0:
+        return None
+    v_k = v[:, -keep:]
+    lam_k = jnp.maximum(lam[-keep:], jnp.finfo(r.dtype).tiny)
+    q = _mm_hi(r, v_k / jnp.sqrt(lam_k))
+    # CholQR-style refinement pass: the eigh normalization is only
+    # sqrt-of-Gram accurate (~1e-4 in f32); one more k x k Gram psum +
+    # triangular solve restores machine-precision orthonormality
+    g2 = _mm_hi(q.T, q)
+    c = jnp.linalg.cholesky(0.5 * (g2 + g2.T))
+    return jax.scipy.linalg.solve_triangular(c, q.T, lower=True).T
+
+
+def _mm_hi(x, y):
+    """Precision.HIGHEST matmul for the thin projection/Gram products:
+    on TPU the bf16-on-MXU rounding of a plain f32 product would leave
+    ~1e-2-relative ghosts of captured directions above any rank cutoff
+    (see qb._mm_precise); these are k-thin products, the 3x is noise."""
+    return jnp.matmul(x, y, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=y.dtype)
+
+
+def distributed_krylov_rangefinder(a: jax.Array, block: int,
+                                   state: RNGState, mesh: Mesh, *,
+                                   depth: int = 2, dtype=jnp.float32
+                                   ) -> jax.Array:
+    """Row-sharded block Krylov rangefinder (Musco-Musco 2015): the
+    distributed counterpart of linalg.krylov_rangefinder, with A and
+    every m-sized block P('data', None)-sharded end to end. Per depth
+    step the collectives are one n x block psum (A^T q), one
+    basis-width x block psum (the Gram-Schmidt coefficients), and one
+    block x block Gram psum (the absorption eigh) — everything reduced
+    is thin. Returns the orthonormal basis, width <= block*(depth+1)
+    (the rank cutoff stops growth once the range is captured; see
+    krylov_rangefinder's docstring for the TPU-precision caveat).
+    """
+    m, n = a.shape
+    require(block >= 1, "block must be >= 1")
+    require(depth >= 0, "depth must be >= 0")
+    require(block * (depth + 1) <= min(m, n),
+            "block * (depth+1) must be <= min(A.shape)")
+    sm, _ = _materialized_probe(n, block, state, dtype)
+    a = jax.lax.with_sharding_constraint(
+        a.astype(dtype), NamedSharding(mesh, P("data", None)))
+    shard = lambda x: jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P("data", None)))
+
+    y = shard(_mm(a, sm, dtype))                    # (m, block) sharded
+    eps = float(jnp.finfo(dtype).eps)
+    # a_scale from the first block's Gram (one k x k psum)
+    g0 = _mm_hi(y.T, y)
+    a_scale = float(jnp.sqrt(jnp.maximum(jnp.max(jnp.diag(g0)), 0.0)))
+    cut = 20.0 * eps * float(m) ** 0.5 * max(a_scale, eps)
+    basis = _absorb_gram(y, cut * cut, block)
+    if basis is None:                               # A == 0
+        return jnp.zeros((m, 0), dtype)
+    basis = shard(basis)
+    prev = basis
+    for _ in range(depth):
+        z = _mm(a.T, prev, dtype)                   # psum over 'data'
+        y = shard(_mm(a, z, dtype))
+        y = y - _mm_hi(basis, _mm_hi(basis.T, y))
+        y = y - _mm_hi(basis, _mm_hi(basis.T, y))   # second GS pass
+        q_new = _absorb_gram(y, cut * cut,
+                             min(block, min(m, n) - basis.shape[1]))
+        if q_new is None:
+            break                                   # range captured
+        prev = shard(q_new)
+        basis = shard(jnp.concatenate([basis, prev], axis=1))
+    return basis

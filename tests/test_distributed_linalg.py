@@ -255,3 +255,61 @@ class TestMeshSketchPair:
         with pytest.raises(ValueError):
             sketch_and_precondition(a, b, rbt.default_state(24),
                                     operator="srht", mesh=mesh)
+
+
+class TestDistributedKrylov:
+    def test_matches_subspace_and_stays_sharded(self):
+        from randblas_tpu.linalg import distributed_krylov_rangefinder
+        mesh = make_sketch_mesh(2, 4)
+        a, _ = _low_rank(640, 96, r=8, seed=40)
+        ash = _shard_rows(a, mesh)
+        q = distributed_krylov_rangefinder(ash, 8, rbt.default_state(41),
+                                           mesh, depth=2)
+        # exact rank 8: the rank cutoff stops the basis at the range
+        assert q.shape[1] == 8
+        np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(8),
+                                   atol=5e-5)
+        res = np.asarray(a) - np.asarray(q) @ (np.asarray(q).T
+                                               @ np.asarray(a))
+        assert np.abs(res).max() < 1e-4
+        assert len(q.sharding.device_set) > 1
+
+    def test_mesh_shape_invariance(self):
+        from randblas_tpu.linalg import distributed_krylov_rangefinder
+        a, _ = _low_rank(320, 64, r=5, noise=1e-3, seed=42)
+        outs = []
+        for model, data in [(1, 8), (2, 4)]:
+            mesh = make_sketch_mesh(model, data)
+            q = distributed_krylov_rangefinder(
+                _shard_rows(a, mesh), 5, rbt.default_state(43), mesh,
+                depth=1)
+            outs.append(np.asarray(q @ q.T))       # subspace projector
+        np.testing.assert_allclose(outs[0], outs[1], atol=1e-4)
+
+    def test_beats_power_on_slow_decay_mesh(self):
+        # the Musco-Musco advantage must survive distribution: compare
+        # top-k singular values extracted from each basis at equal passes
+        from randblas_tpu.linalg import (distributed_krylov_rangefinder,
+                                         distributed_rangefinder)
+        mesh = make_sketch_mesh(1, 8)
+        rng = np.random.default_rng(44)
+        m, n, k = 512, 256, 8
+        sv = np.arange(1, n + 1) ** -0.5
+        u0, _ = np.linalg.qr(rng.normal(size=(m, n)))
+        v0, _ = np.linalg.qr(rng.normal(size=(n, n)))
+        a = jnp.asarray((u0 * sv) @ v0.T, jnp.float32)
+        ash = _shard_rows(a, mesh)
+
+        def topk(q):
+            b = np.asarray(q).T @ np.asarray(a)
+            return np.linalg.svd(b, compute_uv=False)[:k]
+
+        qk = distributed_krylov_rangefinder(ash, k + 2,
+                                            rbt.default_state(45), mesh,
+                                            depth=3)
+        qp = distributed_rangefinder(ash, k + 2, rbt.default_state(45),
+                                     mesh, power_iters=3)
+        err_k = np.abs(topk(qk) - sv[:k]).max()
+        err_p = np.abs(topk(qp) - sv[:k]).max()
+        assert err_k <= err_p
+        assert err_k < 5e-3
