@@ -39,6 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..base import require
 from ..dense import DenseDist, DenseSkOp
 from ..rng.state import RNGState
+from .qb import _mm_precise
 
 
 def cholqr(y: jax.Array, *, iters: int = 2, shift: float = 0.0
@@ -76,7 +77,12 @@ def cholqr(y: jax.Array, *, iters: int = 2, shift: float = 0.0
     eps = jnp.finfo(dtype).eps
     r = None
     for _ in range(iters):
-        g = _mm(y.T, y, dtype)
+        # the Gram at full precision: on TPU a plain f32 product runs
+        # bf16-on-MXU (~8e-3 relative), which would both degrade the
+        # factor AND swamp the eps-scale rescue shift below — the exact
+        # NaN the rescue exists to prevent. f64 keeps the hiprec route.
+        g = _mm(y.T, y, dtype) if dtype == jnp.float64 \
+            else _mm_precise(y.T, y)
         g = 0.5 * (g + g.T)
         if shift:
             mu = shift * (jnp.trace(g) / k)
@@ -174,10 +180,13 @@ def distributed_rsvd(a: jax.Array, k: int, state: RNGState, mesh: Mesh, *,
     U = Q @ Ub is shard-local. ``oversample`` extra sketch columns are
     carried through the rangefinder and truncated after the small SVD,
     the same accuracy contract as the single-device ``rsvd`` (its
-    default p=8); the cholqr rescue keeps k+p > rank(A) finite.
+    default p=8), clamped to min(A.shape) - k so k near the small
+    dimension stays valid; the cholqr rescue keeps k+p > rank(A) finite.
     """
-    require(k + oversample <= min(a.shape),
-            "rank + oversample must be <= min(A.shape)")
+    require(k <= min(a.shape), "rank must be <= min(A.shape)")
+    # clamp instead of raising: k near min(A.shape) was valid before
+    # oversampling existed and must stay valid
+    oversample = min(oversample, min(a.shape) - k)
     q, b = distributed_qb(a, k + oversample, state, mesh,
                           power_iters=power_iters,
                           dtype=dtype, gram_shift=gram_shift)
@@ -186,42 +195,37 @@ def distributed_rsvd(a: jax.Array, k: int, state: RNGState, mesh: Mesh, *,
     return u, s[:k], vt[:k]
 
 
-def _absorb_gram(r, cut2, limit_cols: int):
+def _absorb_gram(r, rel2, limit_cols: int):
     """Mesh-native rank-cutoff orthonormalization: eigh of the psum'd
     k x k Gram of the (already basis-projected) residual block ``r``,
     keeping directions with eigenvalue > ``cut2`` — the distributed
     analog of krylov_rangefinder's SVD absorption (an SVD of the
     row-sharded block would gather it; the Gram reduction is the only
-    collective here). The Gram squares conditioning, so ``cut2`` is the
-    SQUARE of the intended singular-value cutoff; directions at the cut
-    carry ~sqrt(eps) accuracy, which the Krylov iteration's later
-    passes refine. Returns the new orthonormal columns or None."""
+    collective here). The Gram squares conditioning, so ``rel2`` is the
+    SQUARE of the intended RELATIVE singular-value cutoff (applied
+    against the block's own largest eigenvalue — Krylov loop blocks
+    scale as sigma^2 of the first block, so only a per-block relative
+    cut is scale-invariant); directions at the cut carry ~sqrt(eps)
+    accuracy, which the Krylov iteration's later passes refine. Returns
+    ``(q, lam_max)`` with ``q`` the new orthonormal columns or None."""
     import numpy as np
-    g = _mm_hi(r.T, r)
+    g = _mm_precise(r.T, r)
     g = 0.5 * (g + g.T)
     lam, v = jnp.linalg.eigh(g)
-    keep = int((np.asarray(lam) > cut2).sum())
+    lam_max = float(lam[-1])
+    keep = int((np.asarray(lam) > rel2 * max(lam_max, 0.0)).sum())
     keep = min(keep, limit_cols)
-    if keep == 0:
-        return None
+    if keep == 0 or lam_max <= 0.0:
+        return None, lam_max
     v_k = v[:, -keep:]
     lam_k = jnp.maximum(lam[-keep:], jnp.finfo(r.dtype).tiny)
-    q = _mm_hi(r, v_k / jnp.sqrt(lam_k))
+    q = _mm_precise(r, v_k / jnp.sqrt(lam_k))
     # CholQR-style refinement pass: the eigh normalization is only
     # sqrt-of-Gram accurate (~1e-4 in f32); one more k x k Gram psum +
     # triangular solve restores machine-precision orthonormality
-    g2 = _mm_hi(q.T, q)
+    g2 = _mm_precise(q.T, q)
     c = jnp.linalg.cholesky(0.5 * (g2 + g2.T))
-    return jax.scipy.linalg.solve_triangular(c, q.T, lower=True).T
-
-
-def _mm_hi(x, y):
-    """Precision.HIGHEST matmul for the thin projection/Gram products:
-    on TPU the bf16-on-MXU rounding of a plain f32 product would leave
-    ~1e-2-relative ghosts of captured directions above any rank cutoff
-    (see qb._mm_precise); these are k-thin products, the 3x is noise."""
-    return jnp.matmul(x, y, precision=jax.lax.Precision.HIGHEST,
-                      preferred_element_type=y.dtype)
+    return jax.scipy.linalg.solve_triangular(c, q.T, lower=True).T, lam_max
 
 
 def distributed_krylov_rangefinder(a: jax.Array, block: int,
@@ -250,12 +254,14 @@ def distributed_krylov_rangefinder(a: jax.Array, block: int,
         x, NamedSharding(mesh, P("data", None)))
 
     y = shard(_mm(a, sm, dtype))                    # (m, block) sharded
-    eps = float(jnp.finfo(dtype).eps)
-    # a_scale from the first block's Gram (one k x k psum)
-    g0 = _mm_hi(y.T, y)
-    a_scale = float(jnp.sqrt(jnp.maximum(jnp.max(jnp.diag(g0)), 0.0)))
-    cut = 20.0 * eps * float(m) ** 0.5 * max(a_scale, eps)
-    basis = _absorb_gram(y, cut * cut, block)
+    # scale-invariant cutoffs: each block is truncated relative to its
+    # OWN dominant eigenvalue (loop blocks scale as sigma^2 while the
+    # first block scales as sigma^1 — any absolute cut would truncate
+    # genuine Krylov directions whenever ||A|| < 1), and the loop stops
+    # when a block's post-projection Gram is a rounding ghost of its
+    # pre-projection scale.
+    rel = 20.0 * float(jnp.finfo(dtype).eps) * float(m) ** 0.5
+    basis, _ = _absorb_gram(y, rel * rel, block)
     if basis is None:                               # A == 0
         return jnp.zeros((m, 0), dtype)
     basis = shard(basis)
@@ -263,11 +269,12 @@ def distributed_krylov_rangefinder(a: jax.Array, block: int,
     for _ in range(depth):
         z = _mm(a.T, prev, dtype)                   # psum over 'data'
         y = shard(_mm(a, z, dtype))
-        y = y - _mm_hi(basis, _mm_hi(basis.T, y))
-        y = y - _mm_hi(basis, _mm_hi(basis.T, y))   # second GS pass
-        q_new = _absorb_gram(y, cut * cut,
-                             min(block, min(m, n) - basis.shape[1]))
-        if q_new is None:
+        pre2 = float(jnp.max(jnp.sum(y * y, axis=0)))  # pre-projection
+        y = y - _mm_precise(basis, _mm_precise(basis.T, y))
+        y = y - _mm_precise(basis, _mm_precise(basis.T, y))
+        q_new, lam_max = _absorb_gram(
+            y, rel * rel, min(block, min(m, n) - basis.shape[1]))
+        if q_new is None or lam_max <= (rel * rel) * pre2:
             break                                   # range captured
         prev = shard(q_new)
         basis = shard(jnp.concatenate([basis, prev], axis=1))

@@ -76,22 +76,29 @@ def krylov_rangefinder(a, block: int, state: RNGState, *, depth: int = 2,
         from .embed import make_embedding
         S = make_embedding(operator, block, n, state, dtype=dtype)
         y = sketch_general(S, a.astype(dtype), side="right", op_s="T")
+    # Scale-invariant rank cutoffs: loop blocks are (A A^T) prev, whose
+    # singular values scale as sigma^2 while the first block scales as
+    # sigma^1 — a single absolute cut would truncate genuine directions
+    # whenever ||A|| < 1 (or keep junk when ||A|| > 1). Each block is
+    # therefore truncated RELATIVE TO ITSELF (sr > rel * sr[0]), and the
+    # loop stops when a block's post-projection content is a rounding
+    # ghost of its own pre-projection scale.
+    rel = 20.0 * float(jnp.finfo(dtype).eps) * float(m) ** 0.5
     ur, sr, _ = jnp.linalg.svd(y, full_matrices=False)
-    cut = 20.0 * float(jnp.finfo(dtype).eps) * float(m) ** 0.5 \
-        * float(sr[0])
-    keep = max(1, int((np.asarray(sr) > cut).sum()))
+    keep = max(1, int((np.asarray(sr) > rel * float(sr[0])).sum()))
     basis = prev = ur[:, :keep]
     for _ in range(depth):
         y = _apply(a, _apply_t(a, prev))
+        pre_scale = float(jnp.max(jnp.linalg.norm(y, axis=0)))
         # projections at full precision: on TPU the bf16 MXU rounding of
         # a plain product would leave ~1e-2-relative ghosts of captured
         # directions above the rank cutoff (see qb._mm_precise)
         y = y - _mm_precise(basis, _mm_precise(basis.T, y))
         y = y - _mm_precise(basis, _mm_precise(basis.T, y))
         ur, sr, _ = jnp.linalg.svd(y, full_matrices=False)
-        keep = int((np.asarray(sr) > cut).sum())
-        if keep == 0:
+        if float(sr[0]) <= rel * pre_scale:
             break                                    # range captured
+        keep = int((np.asarray(sr) > rel * float(sr[0])).sum())
         prev = ur[:, :keep]
         basis = jnp.concatenate([basis, prev], axis=1)
     return basis

@@ -125,14 +125,20 @@ def extremal_eigs(a, state: RNGState, *, tol: float = 1e-2,
         # Reference parity (handrolled_lapack.hh:275-303): invert A once
         # through its Cholesky factor, power inv(A), invert the estimate.
         chol = jnp.linalg.cholesky(a.astype(dtype))
-        inv_a = jax.scipy.linalg.cho_solve((chol, True),
-                                           jnp.eye(n, dtype=dtype))
-        inv_a = 0.5 * (inv_a + inv_a.T)
-        mu, _, nxt = power_method(
-            lambda v: _apply(inv_a, v[:, None])[:, 0], n, st,
-            tol=tol, p_fail=p_fail, iters=iters, dtype=dtype)
-        lam_min = 1.0 / jnp.maximum(mu, jnp.finfo(dtype).tiny)
-        return lam_min, lam_max, nxt
+        if bool(jnp.all(jnp.isfinite(chol))):
+            inv_a = jax.scipy.linalg.cho_solve((chol, True),
+                                               jnp.eye(n, dtype=dtype))
+            inv_a = 0.5 * (inv_a + inv_a.T)
+            mu, _, nxt = power_method(
+                lambda v: _apply(inv_a, v[:, None])[:, 0], n, st,
+                tol=tol, p_fail=p_fail, iters=iters, dtype=dtype)
+            lam_min = 1.0 / jnp.maximum(mu, jnp.finfo(dtype).tiny)
+            return lam_min, lam_max, nxt
+        # singular/indefinite-at-rounding PSD (rank-deficient Gram
+        # matrices are a legitimate input per the PSD contract): the
+        # Cholesky is NaN, so fall through to the factorization-free
+        # complement path, which returns a finite lam_min ~ 0 with
+        # absolute accuracy ~tol*lam_max — never a silent NaN.
     sigma = lam_max * (1.0 + tol)
     comp = lambda v: sigma * v - matvec(v)
     mu, _, nxt = power_method(comp, n, st, tol=tol, p_fail=p_fail,

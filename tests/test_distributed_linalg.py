@@ -313,3 +313,33 @@ class TestDistributedKrylov:
         err_p = np.abs(topk(qp) - sv[:k]).max()
         assert err_k <= err_p
         assert err_k < 5e-3
+
+    def test_krylov_scale_invariance_mesh(self):
+        # review regression: same sigma^2-vs-sigma^1 cutoff bug as the
+        # single-device version (basis 40 -> 12 columns at 1e-3 scale)
+        from randblas_tpu.linalg import distributed_krylov_rangefinder
+        mesh = make_sketch_mesh(1, 8)
+        rng = np.random.default_rng(46)
+        m, n = 256, 128
+        sv = np.arange(1, n + 1) ** -0.5
+        u0, _ = np.linalg.qr(rng.normal(size=(m, n)))
+        v0, _ = np.linalg.qr(rng.normal(size=(n, n)))
+        a = jnp.asarray((u0 * sv) @ v0.T, jnp.float32)
+        q1 = distributed_krylov_rangefinder(
+            _shard_rows(a, mesh), 8, rbt.default_state(47), mesh, depth=2)
+        q2 = distributed_krylov_rangefinder(
+            _shard_rows(1e-3 * a, mesh), 8, rbt.default_state(47), mesh,
+            depth=2)
+        assert q1.shape == q2.shape
+        np.testing.assert_allclose(np.asarray(q1 @ q1.T),
+                                   np.asarray(q2 @ q2.T), atol=2e-4)
+
+    def test_rsvd_oversample_clamped_near_min_dim(self):
+        # review regression: default oversample=8 raised for k within 8
+        # of min(A.shape); it now clamps (previously valid calls stay
+        # valid)
+        mesh = make_sketch_mesh(2, 4)
+        a, s_true = _low_rank(320, 16, r=16, seed=48)
+        _, s, _ = distributed_rsvd(_shard_rows(a, mesh), 16,
+                                   rbt.default_state(49), mesh)
+        np.testing.assert_allclose(np.asarray(s), s_true, rtol=1e-3)

@@ -217,3 +217,27 @@ def test_rsvd_krylov_rank_above_numerical_rank_pads_with_zeros():
                                rtol=1e-3)
     assert np.all(np.asarray(s[4:]) == 0.0)
     assert np.all(np.asarray(u[:, 4:]) == 0.0)
+
+
+def test_krylov_scale_invariance():
+    """Review regression: the rank cutoff compared sigma^2-scaled loop
+    blocks against a sigma^1-scaled absolute cut, so scaling A by 1e-3
+    collapsed the basis (48 -> 13 columns) and blew the top-k error up
+    430x. Cutoffs are now per-block relative — the basis and its
+    accuracy must be scale-invariant."""
+    rng = np.random.default_rng(31)
+    m, n, k = 400, 200, 8
+    sv = np.arange(1, n + 1) ** -0.5
+    u0, _ = np.linalg.qr(rng.normal(size=(m, n)))
+    v0, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    a = jnp.asarray((u0 * sv) @ v0.T, jnp.float32)
+
+    def err(mat, scale):
+        _, s, _ = rla.rsvd_krylov(mat, k, RNGState.from_key(31),
+                                  block=k + 2, depth=3)
+        return np.abs(np.asarray(s) / scale - sv[:k]).max()
+
+    e1 = err(a, 1.0)
+    e2 = err(1e-3 * a, 1e-3)
+    assert e2 < 10 * max(e1, 1e-4)
+    assert e2 < 5e-3

@@ -114,3 +114,18 @@ class TestSpectralNorm:
         sig, _ = spectral_norm(coo, rbt.default_state(13), tol=1e-3)
         ref = np.linalg.svd(dense, compute_uv=False)[0]
         assert abs(float(sig) - ref) / ref < 1e-2
+
+
+def test_extremal_eigs_singular_psd_falls_back_finite():
+    """Review regression: a rank-deficient PSD A (valid per the PSD
+    contract) made the dense inverse-powering path return lam_min = NaN
+    silently; it now falls back to the complement path (finite, ~0)."""
+    rng = np.random.default_rng(16)
+    x = rng.normal(size=(40, 20)).astype(np.float32)
+    a = jnp.asarray(x @ x.T)                      # exact rank 20 in 40
+    lmin, lmax, _ = extremal_eigs(a, rbt.default_state(17), tol=1e-2)
+    assert np.isfinite(float(lmin)) and np.isfinite(float(lmax))
+    ref_max = float(np.linalg.eigvalsh(np.asarray(a))[-1])
+    assert abs(float(lmax) - ref_max) / ref_max < 0.05
+    # complement-path accuracy: absolute ~tol*lam_max around 0
+    assert 0.0 <= float(lmin) < 0.05 * ref_max
