@@ -15,7 +15,7 @@ from .qb import (adaptive_rangefinder, qb_decompose, qb_to_svd,
                  range_error_estimate, rangefinder)
 from .quadrature import logdet, slq
 from .qrcp import column_id, cur, sketch_qrcp
-from .rsvd import rsvd
+from .rsvd import rsvd, rsvd_adaptive
 from .spectral import (extremal_eigs, power_method, required_power_iters,
                        spectral_norm)
 from .tls import sketched_tls, tls_via_svd
@@ -32,7 +32,8 @@ __all__ = ["adaptive_rangefinder",
            "hutchpp", "leverage_scores", "logdet", "nystrom",
            "nystrom_apply", "nystrom_pcg", "slq",
            "qb_decompose", "qb_to_svd", "rademacher_probes", "rand_eigh",
-           "rangefinder", "ridge_lsq", "rsvd", "sketch_and_precondition",
+           "rangefinder", "ridge_lsq", "rsvd", "rsvd_adaptive",
+           "sketch_and_precondition",
            "sketch_and_solve_lsq", "sketched_tls", "tls_via_svd",
            "extremal_eigs", "power_method", "required_power_iters",
            "spectral_norm"]

@@ -241,3 +241,22 @@ def test_krylov_scale_invariance():
     e2 = err(1e-3 * a, 1e-3)
     assert e2 < 10 * max(e1, 1e-4)
     assert e2 < 5e-3
+
+
+def test_rsvd_adaptive_error_target():
+    """rsvd_adaptive finds the rank needed for a certified residual:
+    planted rank-9 signal over 1e-4 noise, Frobenius-scale tol."""
+    rng = np.random.default_rng(50)
+    m, n, r = 300, 100, 9
+    u0, _ = np.linalg.qr(rng.normal(size=(m, r)))
+    v0, _ = np.linalg.qr(rng.normal(size=(n, r)))
+    a = jnp.asarray((u0 * np.linspace(7, 1, r)) @ v0.T
+                    + 1e-4 * rng.normal(size=(m, n)), jnp.float32)
+    u, s, vt, bound, _ = rla.rsvd_adaptive(a, 0.3, rbt.default_state(51),
+                                           block=6)
+    assert r <= len(np.asarray(s)) <= r + 12
+    assert float(bound) <= 0.3
+    np.testing.assert_allclose(np.asarray(s)[:r], np.linspace(7, 1, r),
+                               rtol=1e-2)
+    approx = np.asarray(u) * np.asarray(s) @ np.asarray(vt)
+    assert np.linalg.norm(approx - np.asarray(a), 2) <= 0.3
