@@ -18,6 +18,7 @@ from .qrcp import column_id, cur, sketch_qrcp
 from .rsvd import rsvd, rsvd_adaptive
 from .spectral import (extremal_eigs, power_method, required_power_iters,
                        spectral_norm)
+from .streaming import StreamingSketch, single_pass_svd
 from .tls import sketched_tls, tls_via_svd
 from .trace import exact_trace, hutchinson, hutchpp, rademacher_probes
 
@@ -36,4 +37,4 @@ __all__ = ["adaptive_rangefinder",
            "sketch_and_precondition",
            "sketch_and_solve_lsq", "sketched_tls", "tls_via_svd",
            "extremal_eigs", "power_method", "required_power_iters",
-           "spectral_norm"]
+           "spectral_norm", "StreamingSketch", "single_pass_svd"]

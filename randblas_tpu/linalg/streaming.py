@@ -1,0 +1,143 @@
+"""Single-pass and streaming sketched SVD (Tropp-Yurtsever-Udell-Cevher
+2017, "Practical sketching algorithms for low-rank matrix approximation").
+
+Every other rsvd in this package re-visits A (power/Krylov iterations).
+This tier touches each entry of A exactly ONCE: two independent sketches
+
+    Y = A @ Omega        (m, k)   range sketch
+    W = Psi @ A          (l, n)   co-range sketch,  l > k
+
+are taken in a single pass, and the approximation is recovered with A
+gone:  Q = orth(Y),  B = (Psi Q)^+ W,  A ~= Q B. TYUC17 shows the extra
+co-range rows (l ~ 2k+1) make the recovery stable.
+
+The streaming form is where the framework's counter addressing pays
+off: for data arriving as row blocks, Y's rows are filled per block
+(rows of Y = block @ Omega) and W accumulates ``Psi[:, rows] @ block``
+— and ``Psi[:, rows]`` is REGENERATED per block from counters
+(fill_dense_submat), so the accumulator state is two small sketch
+buffers plus two RNGStates; the operators never exist in memory.
+Chunking invariance: the operator slices and the row-partitioned Y
+buffer are BITWISE identical under any chunking; the W accumulator
+contracts over the chunked axis, so it is reassociation-equal (f32
+rounding at ~1e-5), like any split reduction (the reference's
+updates.rst streaming scenarios, taken to their conclusion).
+
+Reference analog: none — the reference ships the submatrix fill
+machinery (dense_skops.hh:487-532) that makes this possible but no
+streaming consumer.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..base import require
+from ..dense import DenseDist, DenseSkOp, fill_dense_submat
+from ..rng.state import RNGState
+from .qb import _apply, _is_sparse, _orth
+
+
+def _recover(y, w, psi_full, rank, dtype):
+    """TYUC17 recovery: Q = orth(Y); B solves (Psi Q) B = W."""
+    q = _orth(y, "qr")                      # (m, k); Householder — the
+    # single-pass Y has no refinement passes to absorb CholQR's
+    # rank-deficiency junk, so use the unconditionally stable QR here
+    pq = psi_full @ q                       # (l, k)
+    b, *_ = jnp.linalg.lstsq(pq, w)         # (k, n)
+    ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    u = q @ ub[:, :rank]
+    return u, s[:rank], vt[:rank, :]
+
+
+class StreamingSketch:
+    """One-pass sketch accumulator for row-streamed data.
+
+    ``update(row_start, block)`` may be called for any partition of the
+    rows, in any order, each row exactly once; ``finalize()`` returns
+    the rank-``rank`` SVD. The two operators are implicit: Omega is
+    materialized once ((n, k) — small), Psi's column slice is
+    counter-addressed per block, so state is O((m + n) * k) regardless
+    of how A arrives.
+    """
+
+    def __init__(self, m: int, n: int, rank: int, state: RNGState, *,
+                 oversample: int = 8, corange_factor: float = 2.0,
+                 dtype=jnp.float32):
+        require(rank >= 1, "rank must be >= 1")
+        k = rank + oversample
+        l = min(int(corange_factor * k) + 1, m)
+        require(k <= min(m, n), "rank + oversample must be <= min dims")
+        self.m, self.n, self.rank, self.k, self.l = m, n, rank, k, l
+        self.dtype = dtype
+        # two independent, seed-chained operators
+        om = DenseSkOp(DenseDist(n, k), state, dtype=dtype)
+        self._omega = om.materialize()                    # (n, k)
+        self._psi_dist = DenseDist(l, m)
+        self._psi_state = om.next_state
+        S_psi = DenseSkOp(self._psi_dist, self._psi_state, dtype=dtype)
+        self.next_state = S_psi.next_state
+        self._y = jnp.zeros((m, k), dtype)
+        self._w = jnp.zeros((l, n), dtype)
+        self._seen = jnp.zeros((m,), jnp.bool_)
+
+    def update(self, row_start: int, block) -> None:
+        """Absorb rows [row_start, row_start + block.shape[0])."""
+        r = block.shape[0]
+        require(0 <= row_start and row_start + r <= self.m,
+                "row range out of bounds")
+        blk = block.astype(self.dtype)
+        self._y = jax.lax.dynamic_update_slice(
+            self._y, jnp.matmul(blk, self._omega,
+                                preferred_element_type=self.dtype),
+            (row_start, 0))
+        # Psi[:, rows] regenerated from counters — any chunking yields
+        # the same operator slice, bitwise
+        psi_cols = fill_dense_submat(self._psi_dist, self._psi_state,
+                                     self.l, r, 0, row_start,
+                                     dtype=self.dtype)
+        self._w = self._w + jnp.matmul(psi_cols, blk,
+                                       preferred_element_type=self.dtype)
+        self._seen = jax.lax.dynamic_update_slice(
+            self._seen, jnp.ones((r,), jnp.bool_), (row_start,))
+
+    def finalize(self) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """(u, s, vt) of rank ``rank``. Every row must have been seen."""
+        require(bool(jnp.all(self._seen)), "finalize before all rows seen")
+        psi_full = fill_dense_submat(self._psi_dist, self._psi_state,
+                                     self.l, self.m, 0, 0,
+                                     dtype=self.dtype)
+        return _recover(self._y, self._w, psi_full, self.rank, self.dtype)
+
+
+def single_pass_svd(a, rank: int, state: RNGState, *,
+                    oversample: int = 8, corange_factor: float = 2.0,
+                    dtype=jnp.float32
+                    ) -> Tuple[jax.Array, jax.Array, jax.Array, RNGState]:
+    """Rank-``rank`` SVD touching A exactly once (TYUC17): use when A
+    is too expensive to revisit (streaming, out-of-core, one-shot
+    measurement). For in-memory A where passes are cheap, ``rsvd`` /
+    ``rsvd_krylov`` (power/Krylov refinement) are strictly more
+    accurate. Returns ``(u, s, vt, next_state)``.
+    """
+    m, n = a.shape
+    require(rank >= 1, "rank must be >= 1")
+    k = rank + oversample
+    l = min(int(corange_factor * k) + 1, m)
+    require(k <= min(m, n), "rank + oversample must be <= min dims")
+    om = DenseSkOp(DenseDist(n, k), state, dtype=dtype)
+    psi_op = DenseSkOp(DenseDist(l, m), om.next_state, dtype=dtype)
+    psi = psi_op.materialize()
+    if _is_sparse(a):
+        from .qb import _apply_t
+        y = _apply(a, om.materialize())
+        w = _apply_t(a, psi.T).T                 # (Psi A) via A^T Psi^T
+    else:
+        ad = a.astype(dtype)
+        y = jnp.matmul(ad, om.materialize(), preferred_element_type=dtype)
+        w = jnp.matmul(psi, ad, preferred_element_type=dtype)
+    u, s, vt = _recover(y, w, psi, rank, dtype)
+    return u, s, vt, psi_op.next_state

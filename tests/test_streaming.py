@@ -1,0 +1,129 @@
+"""Tests for linalg/streaming.py (TYUC17 single-pass / streaming SVD).
+
+Model: the reference's updates.rst streaming scenarios (exactness under
+chunking via counter addressing) + planted-spectrum recovery like the
+rest of the estimator tier.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import randblas_tpu as rbt
+from randblas_tpu import RNGState
+from randblas_tpu import linalg as rla
+from randblas_tpu.sparse_data.coo import COOMatrix
+
+
+def _low_rank(m, n, r, noise=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    u, _ = np.linalg.qr(rng.normal(size=(m, r)))
+    v, _ = np.linalg.qr(rng.normal(size=(n, r)))
+    s = np.linspace(10.0, 2.0, r)
+    a = (u * s) @ v.T
+    if noise:
+        a = a + noise * rng.normal(size=(m, n))
+    return jnp.asarray(a, jnp.float32), s
+
+
+class TestSinglePass:
+    def test_recovers_planted_spectrum(self):
+        a, s_true = _low_rank(500, 120, r=6, noise=1e-4, seed=1)
+        u, s, vt, nxt = rla.single_pass_svd(a, 6, RNGState.from_key(1))
+        np.testing.assert_allclose(np.asarray(s), s_true, rtol=2e-2)
+        approx = np.asarray(u) * np.asarray(s) @ np.asarray(vt)
+        # single-pass accuracy ~ (1 + k/(l-k-1)) * tail, not machine eps
+        assert np.linalg.norm(approx - np.asarray(a), 2) < 0.05
+        assert nxt.to_dict() != RNGState.from_key(1).to_dict()
+
+    def test_sparse_data(self):
+        # planted low-rank spike in sparse noise (the low_rank_svd
+        # example's matrix family) — single-pass accuracy needs a
+        # decaying tail; on a structureless matrix the (Psi Q)^+ noise
+        # amplification dominates by design (TYUC17 thm 4.3's tail term)
+        rng = np.random.default_rng(2)
+        m, n, r = 400, 80, 3
+        u0, _ = np.linalg.qr(rng.normal(size=(m, r)))
+        v0, _ = np.linalg.qr(rng.normal(size=(n, r)))
+        spike = (u0 * np.array([40.0, 30.0, 20.0])) @ v0.T
+        mask = rng.random((m, n)) < 0.02
+        dense = (spike + np.where(mask, rng.normal(size=(m, n)), 0.0)
+                 ).astype(np.float32)
+        coo = COOMatrix.from_dense(jnp.asarray(dense))
+        # TYUC error is ABSOLUTE at the tail scale, ~(1 + k/(l-k-1)) *
+        # ||tail||: the sparse-noise tail here has ||.||_2 ~ 5.6, so
+        # assert each value within ~1.2x of that, and the top value
+        # (far above the tail) tightly
+        u, s, vt, _ = rla.single_pass_svd(coo, r, RNGState.from_key(3),
+                                          corange_factor=4.0)
+        svals = np.linalg.svd(dense, compute_uv=False)
+        ref, tail = svals[:r], svals[r]
+        assert np.abs(np.asarray(s) - ref).max() < 1.2 * tail
+        assert abs(float(s[0]) - ref[0]) / ref[0] < 0.05
+
+    def test_validates(self):
+        with pytest.raises(ValueError):
+            rla.single_pass_svd(jnp.zeros((10, 4), jnp.float32), 5,
+                                RNGState.from_key(4))
+
+
+class TestStreamingSketch:
+    def test_chunking_invariance(self):
+        # counter addressing: the operator slices and the row-partitioned
+        # Y buffer are BITWISE identical under any chunking; the W
+        # accumulator contracts over the chunked axis, so it is
+        # reassociation-equal (f32 rounding), like any split reduction
+        a, _ = _low_rank(240, 60, r=5, noise=1e-3, seed=5)
+        an = np.asarray(a)
+
+        def run(chunks):
+            sk = rla.StreamingSketch(240, 60, 5, RNGState.from_key(6))
+            for start, stop in chunks:
+                sk.update(start, jnp.asarray(an[start:stop]))
+            return sk
+
+        sk1 = run([(0, 240)])
+        sk2 = run([(0, 100), (100, 103), (103, 240)])
+        sk3 = run([(103, 240), (0, 100), (100, 103)])    # out of order
+        np.testing.assert_array_equal(np.asarray(sk1._y),
+                                      np.asarray(sk2._y))
+        np.testing.assert_array_equal(np.asarray(sk2._y),
+                                      np.asarray(sk3._y))
+        np.testing.assert_allclose(np.asarray(sk1._w), np.asarray(sk2._w),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sk2._w), np.asarray(sk3._w),
+                                   rtol=1e-4, atol=1e-5)
+        _, s1, _ = sk1.finalize()
+        _, s2, _ = sk2.finalize()
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-4)
+
+    def test_matches_single_pass_svd(self):
+        # the streaming accumulator IS single_pass_svd, computed in
+        # pieces: same seed, same operators, same answer (f32 matmul
+        # chunk-reassociation only)
+        a, _ = _low_rank(300, 70, r=6, noise=1e-4, seed=7)
+        an = np.asarray(a)
+        u0, s0, vt0, _ = rla.single_pass_svd(a, 6, RNGState.from_key(8))
+        sk = rla.StreamingSketch(300, 70, 6, RNGState.from_key(8))
+        for start in range(0, 300, 64):
+            stop = min(start + 64, 300)
+            sk.update(start, jnp.asarray(an[start:stop]))
+        u1, s1, vt1 = sk.finalize()
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(
+            np.abs(np.asarray(u1.T @ u0).diagonal()), np.ones(6),
+            atol=1e-3)
+
+    def test_finalize_guards_unseen_rows(self):
+        sk = rla.StreamingSketch(100, 20, 3, RNGState.from_key(9))
+        sk.update(0, jnp.zeros((50, 20), jnp.float32))
+        with pytest.raises(ValueError):
+            sk.finalize()
+
+    def test_next_state_matches_one_shot(self):
+        a, _ = _low_rank(128, 32, r=3, seed=10)
+        _, _, _, nxt = rla.single_pass_svd(a, 3, RNGState.from_key(11))
+        sk = rla.StreamingSketch(128, 32, 3, RNGState.from_key(11))
+        assert sk.next_state.to_dict() == nxt.to_dict()
