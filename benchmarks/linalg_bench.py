@@ -22,7 +22,7 @@ sys.path.insert(0, ".")
 import jax                                                      # noqa: E402
 import jax.numpy as jnp                                         # noqa: E402
 
-import randblas_tpu as rbt                                      # noqa: E402
+
 from randblas_tpu import RNGState                               # noqa: E402
 from randblas_tpu.bench_util import time_loop                   # noqa: E402
 from randblas_tpu.linalg import nystrom_pcg, ridge_lsq, rsvd    # noqa: E402

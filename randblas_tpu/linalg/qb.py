@@ -74,7 +74,7 @@ def _orth(y: jax.Array, how: str) -> jax.Array:
     """Tall-skinny orthonormalization for the rangefinder family.
     'cholqr' (default) = rescued CholQR2 — all-GEMM, measured 1.9x
     faster end to end than Householder on v5e (rsvd 32768x4096 rank
-    256: 12.6 vs 23.5 ms, matching singular values); 'qr' = Householder,
+    256: 12.8 vs 23.5 ms, matching singular values); 'qr' = Householder,
     unconditionally stable, for extreme-conditioning edge cases."""
     if how == "cholqr":
         from .distributed import cholqr

@@ -41,6 +41,20 @@ from ..rng.state import RNGState
 from .qb import _apply, _is_sparse, _orth
 
 
+def _sketch_dims(m: int, n: int, rank: int, oversample: int,
+                 corange_factor: float):
+    """Shared (k, l) derivation for the one-pass pair — StreamingSketch
+    and single_pass_svd MUST agree bitwise (DenseDist(l, m) determines
+    both the Psi stream and the seed chain)."""
+    require(rank >= 1, "rank must be >= 1")
+    k = rank + oversample
+    l = min(int(corange_factor * k) + 1, m)
+    require(k <= min(m, n), "rank + oversample must be <= min dims")
+    require(l > k, "the co-range sketch needs l > k rows (TYUC17): "
+                   "raise corange_factor or lower rank + oversample")
+    return k, l
+
+
 def _recover(y, w, psi_full, rank, dtype):
     """TYUC17 recovery: Q = orth(Y); B solves (Psi Q) B = W."""
     q = _orth(y, "qr")                      # (m, k); Householder — the
@@ -67,10 +81,7 @@ class StreamingSketch:
     def __init__(self, m: int, n: int, rank: int, state: RNGState, *,
                  oversample: int = 8, corange_factor: float = 2.0,
                  dtype=jnp.float32):
-        require(rank >= 1, "rank must be >= 1")
-        k = rank + oversample
-        l = min(int(corange_factor * k) + 1, m)
-        require(k <= min(m, n), "rank + oversample must be <= min dims")
+        k, l = _sketch_dims(m, n, rank, oversample, corange_factor)
         self.m, self.n, self.rank, self.k, self.l = m, n, rank, k, l
         self.dtype = dtype
         # two independent, seed-chained operators
@@ -89,6 +100,11 @@ class StreamingSketch:
         r = block.shape[0]
         require(0 <= row_start and row_start + r <= self.m,
                 "row range out of bounds")
+        # overlap guard: W ACCUMULATES, so a re-submitted chunk (e.g. a
+        # retried stream read) would silently double-count
+        require(not bool(jnp.any(
+            jax.lax.dynamic_slice(self._seen, (row_start,), (r,)))),
+            "rows submitted twice (each row exactly once; W accumulates)")
         blk = block.astype(self.dtype)
         self._y = jax.lax.dynamic_update_slice(
             self._y, jnp.matmul(blk, self._omega,
@@ -124,10 +140,7 @@ def single_pass_svd(a, rank: int, state: RNGState, *,
     accurate. Returns ``(u, s, vt, next_state)``.
     """
     m, n = a.shape
-    require(rank >= 1, "rank must be >= 1")
-    k = rank + oversample
-    l = min(int(corange_factor * k) + 1, m)
-    require(k <= min(m, n), "rank + oversample must be <= min dims")
+    k, l = _sketch_dims(m, n, rank, oversample, corange_factor)
     om = DenseSkOp(DenseDist(n, k), state, dtype=dtype)
     psi_op = DenseSkOp(DenseDist(l, m), om.next_state, dtype=dtype)
     psi = psi_op.materialize()

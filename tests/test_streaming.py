@@ -127,3 +127,21 @@ class TestStreamingSketch:
         _, _, _, nxt = rla.single_pass_svd(a, 3, RNGState.from_key(11))
         sk = rla.StreamingSketch(128, 32, 3, RNGState.from_key(11))
         assert sk.next_state.to_dict() == nxt.to_dict()
+
+    def test_update_rejects_resubmitted_rows(self):
+        # review regression: a re-submitted chunk (retried stream read)
+        # silently double-counted W while Y overwrote — now an error
+        sk = rla.StreamingSketch(100, 20, 3, RNGState.from_key(12))
+        sk.update(0, jnp.ones((60, 20), jnp.float32))
+        with pytest.raises(ValueError):
+            sk.update(30, jnp.ones((10, 20), jnp.float32))
+
+    def test_corange_must_exceed_range(self):
+        # review regression: corange_factor < ~1 made the recovery
+        # lstsq underdetermined and silently garbage
+        with pytest.raises(ValueError):
+            rla.single_pass_svd(jnp.zeros((120, 40), jnp.float32), 4,
+                                RNGState.from_key(13), corange_factor=0.3)
+        with pytest.raises(ValueError):
+            rla.StreamingSketch(120, 40, 4, RNGState.from_key(13),
+                                corange_factor=0.3)
