@@ -7,6 +7,7 @@ from .distributed import (cholqr, distributed_krylov_rangefinder,
                           distributed_rsvd)
 from .eigh import rand_eigh
 from .embed import make_embedding
+from .features import random_fourier_features
 from .lstsq import (cgls, min_norm_lsq, ridge_lsq,
                     sketch_and_precondition, sketch_and_solve_lsq)
 from .krylov import krylov_rangefinder, rsvd_krylov
@@ -29,6 +30,7 @@ __all__ = ["adaptive_rangefinder",
            "exact_leverage_scores",
            "exact_trace", "hutchinson", "krylov_rangefinder",
            "make_embedding", "min_norm_lsq",
+           "random_fourier_features",
            "range_error_estimate", "rsvd_krylov", "sketch_qrcp",
            "hutchpp", "leverage_scores", "logdet", "nystrom",
            "nystrom_apply", "nystrom_pcg", "slq",
