@@ -14,7 +14,7 @@ from .krylov import krylov_rangefinder, rsvd_krylov
 from .nystrom import nystrom, nystrom_apply, nystrom_pcg
 from .qb import (adaptive_rangefinder, qb_decompose, qb_to_svd,
                  range_error_estimate, rangefinder)
-from .quadrature import logdet, slq
+from .quadrature import lanczos_fn_apply, logdet, slq
 from .qrcp import column_id, cur, sketch_qrcp
 from .rsvd import rsvd, rsvd_adaptive
 from .spectral import (extremal_eigs, power_method, required_power_iters,
@@ -32,7 +32,8 @@ __all__ = ["adaptive_rangefinder",
            "make_embedding", "min_norm_lsq",
            "random_fourier_features",
            "range_error_estimate", "rsvd_krylov", "sketch_qrcp",
-           "hutchpp", "leverage_scores", "logdet", "nystrom",
+           "hutchpp", "lanczos_fn_apply", "leverage_scores", "logdet",
+           "nystrom",
            "nystrom_apply", "nystrom_pcg", "slq",
            "qb_decompose", "qb_to_svd", "rademacher_probes", "rand_eigh",
            "rangefinder", "ridge_lsq", "rsvd", "rsvd_adaptive",

@@ -68,9 +68,10 @@ def _block_lanczos_tridiag(matvec, v0: jax.Array, steps: int):
         return (q_cur, q_next, beta, basis), (alpha, beta)
 
     init = (jnp.zeros_like(q), q, jnp.zeros((p,), v0.dtype), basis0)
-    _, (alphas, betas) = jax.lax.scan(step, init, jnp.arange(steps))
+    (_, _, _, basis), (alphas, betas) = jax.lax.scan(
+        step, init, jnp.arange(steps))
     # alphas: (steps, p) -> (p, steps); betas likewise, last beta unused
-    return alphas.T, betas[:-1].T, nrm
+    return alphas.T, betas[:-1].T, nrm, basis
 
 
 def slq(a, f: Callable, state: RNGState, *, probes: int = 8,
@@ -97,7 +98,7 @@ def slq(a, f: Callable, state: RNGState, *, probes: int = 8,
 
     S = DenseSkOp(DenseDist(n, probes), state, dtype=dtype)
     v0 = S.materialize()                               # (n, probes)
-    alphas, betas, nrm = _block_lanczos_tridiag(matvec, v0, steps)
+    alphas, betas, nrm, _ = _block_lanczos_tridiag(matvec, v0, steps)
 
     def one_quadrature(alpha, beta):
         t = jnp.diag(alpha) + jnp.diag(beta, 1) + jnp.diag(beta, -1)
@@ -127,3 +128,49 @@ def logdet(a, state: RNGState, *, probes: int = 8, steps: int = 30,
     """
     return slq(a, jnp.log, state, probes=probes, steps=steps,
                dtype=dtype, n=n)
+
+
+def lanczos_fn_apply(a, f: Callable, b, *, steps: int = 30,
+                     dtype=None, n: int = None) -> jax.Array:
+    """Apply a matrix function to vectors: ``f(A) @ b`` for symmetric
+    ``a`` without ever forming f(A), via the Lanczos relation
+
+        f(A) b ~= ||b|| * V f(T) e1
+
+    with (V, T) the Lanczos basis/tridiagonal started at b/||b||
+    (Higham ch. 13 / Saad 1992) — exp(t A) @ v, A^{-1/2} @ b,
+    log(A) @ b... at the cost of ``steps`` matvecs per column, with the
+    same geometric-in-steps accuracy as slq (it is the same machinery;
+    full reorthogonalization keeps f32 honest). ``b`` is (n,) or (n, k)
+    — columns run batched as block matvecs. ``f`` maps eigenvalues
+    elementwise. The reference has no matrix-function tier at all.
+    """
+    vec = b.ndim == 1
+    bb = b[:, None] if vec else b
+    if callable(a) and not hasattr(a, "shape"):
+        require(n is not None, "callable a needs an explicit n")
+        matvec = a
+    else:
+        require(a.shape[0] == a.shape[1],
+                "lanczos_fn_apply needs a square symmetric A")
+        n = a.shape[0]
+        matvec = lambda x: _apply(a, x)
+    require(bb.shape[0] == n, "b must have A's dimension")
+    require(1 <= steps <= n, "steps must be in [1, n]")
+    if dtype is not None:
+        bb = bb.astype(dtype)
+    alphas, betas, nrm, basis = _block_lanczos_tridiag(matvec, bb, steps)
+
+    def one_apply(alpha, beta):
+        t = jnp.diag(alpha) + jnp.diag(beta, 1) + jnp.diag(beta, -1)
+        theta, vecs = jnp.linalg.eigh(t)
+        live = jnp.abs(vecs[0, :]) > jnp.finfo(theta.dtype).eps
+        vals = jnp.where(live, f(jnp.where(live, theta, 1.0)), 0.0)
+        return vecs @ (vals * vecs[0, :])              # f(T) e1, (steps,)
+
+    ft_e1 = jax.vmap(one_apply)(alphas, betas)          # (p, steps)
+    # x_j = ||b_j|| * sum_k basis[k, :, j] * ft_e1[j, k]
+    x = jnp.einsum("knp,pk->np", basis, ft_e1,
+                   precision=jax.lax.Precision.HIGHEST)
+    x = x * nrm[None, :].astype(x.dtype)
+    return x[:, 0] if vec else x

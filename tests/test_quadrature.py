@@ -106,3 +106,56 @@ class TestSlqGeneral:
             rla.slq(lambda x: x, jnp.log, rbt.default_state(14))
         with pytest.raises(ValueError):
             rla.slq(a, jnp.log, rbt.default_state(14), steps=0)
+
+
+class TestLanczosFnApply:
+    def test_expm_times_vector(self):
+        lam = np.linspace(1.0, -1.0, 40)
+        a, _ = _psd(40, lam, seed=20)
+        an = np.asarray(a, np.float64)
+        w, v = np.linalg.eigh(an)
+        rng = np.random.default_rng(21)
+        b = jnp.asarray(rng.normal(size=40), jnp.float32)
+        x = rla.lanczos_fn_apply(a, jnp.exp, b, steps=25)
+        ref = v @ (np.exp(w) * (v.T @ np.asarray(b, np.float64)))
+        np.testing.assert_allclose(np.asarray(x), ref, rtol=0, atol=2e-4)
+
+    def test_inverse_sqrt_block(self):
+        lam = np.linspace(4.0, 0.5, 50)
+        a, _ = _psd(50, lam, seed=22)
+        an = np.asarray(a, np.float64)
+        w, v = np.linalg.eigh(an)
+        rng = np.random.default_rng(23)
+        b = jnp.asarray(rng.normal(size=(50, 3)), jnp.float32)
+        x = rla.lanczos_fn_apply(a, lambda t: 1.0 / jnp.sqrt(t), b,
+                                 steps=30)
+        ref = v @ ((w ** -0.5)[:, None] * (v.T @ np.asarray(b, np.float64)))
+        np.testing.assert_allclose(np.asarray(x), ref, rtol=0, atol=5e-4)
+
+    def test_identity_function_reproduces_matvec(self):
+        lam = np.linspace(3.0, 1.0, 30)
+        a, _ = _psd(30, lam, seed=24)
+        rng = np.random.default_rng(25)
+        b = jnp.asarray(rng.normal(size=30), jnp.float32)
+        x = rla.lanczos_fn_apply(a, lambda t: t, b, steps=15)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(a @ b),
+                                   rtol=0, atol=2e-4)
+
+    def test_breakdown_finite_log(self):
+        # 3 distinct eigenvalues: Lanczos exhausts after 3 steps; log on
+        # the spurious zero-weight nodes must not poison the result
+        lam = np.repeat([4.0, 2.0, 1.0], 10)
+        a, _ = _psd(30, lam, seed=26)
+        rng = np.random.default_rng(27)
+        b = jnp.asarray(rng.normal(size=30), jnp.float32)
+        x = rla.lanczos_fn_apply(a, jnp.log, b, steps=12)
+        assert np.all(np.isfinite(np.asarray(x)))
+        an = np.asarray(a, np.float64)
+        w, v = np.linalg.eigh(an)
+        ref = v @ (np.log(w) * (v.T @ np.asarray(b, np.float64)))
+        np.testing.assert_allclose(np.asarray(x), ref, rtol=0, atol=2e-4)
+
+    def test_validates(self):
+        with pytest.raises(ValueError):
+            rla.lanczos_fn_apply(lambda x: x, jnp.exp,
+                                 jnp.zeros(4, jnp.float32))
