@@ -16,6 +16,7 @@ from .qb import (adaptive_rangefinder, qb_decompose, qb_to_svd,
                  range_error_estimate, rangefinder)
 from .quadrature import lanczos_fn_apply, logdet, slq
 from .qrcp import column_id, cur, sketch_qrcp
+from .rpcholesky import rpcholesky, rpcholesky_pcg
 from .rsvd import rsvd, rsvd_adaptive
 from .spectral import (extremal_eigs, power_method, required_power_iters,
                        spectral_norm)
@@ -36,7 +37,8 @@ __all__ = ["adaptive_rangefinder",
            "nystrom",
            "nystrom_apply", "nystrom_pcg", "slq",
            "qb_decompose", "qb_to_svd", "rademacher_probes", "rand_eigh",
-           "rangefinder", "ridge_lsq", "rsvd", "rsvd_adaptive",
+           "rangefinder", "ridge_lsq", "rpcholesky", "rpcholesky_pcg",
+           "rsvd", "rsvd_adaptive",
            "sketch_and_precondition",
            "sketch_and_solve_lsq", "sketched_tls", "tls_via_svd",
            "extremal_eigs", "power_method", "required_power_iters",
