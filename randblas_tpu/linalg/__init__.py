@@ -17,6 +17,7 @@ from .qb import (adaptive_rangefinder, qb_decompose, qb_to_svd,
 from .quadrature import lanczos_fn_apply, logdet, slq
 from .qrcp import column_id, cur, sketch_qrcp
 from .rpcholesky import rpcholesky, rpcholesky_pcg
+from .sgmres import sgmres
 from .rsvd import rsvd, rsvd_adaptive
 from .spectral import (extremal_eigs, power_method, required_power_iters,
                        spectral_norm)
@@ -39,7 +40,7 @@ __all__ = ["adaptive_rangefinder",
            "qb_decompose", "qb_to_svd", "rademacher_probes", "rand_eigh",
            "rangefinder", "ridge_lsq", "rpcholesky", "rpcholesky_pcg",
            "rsvd", "rsvd_adaptive",
-           "sketch_and_precondition",
+           "sgmres", "sketch_and_precondition",
            "sketch_and_solve_lsq", "sketched_tls", "tls_via_svd",
            "extremal_eigs", "power_method", "required_power_iters",
            "spectral_norm", "StreamingSketch", "single_pass_svd"]

@@ -1,0 +1,131 @@
+"""Sketched GMRES for square (nonsymmetric) linear systems.
+
+sGMRES (Nakatsukasa–Tropp 2021, "Fast & accurate randomized algorithms
+for linear systems and eigenvalue problems", alg. 1): build an
+m-dimensional Krylov basis with cheap k-truncated Arnoldi (each new
+vector is orthogonalized against only the last k basis vectors, so the
+basis costs O(nmk) instead of full Arnoldi's O(nm^2)), then solve the
+projected problem
+
+    y = argmin || S (A Q) y - S b ||
+
+through a d ~ 2m row sketching operator S. The subspace embedding
+guarantees the sketched residual is within (1 +- distortion) of the true
+residual over the Krylov subspace, so the quasi-optimality of full GMRES
+is recovered at truncated-Arnoldi cost. This fills the nonsymmetric
+corner of the solver tier (cgls/_pcg cover least-squares and SPD
+systems; the reference ships no iterative solvers at all — its examples
+stop at TLS, which this module's sketch rides the same lskge3 dispatch
+as).
+
+TPU notes: the basis build is a lax.fori_loop whose body is one matvec
+plus a k-vector orthogonalization window (dynamic_slice over the basis
+buffer; unfilled slots are zero and orthogonalizing against them is a
+no-op, so the window needs no masking). The (d, m) sketch of the basis
+rides sketch_general (fused / SASO panels — S never hits HBM), and the
+small solve is one SVD-backed lstsq on a d x m matrix, robust to the
+near-dependence a truncated basis develops.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..base import require
+from ..rng.state import RNGState
+from ..skge import sketch_general
+from .embed import make_embedding
+from .qb import _apply, _is_sparse
+
+
+def _truncated_arnoldi(matvec, b: jax.Array, m: int, k: int):
+    """(Q, AQ): an (n, m) k-truncated Arnoldi basis for span{b, Ab, ...}
+    and its image under A. AQ[:, j] = A @ Q[:, j] exactly (stored before
+    orthogonalization of the NEXT vector, so no reconstruction error).
+    On happy breakdown the remaining columns are zero."""
+    n = b.shape[0]
+    dtype = b.dtype
+    nrm0 = jnp.linalg.norm(b)
+    q0 = jnp.where(nrm0 > 0, b / jnp.where(nrm0 > 0, nrm0, 1.0), b)
+    qbuf = jnp.zeros((n, m), dtype).at[:, 0].set(q0)
+    abuf = jnp.zeros((n, m), dtype)
+
+    def body(j, carry):
+        qb, ab = carry
+        qj = jax.lax.dynamic_slice(qb, (0, j), (n, 1))[:, 0]
+        w = matvec(qj)
+        ab = jax.lax.dynamic_update_slice(ab, w[:, None], (0, j))
+        # orthogonalize against the last k columns; the slice start is
+        # clamped into range by dynamic_slice, and unfilled (zero)
+        # columns contribute zero coefficients.
+        start = jnp.maximum(j - (k - 1), 0)
+        win = jax.lax.dynamic_slice(qb, (0, start), (n, k))   # (n, k)
+        w = w - win @ (win.T @ w)
+        w = w - win @ (win.T @ w)                             # re-orth pass
+        nrm = jnp.linalg.norm(w)
+        qnew = jnp.where(nrm > 10 * jnp.finfo(dtype).tiny,
+                         w / jnp.where(nrm > 0, nrm, 1.0),
+                         jnp.zeros_like(w))
+        qb = jnp.where(j + 1 < m,
+                       jax.lax.dynamic_update_slice(
+                           qb, qnew[:, None], (0, jnp.minimum(j + 1, m - 1))),
+                       qb)
+        return qb, ab
+
+    qbuf, abuf = jax.lax.fori_loop(0, m, body, (qbuf, abuf))
+    return qbuf, abuf
+
+
+def sgmres(a, b: jax.Array, state: RNGState, *, basis: int = 50,
+           trunc: int = 4, d: Optional[int] = None,
+           operator: str = "saso", vec_nnz: int = 8, dtype=None
+           ) -> Tuple[jax.Array, jax.Array, RNGState]:
+    """Solve the square system ``A x = b`` approximately over an
+    m=``basis``-dimensional Krylov subspace by sketched GMRES.
+
+    ``a`` is (n, n) dense, sparse (COO/CSR/CSC), or a callable
+    ``a(v) -> A @ v`` on (n,) vectors; ``b`` is (n,). ``trunc`` is the
+    Arnoldi truncation window k (NT21 use 2-4; larger k = better basis
+    conditioning, more flops); ``d`` is the embedding dimension (default
+    ``min(n, 2 * basis + 8)``); ``operator`` picks the embedding family
+    ('saso' | 'gaussian' | 'srht').
+
+    Returns ``(x, sketched_relative_residual, next_state)``. The
+    residual estimate is ||S(A x - b)|| / ||S b|| — within the
+    embedding distortion (~ sqrt(m/d)) of the true relative residual.
+    Accuracy is quasi-optimal over the subspace; for ill-conditioned A
+    increase ``basis`` or run under float64 (matvecs then ride the
+    int8-sliced MXU GEMM through the sparse/dense apply layer).
+    """
+    require(b.ndim == 1, "sgmres expects a single right-hand side (n,)")
+    n = b.shape[0]
+    if not callable(a):
+        require(a.shape == (n, n), "sgmres needs a square A matching b")
+    m = int(basis)
+    require(1 <= m <= n, "basis size must be in [1, n]")
+    require(trunc >= 1, "trunc must be >= 1")
+    k = min(trunc, m)
+    d = min(n, 2 * m + 8) if d is None else d
+    require(d >= m, "embedding dimension d must be >= basis")
+
+    if callable(a):
+        matvec = lambda v: a(v)
+    elif _is_sparse(a):
+        matvec = lambda v: _apply(a, v[:, None])[:, 0]
+    else:
+        matvec = lambda v: a @ v
+    bb = b.astype(dtype) if dtype is not None else b
+    q, aq = _truncated_arnoldi(matvec, bb, m, k)
+
+    S = make_embedding(operator, d, n, state, vec_nnz=vec_nnz,
+                       dtype=dtype or bb.dtype)
+    sc = sketch_general(S, aq)                                # (d, m)
+    sb = sketch_general(S, bb[:, None])[:, 0]                 # (d,)
+    y, _, _, _ = jnp.linalg.lstsq(sc, sb, rcond=None)
+    x = q @ y
+    res = jnp.linalg.norm(sc @ y - sb) / jnp.maximum(
+        jnp.linalg.norm(sb), jnp.finfo(sb.dtype).tiny)
+    return x, res, S.next_state
