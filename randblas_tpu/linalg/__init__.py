@@ -20,7 +20,7 @@ from .rpcholesky import rpcholesky, rpcholesky_pcg
 from .sgmres import sgmres
 from .rsvd import rsvd, rsvd_adaptive
 from .spectral import (extremal_eigs, power_method, required_power_iters,
-                       spectral_norm)
+                       sketched_eigs, spectral_norm)
 from .streaming import StreamingSketch, single_pass_svd
 from .tls import sketched_tls, tls_via_svd
 from .trace import exact_trace, hutchinson, hutchpp, rademacher_probes
@@ -43,4 +43,5 @@ __all__ = ["adaptive_rangefinder",
            "sgmres", "sketch_and_precondition",
            "sketch_and_solve_lsq", "sketched_tls", "tls_via_svd",
            "extremal_eigs", "power_method", "required_power_iters",
-           "spectral_norm", "StreamingSketch", "single_pass_svd"]
+           "sketched_eigs", "spectral_norm", "StreamingSketch",
+           "single_pass_svd"]

@@ -159,3 +159,122 @@ def spectral_norm(a, state: RNGState, *, tol: float = 1e-2,
     lam, _, nxt = power_method(gram, n, state, tol=tol, p_fail=p_fail,
                                iters=iters, dtype=dtype)
     return jnp.sqrt(jnp.maximum(lam, 0.0)), nxt
+
+
+def sketched_eigs(a, k: int, state: RNGState, *, basis: int = None,
+                  trunc: int = 4, d: int = None, operator: str = "saso",
+                  vec_nnz: int = 8, which: str = "LM", sym: bool = False,
+                  n: int = None, dtype=jnp.float32):
+    """Approximate eigenpairs of square A by sketched Rayleigh–Ritz
+    (Nakatsukasa–Tropp 2021, alg. 2): an m-dimensional k-truncated
+    Arnoldi basis Q from a counter-addressed Gaussian start vector,
+    whitened through a d ~ 2m sketching operator, then Ritz pairs of
+    pinv(S Q) (S A Q) — full-Arnoldi quality at truncated-Arnoldi cost.
+
+    ``a`` is (n, n) dense, sparse, or a callable matvec (pass ``n``);
+    ``basis`` defaults to ``min(n, max(4k, 2k + 10))``; ``which``
+    selects 'LM' (largest magnitude) or 'LR' (largest real part).
+
+    ``sym=False``: the m x m Ritz eigenproblem is NONSYMMETRIC and runs
+    on the host (np.linalg.eig — XLA has no general eig on TPU; the
+    matrix is tiny). Returns complex ``(theta (k,), x (n, k), resid (k,),
+    next_state)`` with ``resid`` the sketched relative residuals
+    ||S(A x - theta x)|| / (|theta| ||S x||).
+
+    ``sym=True`` (symmetric A): DIRECT Rayleigh–Ritz on the
+    SVD-orthonormalized basis — on-device eigh, real output, whole
+    function jittable, no sketch consumed (next_state advances only by
+    the start-vector probe). The sketched pencil is deliberately NOT
+    symmetrized: (S Qtil)^T (S A Qtil) is symmetric only up to the
+    embedding distortion, which is O(1) at d ~ 2m (measured: symmetrized
+    Ritz values off by 10-80%), while the un-sketched U^T A U is exactly
+    symmetric and the pencil eig (sym=False) preserves converged Ritz
+    pairs under ANY injective embedding. The indefinite counterpart of
+    rand_eigh's SPD-oriented pipeline.
+    """
+    from .sgmres import _truncated_arnoldi
+    from ..skge import sketch_general
+    from .embed import make_embedding
+    if callable(a):
+        require(n is not None, "callable a needs an explicit n")
+    else:
+        require(a.shape[0] == a.shape[1], "sketched_eigs needs square A")
+        n = a.shape[0]
+    m = min(n, max(4 * k, 2 * k + 10)) if basis is None else min(basis, n)
+    require(1 <= k <= m, "need 1 <= k <= basis")
+    d = min(n, 2 * m + 8) if d is None else d
+    require(d >= m, "embedding dimension d must be >= basis")
+
+    if callable(a):
+        matvec = lambda v: a(v)
+    elif _is_sparse(a):
+        matvec = lambda v: _apply(a, v[:, None])[:, 0]
+    else:
+        matvec = lambda v: (a @ v).astype(dtype)
+    v0, st = _probe(n, state, dtype)
+    q, aq = _truncated_arnoldi(matvec, v0, m, min(trunc, m))
+
+    if sym:
+        # Direct Rayleigh–Ritz: q = U S V^T; the orthonormal basis is U
+        # and A U = aq (V S^+) EXACTLY (aq = A q by construction), so
+        # h = U^T A U needs no extra matvecs. Clip at sqrt(eps)
+        # relative: the 1/s amplification of rounding noise in aq V S^+
+        # is then bounded by ~sqrt(eps), and the dropped directions are
+        # the numerically repeated ones a truncated basis develops.
+        u, s, vt = jnp.linalg.svd(q, full_matrices=False)
+        cutoff = jnp.sqrt(jnp.finfo(dtype).eps) * jnp.maximum(
+            s[0], jnp.finfo(dtype).tiny)
+        keep = s > cutoff
+        s_inv = jnp.where(keep, 1.0 / jnp.maximum(s, cutoff), 0.0)
+        au = aq @ (vt.T * s_inv[None, :])                      # A U, (n, m)
+        h = u.T @ au
+        h = jnp.where(keep[:, None] & keep[None, :],
+                      0.5 * (h + h.T), 0.0)
+        theta_all, w_all = jnp.linalg.eigh(h)
+        order = jnp.argsort(-jnp.abs(theta_all) if which == "LM"
+                            else -theta_all)
+        sel = order[:k]
+        theta = theta_all[sel]
+        w = w_all[:, sel]
+        x = u @ w
+        num = jnp.linalg.norm(au @ w - x * theta[None, :], axis=0)
+        den = jnp.maximum(jnp.abs(theta), jnp.finfo(dtype).tiny)
+        return theta, x, num / den, st
+
+    S = make_embedding(operator, d, n, st, vec_nnz=vec_nnz, dtype=dtype)
+    sq = sketch_general(S, q)                                  # (d, m)
+    saq = sketch_general(S, aq)                                # (d, m)
+    nxt = S.next_state
+    # Whitened pencil: with sq = U S V^T (clipped SVD — breakdown
+    # columns of a short Krylov space make sq exactly rank-deficient),
+    # the substitution y = (V S^+) z turns the pencil saq y = theta sq y
+    # into M_w z = theta z with M_w = U^T saq (V S^+). Converged Ritz
+    # pairs of the subspace are exact eigenpairs of the pencil for ANY
+    # injective S, so eig(M_w) recovers them regardless of the
+    # embedding distortion (unlike any symmetrization — see the sym
+    # branch note above).
+    u, s, vt = jnp.linalg.svd(sq, full_matrices=False)
+    cutoff = jnp.finfo(dtype).eps * m * jnp.maximum(
+        s[0], jnp.finfo(dtype).tiny)
+    s_inv = jnp.where(s > cutoff, 1.0 / jnp.maximum(s, cutoff), 0.0)
+    white = vt.T * s_inv[None, :]                              # V S^+
+    mw = u.T @ (saq @ white)                                   # (m, m)
+
+    import numpy as np
+    mw_np = np.asarray(jax.device_get(mw), dtype=np.float64)
+    theta_all, w_all = np.linalg.eig(mw_np)
+    order = np.argsort(-np.abs(theta_all) if which == "LM"
+                       else -theta_all.real)
+    sel = order[:k]
+    theta = theta_all[sel]
+    y = np.asarray(jax.device_get(white), dtype=np.float64) @ w_all[:, sel]
+    q_np = np.asarray(jax.device_get(q), dtype=np.float64)
+    sq_np = np.asarray(jax.device_get(sq), dtype=np.float64)
+    saq_np = np.asarray(jax.device_get(saq), dtype=np.float64)
+    x = q_np @ y
+    x = x / np.maximum(np.linalg.norm(x, axis=0, keepdims=True),
+                       np.finfo(np.float64).tiny)
+    num = np.linalg.norm(saq_np @ y - (sq_np @ y) * theta[None, :], axis=0)
+    den = np.maximum(np.abs(theta) * np.linalg.norm(sq_np @ y, axis=0),
+                     np.finfo(np.float64).tiny)
+    return (jnp.asarray(theta), jnp.asarray(x), jnp.asarray(num / den), nxt)
