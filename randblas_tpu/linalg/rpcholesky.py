@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from ..base import require
 from ..rng.state import RNGState
 from ..util import sample_indices_iid
+from .qb import _mm_precise
 
 
 def _inv_sqrt_psd(h: jax.Array) -> jax.Array:
@@ -47,7 +48,8 @@ def _inv_sqrt_psd(h: jax.Array) -> jax.Array:
         jnp.max(w), jnp.finfo(h.dtype).tiny)
     inv_root = jnp.where(w > cutoff, 1.0 / jnp.sqrt(jnp.maximum(w, cutoff)),
                          0.0)
-    return (v * inv_root[None, :]) @ v.T
+    return jnp.matmul(v * inv_root[None, :], v.T,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def rpcholesky(a, rank: int, state: RNGState, *, block: int = None,
@@ -107,9 +109,16 @@ def rpcholesky(a, rank: int, state: RNGState, *, block: int = None,
         idx, st = sample_indices_iid(cdf, bt, st)
 
         g = cols_of(idx).astype(dtype)                       # (n, bt)
-        g = g - f @ jnp.take(f, idx, axis=0).T
+        # Downdates at Precision.HIGHEST: the residual diagonal feeds
+        # the pivot distribution and the Gram clipping threshold, and
+        # bf16-on-MXU rounding (~8e-3 relative) otherwise floors the
+        # factorization error at ~1e-1 on hardware while every CPU test
+        # passes (memory/tpu-mxu-precision-floor.md; observed in the
+        # round-3 TPU smoke). These are thin (n, r) x (r, b) products —
+        # the 3-pass cost is negligible.
+        g = g - _mm_precise(f, jnp.take(f, idx, axis=0).T)
         h = jnp.take(g, idx, axis=0)                         # (bt, bt)
-        fb = g @ _inv_sqrt_psd(h)                            # (n, bt)
+        fb = _mm_precise(g, _inv_sqrt_psd(h))                # (n, bt)
         f = jax.lax.dynamic_update_slice(f, fb, (0, lo))
         pivots = jax.lax.dynamic_update_slice(pivots, idx, (lo,))
         d_res = jnp.maximum(d_res - jnp.sum(fb * fb, axis=1), 0.0)

@@ -1,0 +1,115 @@
+"""TensorSketch: oblivious sketching of Khatri–Rao (column-wise
+Kronecker) products without forming them.
+
+Pham–Pagh 2013 / Avron–Nguyen–Woodruff 2014: a CountSketch of a
+Kronecker product x1 (x) x2 equals the circular convolution of the
+factors' individual CountSketches, so
+
+    TS(A1 ⊙ ... ⊙ Ap) = IFFT( prod_i FFT(C_i A_i) )        (per column)
+
+costs O(sum_i nnz(A_i) + d log d * n) instead of the prod_i m_i rows of
+the explicit product — the standard embedding for polynomial kernels
+(<x, y>^p inner products are preserved in expectation) and for
+Kronecker-structured regression.
+
+The CountSketch components C_i ARE this library's sparse sign operators
+with vec_nnz=1 (SparseDist's Short-axis draw places exactly one ±1 in a
+uniformly random row per column — the CountSketch hash/sign pair), so
+each factor's sketch rides the existing lskges dispatch (one-hot MXU
+panels / row gather) and the whole transform is deterministic in the
+RNGState and seed-chained across factors. The reference has no tensor
+sketching; the counterpart machinery it does have is the SASO family
+this is built from (/root/reference/RandBLAS/sparse_skops.hh:134-377).
+
+TPU notes: the d-point FFTs run along the sketch axis (columns stay on
+lanes, n-major); real input rides rfft/irfft so the spectral product is
+on d/2+1 complex words. Everything is jittable; for gradients the
+factor sketches use the SASO path's exact autodiff.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .base import MajorAxis, require
+from .rng.state import RNGState
+from .skge import sketch_general
+from .sparse import SparseDist, SparseSkOp
+
+
+def _countsketch(d: int, m: int, state: RNGState) -> SparseSkOp:
+    """A (d, m) operator with EXACTLY one +-1 per input column — the
+    CountSketch hash/sign pair. The major axis must follow the aspect
+    ratio: Short places vec_nnz per short-axis vector, which is
+    per-column only while d <= m; for d > m (small factors sketched UP)
+    the Long/LASO draw (at most vec_nnz per column; exactly one when
+    vec_nnz == 1) keeps the per-column structure."""
+    major = MajorAxis.Short if d <= m else MajorAxis.Long
+    return SparseSkOp(SparseDist(d, m, vec_nnz=1, major_axis=major), state)
+
+
+def tensor_sketch(factors: Sequence, d: int, state: RNGState, *,
+                  dtype=jnp.float32) -> Tuple[jax.Array, RNGState]:
+    """Sketch the Khatri–Rao product of ``factors`` down to ``d`` rows.
+
+    ``factors`` is a sequence of (m_i, n) arrays (all sharing the column
+    count n); column j of the implicit product is the Kronecker product
+    (x)_i factors[i][:, j] with prod_i m_i rows. Returns ``(out,
+    next_state)`` with ``out`` (d, n) equal (in distribution, and
+    exactly equal to the combined-CountSketch construction — see
+    tests/test_tensor_sketch.py) to a CountSketch of the full product:
+    unbiased, <TS(x), TS(y)> ~= <x, y> with variance O(1/d).
+
+    A single factor reduces to a plain CountSketch (one ±1 per column
+    of the operator). States chain across factors in order, so the
+    operator is reproducible from ``state`` alone and ``next_state``
+    continues the stream.
+    """
+    require(len(factors) >= 1, "tensor_sketch needs at least one factor")
+    n = factors[0].shape[1]
+    for f in factors:
+        require(f.ndim == 2 and f.shape[1] == n,
+                "factors must be 2-D with a shared column count")
+    require(d >= 1, "sketch size d must be >= 1")
+
+    st = state
+    spec = None
+    for f in factors:
+        C = _countsketch(d, f.shape[0], st)
+        cf = sketch_general(C, f.astype(dtype))               # (d, n)
+        st = C.next_state
+        if len(factors) == 1:
+            return cf, st
+        fhat = jnp.fft.rfft(cf, axis=0)
+        spec = fhat if spec is None else spec * fhat
+    out = jnp.fft.irfft(spec, n=d, axis=0).astype(dtype)
+    return out, st
+
+
+def tensor_sketch_vectors(vectors: Sequence, d: int, state: RNGState, *,
+                          dtype=jnp.float32) -> Tuple[jax.Array, RNGState]:
+    """tensor_sketch for 1-D factors: sketch of the single Kronecker
+    product (x)_i vectors[i]. Returns ``(out (d,), next_state)``."""
+    cols = [v[:, None] for v in vectors]
+    out, nxt = tensor_sketch(cols, d, state, dtype=dtype)
+    return out[:, 0], nxt
+
+
+def polynomial_kernel_features(x, degree: int, d: int, state: RNGState, *,
+                               dtype=jnp.float32
+                               ) -> Tuple[jax.Array, RNGState]:
+    """Random features for the homogeneous polynomial kernel
+    k(u, v) = <u, v>^degree via TensorSketch of ``degree`` copies of the
+    data: z(u) with E[<z(u), z(v)>] = k(u, v).
+
+    ``x`` is (m, n) — n data points as columns (matching the sketching
+    convention elsewhere). Returns ``(z (d, n), next_state)``; pair with
+    linalg.ridge_lsq on z.T for sketched polynomial kernel regression
+    (the kernel matrix is never formed), the polynomial counterpart of
+    linalg.random_fourier_features' shift-invariant kernels.
+    """
+    require(degree >= 1, "degree must be >= 1")
+    return tensor_sketch([x] * degree, d, state, dtype=dtype)

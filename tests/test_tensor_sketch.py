@@ -1,0 +1,137 @@
+"""TensorSketch: exact equivalence with the combined CountSketch
+construction, unbiasedness of sketched inner products, polynomial kernel
+features, state chaining."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from randblas_tpu.rng.state import RNGState
+from randblas_tpu.tensor import _countsketch
+from randblas_tpu.tensor import (polynomial_kernel_features, tensor_sketch,
+                                 tensor_sketch_vectors)
+
+
+def _hash_sign(d, m, state):
+    """Recover the (hash, sign) pair of the CountSketch component the
+    module constructs for a (d, m) factor, via its dense form."""
+    mat = np.asarray(_countsketch(d, m, state).materialize())
+    h = np.abs(mat).argmax(axis=0)
+    s = mat[h, np.arange(m)]
+    assert np.all(np.abs(s) == 1.0)
+    return h, s
+
+
+def test_matches_combined_countsketch_exactly():
+    # FFT identity: TS(A1 (kr) A2) == CountSketch with hash (h1+h2) % d
+    # and sign s1*s2 applied to the explicit Khatri-Rao product.
+    d, m1, m2, n = 8, 7, 5, 3
+    rng = np.random.default_rng(0)
+    a1 = jnp.asarray(rng.standard_normal((m1, n)), jnp.float32)
+    a2 = jnp.asarray(rng.standard_normal((m2, n)), jnp.float32)
+    st = RNGState.from_key(3)
+    out, nxt = tensor_sketch([a1, a2], d, st)
+
+    h1, s1 = _hash_sign(d, m1, st)
+    C1 = _countsketch(d, m1, st)
+    h2, s2 = _hash_sign(d, m2, C1.next_state)
+    oracle = np.zeros((d, n))
+    for i1 in range(m1):
+        for i2 in range(m2):
+            r = (h1[i1] + h2[i2]) % d
+            oracle[r] += (s1[i1] * s2[i2]
+                          * np.asarray(a1)[i1] * np.asarray(a2)[i2])
+    np.testing.assert_allclose(np.asarray(out), oracle, atol=1e-5)
+    assert nxt.to_dict() == _countsketch(d, m2, C1.next_state).next_state.to_dict()
+
+
+def test_odd_d_and_three_factors():
+    d, m, n = 13, 6, 2
+    rng = np.random.default_rng(1)
+    facs = [jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+            for _ in range(3)]
+    st = RNGState.from_key(5)
+    out, _ = tensor_sketch(facs, d, st)
+    hs = []
+    cur = st
+    for _ in range(3):
+        hs.append(_hash_sign(d, m, cur))
+        cur = _countsketch(d, m, cur).next_state
+    oracle = np.zeros((d, n))
+    f_np = [np.asarray(f) for f in facs]
+    for i1 in range(m):
+        for i2 in range(m):
+            for i3 in range(m):
+                r = (hs[0][0][i1] + hs[1][0][i2] + hs[2][0][i3]) % d
+                oracle[r] += (hs[0][1][i1] * hs[1][1][i2] * hs[2][1][i3]
+                              * f_np[0][i1] * f_np[1][i2] * f_np[2][i3])
+    np.testing.assert_allclose(np.asarray(out), oracle, atol=1e-4)
+
+
+def test_single_factor_is_countsketch():
+    d, m, n = 16, 10, 4
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    st = RNGState.from_key(7)
+    out, nxt = tensor_sketch([a], d, st)
+    C = _countsketch(d, m, st)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(C.materialize() @ a), atol=1e-5)
+    assert nxt.to_dict() == C.next_state.to_dict()
+
+
+def test_inner_product_unbiased():
+    # E[<TS(x), TS(y)>] = <x (x) x', y (x) y'> over sketch draws
+    m1, m2, d = 8, 6, 64
+    rng = np.random.default_rng(3)
+    x1, x2 = rng.standard_normal(m1), rng.standard_normal(m2)
+    y1, y2 = rng.standard_normal(m1), rng.standard_normal(m2)
+    exact = float(np.dot(np.kron(x1, x2), np.kron(y1, y2)))
+    st = RNGState.from_key(11)
+    vals = []
+    for _ in range(200):
+        tx, st2 = tensor_sketch_vectors(
+            [jnp.asarray(x1, jnp.float32), jnp.asarray(x2, jnp.float32)],
+            d, st)
+        ty, _ = tensor_sketch_vectors(
+            [jnp.asarray(y1, jnp.float32), jnp.asarray(y2, jnp.float32)],
+            d, st)
+        vals.append(float(jnp.dot(tx, ty)))
+        st = st2.incr_key(1)
+    mean = np.mean(vals)
+    sem = np.std(vals) / np.sqrt(len(vals))
+    assert abs(mean - exact) < 4 * sem + 0.05 * abs(exact) + 1e-3
+
+
+def test_polynomial_kernel_features():
+    m, n, d, p = 10, 6, 256, 2
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    exact = np.asarray(x).T @ np.asarray(x)                    # <xi, xj>
+    exact = exact ** p
+    st = RNGState.from_key(13)
+    acc = np.zeros((n, n))
+    reps = 60
+    for _ in range(reps):
+        z, st2 = polynomial_kernel_features(x, p, d, st)
+        z_np = np.asarray(z)
+        acc += z_np.T @ z_np
+        st = st2.incr_key(1)
+    approx = acc / reps
+    scale = np.abs(exact).max()
+    assert np.max(np.abs(approx - exact)) < 0.15 * scale
+
+
+def test_jit_and_validation():
+    import pytest
+    rng = np.random.default_rng(5)
+    a1 = jnp.asarray(rng.standard_normal((6, 3)), jnp.float32)
+    a2 = jnp.asarray(rng.standard_normal((4, 3)), jnp.float32)
+    fn = jax.jit(lambda x, y, s: tensor_sketch([x, y], 8, s)[0])
+    eager, _ = tensor_sketch([a1, a2], 8, RNGState.from_key(1))
+    np.testing.assert_allclose(np.asarray(fn(a1, a2, RNGState.from_key(1))),
+                               np.asarray(eager), atol=1e-5)
+    with pytest.raises(ValueError):
+        tensor_sketch([], 8, RNGState.from_key(0))
+    with pytest.raises(ValueError):
+        tensor_sketch([a1, a2[:, :2]], 8, RNGState.from_key(0))
