@@ -41,11 +41,36 @@ from .embed import make_embedding
 from .qb import _apply, _is_sparse
 
 
+def _warn_thin_embedding(d: int, m: int, n: int) -> None:
+    """The quasi-optimality contract rests on S being a subspace
+    embedding for an m-dimensional space: distortion ~ sqrt(m/d), so at
+    d == m the guarantee degenerates entirely (the sketched residual can
+    be arbitrarily far from the true one). Defaults use d = 2m + 8;
+    warn when a user-supplied d leaves no oversampling headroom
+    (ADVICE r3). d == m == n is exempt — the embedding is then square
+    and the sketch is a mere change of basis."""
+    if d < m + 4 and not (d == n):
+        import warnings
+        warnings.warn(
+            f"embedding dimension d={d} has <4 rows of oversampling over "
+            f"basis m={m}; the ~sqrt(m/d) distortion bound (and with it "
+            "the residual estimate and quasi-optimality) is void. Use "
+            "d >= 2*m (the default) unless you accept heuristic output.",
+            stacklevel=3)
+
+
 def _truncated_arnoldi(matvec, b: jax.Array, m: int, k: int):
     """(Q, AQ): an (n, m) k-truncated Arnoldi basis for span{b, Ab, ...}
     and its image under A. AQ[:, j] = A @ Q[:, j] exactly (stored before
     orthogonalization of the NEXT vector, so no reconstruction error).
-    On happy breakdown the remaining columns are zero."""
+
+    Breakdown handling: a column whose post-orthogonalization norm falls
+    to the rounding floor (eps-relative to ||A q_j||) is zeroed — this
+    catches EXACT invariance (structured/integer A). NEAR-invariant
+    directions above that floor become normalized rounding-noise
+    vectors; they are benign because every consumer solves through a
+    singular-value-clipped SVD/lstsq that discards the dependent
+    directions (see sgmres/sketched_eigs)."""
     n = b.shape[0]
     dtype = b.dtype
     nrm0 = jnp.linalg.norm(b)
@@ -56,8 +81,12 @@ def _truncated_arnoldi(matvec, b: jax.Array, m: int, k: int):
     def body(j, carry):
         qb, ab = carry
         qj = jax.lax.dynamic_slice(qb, (0, j), (n, 1))[:, 0]
-        w = matvec(qj)
+        # coerce to the basis dtype: A may be f64 (dense/sparse/callable)
+        # while b is f32 under x64 — dynamic_update_slice requires an
+        # exact dtype match (ADVICE r3).
+        w = matvec(qj).astype(dtype)
         ab = jax.lax.dynamic_update_slice(ab, w[:, None], (0, j))
+        wnrm0 = jnp.linalg.norm(w)
         # orthogonalize against the last k columns; the slice start is
         # clamped into range by dynamic_slice, and unfilled (zero)
         # columns contribute zero coefficients.
@@ -66,7 +95,9 @@ def _truncated_arnoldi(matvec, b: jax.Array, m: int, k: int):
         w = w - win @ (win.T @ w)
         w = w - win @ (win.T @ w)                             # re-orth pass
         nrm = jnp.linalg.norm(w)
-        qnew = jnp.where(nrm > 10 * jnp.finfo(dtype).tiny,
+        floor = jnp.finfo(dtype).eps * jnp.maximum(
+            wnrm0, jnp.finfo(dtype).tiny)
+        qnew = jnp.where(nrm > floor,
                          w / jnp.where(nrm > 0, nrm, 1.0),
                          jnp.zeros_like(w))
         qb = jnp.where(j + 1 < m,
@@ -110,6 +141,7 @@ def sgmres(a, b: jax.Array, state: RNGState, *, basis: int = 50,
     k = min(trunc, m)
     d = min(n, 2 * m + 8) if d is None else d
     require(d >= m, "embedding dimension d must be >= basis")
+    _warn_thin_embedding(d, m, n)
 
     if callable(a):
         matvec = lambda v: a(v)

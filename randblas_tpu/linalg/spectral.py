@@ -204,6 +204,9 @@ def sketched_eigs(a, k: int, state: RNGState, *, basis: int = None,
     require(1 <= k <= m, "need 1 <= k <= basis")
     d = min(n, 2 * m + 8) if d is None else d
     require(d >= m, "embedding dimension d must be >= basis")
+    if not sym:
+        from .sgmres import _warn_thin_embedding
+        _warn_thin_embedding(d, m, n)
 
     if callable(a):
         matvec = lambda v: a(v)

@@ -13,8 +13,13 @@ from .distributed import (
     distributed_sparse_sketch, distributed_sketch_sparse_data,
     make_sketch_mesh, distributed_sketch_jit,
 )
+from .multihost import (
+    arrange_multihost_devices, initialize_multihost,
+    make_multihost_sketch_mesh,
+)
 
 __all__ = ["distributed_sketch", "distributed_sketch_right",
            "distributed_sketch_cols", "distributed_sparse_sketch",
            "distributed_sketch_sparse_data", "make_sketch_mesh",
-           "distributed_sketch_jit"]
+           "distributed_sketch_jit", "arrange_multihost_devices",
+           "initialize_multihost", "make_multihost_sketch_mesh"]

@@ -245,6 +245,82 @@ def test_coo_flat_scatter_limit_fallback():
                                rtol=1e-6, atol=1e-6)
 
 
+# -- round-3 advisor findings (ADVICE.md r3) ---------------------------------
+
+def test_arnoldi_coerces_matvec_dtype():
+    """An f64 A with an f32 b (under x64) used to raise an obscure
+    dynamic_update_slice dtype mismatch inside the Arnoldi loop; the
+    body must cast matvec output to the basis dtype — for dense, sparse
+    AND callable operators (sgmres and sketched_eigs share the loop)."""
+    import jax
+    was_x64 = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        from randblas_tpu.linalg import sgmres, sketched_eigs
+        from randblas_tpu.sparse_data import COOMatrix
+        rng = np.random.default_rng(2)
+        n = 24
+        # diagonally-dominant shift so the full-basis solve genuinely
+        # converges in f32 (the test's subject is dtype coercion, but a
+        # near-singular A would make the residual bar meaningless)
+        a64 = jnp.asarray(rng.normal(size=(n, n)) + 8 * np.eye(n),
+                          jnp.float64)
+        b32 = jnp.asarray(rng.normal(size=n), jnp.float32)
+        x, res, _ = sgmres(a64, b32, RNGState.from_key(1), basis=n)
+        assert x.dtype == jnp.float32
+        true_res = np.linalg.norm(np.asarray(a64) @ np.asarray(x, np.float64)
+                                  - np.asarray(b32, np.float64))
+        assert true_res / np.linalg.norm(np.asarray(b32)) < 1e-3
+        # callable and sparse paths through sketched_eigs
+        sp64 = COOMatrix.from_dense(a64 + a64.T)
+        theta, _, _, _ = sketched_eigs(sp64, 2, RNGState.from_key(2),
+                                       sym=True, dtype=jnp.float32)
+        assert np.isfinite(np.asarray(theta)).all()
+        mv64 = lambda v: (a64 + a64.T) @ v.astype(jnp.float64)
+        theta2, _, _, _ = sketched_eigs(mv64, 2, RNGState.from_key(2),
+                                        sym=True, n=n, dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(theta2), np.asarray(theta),
+                                   rtol=1e-3)
+    finally:
+        jax.config.update("jax_enable_x64", was_x64)
+
+
+def test_sgmres_warns_on_zero_oversampling():
+    """d == m < n voids the ~sqrt(m/d) distortion contract — warn."""
+    from randblas_tpu.linalg import sgmres, sketched_eigs
+    rng = np.random.default_rng(3)
+    n = 32
+    a = jnp.asarray(rng.normal(size=(n, n)) + 4 * np.eye(n), jnp.float32)
+    b = jnp.asarray(rng.normal(size=n), jnp.float32)
+    with pytest.warns(UserWarning, match="oversampling"):
+        sgmres(a, b, RNGState.from_key(0), basis=8, d=8)
+    with pytest.warns(UserWarning, match="oversampling"):
+        sketched_eigs(a, 2, RNGState.from_key(0), basis=8, d=8)
+    # the default d = 2m + 8 must stay silent, as must d == m == n
+    # (a square embedding is a mere change of basis)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        sgmres(a, b, RNGState.from_key(0), basis=8)
+        sgmres(a, b, RNGState.from_key(0), basis=n, d=n)
+
+
+def test_arnoldi_happy_breakdown_zeroes_columns():
+    """EXACT invariance (A = I: the Krylov space is 1-dimensional) must
+    produce exactly-zero basis columns past the breakdown point, per the
+    documented contract."""
+    from randblas_tpu.linalg.sgmres import _truncated_arnoldi
+    n, m = 16, 5
+    b = jnp.asarray(np.random.default_rng(4).normal(size=n), jnp.float32)
+    q, aq = _truncated_arnoldi(lambda v: v, b, m, 3)
+    q_np = np.asarray(q)
+    np.testing.assert_allclose(q_np[:, 0], np.asarray(b / jnp.linalg.norm(b)),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(q_np[:, 1:], 0.0)
+    # AQ column 0 recorded before the breakdown is exact
+    np.testing.assert_allclose(np.asarray(aq)[:, 0], q_np[:, 0], rtol=1e-6)
+
+
 def test_pallas_fill_interp_flag_is_live():
     """flags(use_pallas_fill='interp') must actually route through the
     Pallas fill (interpret mode off-TPU); uniform streams are exact

@@ -84,3 +84,32 @@ def test_sym_path_jittable():
                                              sym=True)[0])
     theta = fn(a, RNGState.from_key(11))
     assert bool(jnp.all(jnp.isfinite(theta)))
+
+
+def test_sym_path_jits_without_callback():
+    """The documented jit boundary (docs/linalg.md): sym=True must
+    compile with NO host callback anywhere in the module — the whole
+    pipeline (Arnoldi, SVD orthonormalization, eigh, residuals) stays
+    on-device. (sym=False deliberately calls np.linalg.eig on the host
+    and is not jittable at all.)"""
+    n = 40
+    rng = np.random.default_rng(7)
+    # planted spectral gap so the top-2 Ritz pairs converge at basis=16
+    # (a gap-free GOE spectrum would need a far larger basis)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    vals = np.concatenate([[10.0, -8.0], rng.uniform(-1, 1, n - 2)])
+    a = jnp.asarray((q * vals) @ q.T, jnp.float32)
+
+    def full(aa, s):
+        return sketched_eigs(aa, 2, s, basis=16, sym=True)[:3]
+
+    lowered = jax.jit(full).lower(a, RNGState.from_key(3))
+    text = lowered.as_text()
+    for marker in ("callback", "CustomCall(\"xla_python",
+                   "outside_compilation", "host_compute"):
+        assert marker not in text, f"host-callback marker {marker!r} in HLO"
+    theta, x, resid = jax.jit(full)(a, RNGState.from_key(3))
+    # and the Ritz pairs are real eigenpair approximations
+    err = np.asarray(a) @ np.asarray(x) - np.asarray(x) * np.asarray(theta)
+    assert np.linalg.norm(err, axis=0).max() <= 1e-2 * np.abs(
+        np.asarray(theta)).max()

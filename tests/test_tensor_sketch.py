@@ -45,6 +45,34 @@ def test_matches_combined_countsketch_exactly():
     assert nxt.to_dict() == _countsketch(d, m2, C1.next_state).next_state.to_dict()
 
 
+def test_matches_combined_countsketch_d_below_m():
+    # d <= m exercises the MajorAxis.Short branch of _countsketch (the
+    # large-factor case the branch exists for — ADVICE r3); verify both
+    # the one-nonzero-per-column CountSketch structure and exact oracle
+    # equivalence against the combined hash/sign construction.
+    d, m1, m2, n = 8, 16, 12, 3
+    rng = np.random.default_rng(6)
+    a1 = jnp.asarray(rng.standard_normal((m1, n)), jnp.float32)
+    a2 = jnp.asarray(rng.standard_normal((m2, n)), jnp.float32)
+    st = RNGState.from_key(17)
+    for m in (m1, m2):
+        mat = np.asarray(_countsketch(d, m, st).materialize())
+        assert np.all(np.sum(mat != 0, axis=0) == 1)
+        assert set(np.unique(mat[mat != 0])) <= {-1.0, 1.0}
+    out, _ = tensor_sketch([a1, a2], d, st)
+
+    h1, s1 = _hash_sign(d, m1, st)
+    C1 = _countsketch(d, m1, st)
+    h2, s2 = _hash_sign(d, m2, C1.next_state)
+    oracle = np.zeros((d, n))
+    for i1 in range(m1):
+        for i2 in range(m2):
+            r = (h1[i1] + h2[i2]) % d
+            oracle[r] += (s1[i1] * s2[i2]
+                          * np.asarray(a1)[i1] * np.asarray(a2)[i2])
+    np.testing.assert_allclose(np.asarray(out), oracle, atol=1e-4)
+
+
 def test_odd_d_and_three_factors():
     d, m, n = 13, 6, 2
     rng = np.random.default_rng(1)
