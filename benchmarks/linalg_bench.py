@@ -1,7 +1,7 @@
 """Measured TPU numbers for the randomized-linalg tier.
 
-Times three representative production pipelines end to end on the real
-chip via bench_util.time_loop (on-device loop differencing — see that
+Times representative production pipelines end to end on the real chip
+via bench_util.time_loop (on-device loop differencing — see that
 module's docstring for why wall clocks lie through the axon tunnel):
 
   1. rsvd: rank-256 randomized SVD of a 32768 x 4096 f32 matrix
@@ -9,9 +9,18 @@ module's docstring for why wall clocks lie through the axon tunnel):
   2. nystrom_pcg: regularized solve of an 8192^2 SPD system with a
      d=512 Nystrom preconditioner (the FTU21 kernel-ridge shape).
   3. ridge_lsq: 131072 x 2048 Blendenpik ridge solve, SASO embedding.
+  4. sgmres: 8192^2 dense nonsymmetric solve, basis 80 (NT21 shape).
+  5. sketched_eigs (sym=True, the jittable path): top-16 eigenpairs
+     of an 8192^2 symmetric matrix, basis 64.
+  6. rpcholesky_pcg: same SPD system as 2 with a rank-512 RPCholesky
+     preconditioner (column sampling instead of a sketch pass).
+  7. tensor_sketch / polynomial features: degree-3 features of
+     4096-dim data, 2048 points, into d=4096.
+  8. random_fourier_features: 65536 points x 128 dims -> 4096 RBF
+     features (one fused sketch + phase map).
 
-Run: python benchmarks/linalg_bench.py  (TPU; minutes — tunnel compiles)
-Numbers recorded in BENCH_LOCAL.md.
+Run: python benchmarks/linalg_bench.py [names...]  (TPU; minutes —
+tunnel compiles; no names = all). Numbers recorded in BENCH_LOCAL.md.
 """
 
 import sys
@@ -25,7 +34,11 @@ import jax.numpy as jnp                                         # noqa: E402
 
 from randblas_tpu import RNGState                               # noqa: E402
 from randblas_tpu.bench_util import time_loop                   # noqa: E402
-from randblas_tpu.linalg import nystrom_pcg, ridge_lsq, rsvd    # noqa: E402
+from randblas_tpu.linalg import (                               # noqa: E402
+    nystrom_pcg, random_fourier_features, ridge_lsq, rpcholesky_pcg,
+    rsvd, sgmres, sketched_eigs,
+)
+from randblas_tpu.tensor import polynomial_kernel_features      # noqa: E402
 
 
 def bench_rsvd():
@@ -79,8 +92,114 @@ def bench_ridge():
     print(f"ridge_lsq {m}x{n}: {t*1e3:.1f} ms/solve")
 
 
+def bench_sgmres():
+    n, basis = 8192, 80
+    rng = np.random.default_rng(3)
+    a = jnp.asarray((rng.normal(size=(n, n)) / np.sqrt(n)
+                     + 4 * np.eye(n)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=n).astype(np.float32))
+
+    def body(i, carry, a_op, b_op):
+        x, res, _ = sgmres(a_op, b_op + carry * 0.0,
+                           RNGState.from_key(10), basis=basis)
+        return carry + x[0] * 1e-20 + jnp.float32(i) * 0.0
+
+    t = time_loop(body, a, b, iters_small=1, iters_large=3, repeats=2)
+    # dominant cost: basis SEQUENTIAL dense matvecs — bandwidth-bound
+    # (each reads the n^2 f32 matrix once), so report effective GB/s
+    # against the ~800 GB/s HBM roofline.
+    gbytes = basis * n * n * 4 / 1e9
+    print(f"sgmres n={n}, basis={basis}: {t*1e3:.1f} ms/solve "
+          f"(~{gbytes/t:.0f} GB/s on the matvec reads)")
+
+
+def bench_sketched_eigs():
+    n, k, basis = 8192, 16, 64
+    rng = np.random.default_rng(4)
+    g = rng.normal(size=(n, n)).astype(np.float32)
+    a = jnp.asarray((g + g.T) / np.sqrt(2 * n))
+
+    def body(i, carry, a_op):
+        theta, x, resid, _ = sketched_eigs(a_op + carry * 0.0, k,
+                                           RNGState.from_key(11),
+                                           basis=basis, sym=True)
+        return carry + theta[0] * 1e-20 + jnp.float32(i) * 0.0
+
+    t = time_loop(body, a, iters_small=1, iters_large=3, repeats=2)
+    gbytes = basis * n * n * 4 / 1e9
+    print(f"sketched_eigs(sym) n={n}, k={k}, basis={basis}: "
+          f"{t*1e3:.1f} ms/solve "
+          f"(~{gbytes/t:.0f} GB/s on the matvec reads)")
+
+
+def bench_rpcholesky_pcg():
+    n, rank = 8192, 512
+    rng = np.random.default_rng(5)
+    g = rng.normal(size=(n, 64)).astype(np.float32) / 8.0
+    a = jnp.asarray(g @ g.T + 0.1 * np.eye(n, dtype=np.float32))
+    b = jnp.asarray(rng.normal(size=n).astype(np.float32))
+
+    def body(i, carry, a_op, b_op):
+        x, iters, _ = rpcholesky_pcg(a_op, b_op + carry * 0.0,
+                                     RNGState.from_key(12), rank=rank,
+                                     mu=1e-3, tol=1e-5, maxiter=60)
+        return carry + x[0] * 1e-20 + jnp.float32(i) * 0.0
+
+    t = time_loop(body, a, b, iters_small=1, iters_large=3, repeats=2)
+    print(f"rpcholesky_pcg n={n}, rank={rank}: {t*1e3:.1f} ms/solve")
+
+
+def bench_tensor_sketch():
+    m, n, d, degree = 4096, 2048, 4096, 3
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(m, n)).astype(np.float32)
+                    / np.sqrt(m))
+
+    def body(i, carry, x_op):
+        z, _ = polynomial_kernel_features(x_op + carry * 0.0, degree, d,
+                                          RNGState.from_key(13))
+        return carry + z[0, 0] * 1e-20 + jnp.float32(i) * 0.0
+
+    t = time_loop(body, x, iters_small=2, iters_large=8, repeats=2)
+    # implicit product has m^degree rows; report throughput on the work
+    # actually done: degree CountSketches (nnz pass over x) + FFT mults
+    elems = degree * m * n + degree * d * n
+    print(f"tensor_sketch degree={degree}, {m}x{n} -> d={d}: "
+          f"{t*1e3:.2f} ms/transform ({elems/t/1e9:.1f} Gelem/s; "
+          f"implicit row count m^p = {m**degree:.2e})")
+
+
+def bench_rff():
+    n, dim, feat = 65536, 128, 4096
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(n, dim)).astype(np.float32))
+
+    def body(i, carry, x_op):
+        z, _ = random_fourier_features(x_op + carry * 0.0, feat, 1.0,
+                                       RNGState.from_key(14))
+        return carry + z[0, 0] * 1e-20 + jnp.float32(i) * 0.0
+
+    t = time_loop(body, x, iters_small=2, iters_large=8, repeats=2)
+    flops = 2 * n * dim * feat
+    print(f"random_fourier_features {n}x{dim} -> {feat}: "
+          f"{t*1e3:.2f} ms/map (~{flops/t/1e12:.1f} TFLOP/s on the "
+          "projection)")
+
+
+BENCHES = {
+    "rsvd": bench_rsvd,
+    "nystrom": bench_nystrom_pcg,
+    "ridge": bench_ridge,
+    "sgmres": bench_sgmres,
+    "eigs": bench_sketched_eigs,
+    "rpcholesky": bench_rpcholesky_pcg,
+    "tensor": bench_tensor_sketch,
+    "rff": bench_rff,
+}
+
+
 if __name__ == "__main__":
     print(f"device: {jax.devices()[0]}")
-    bench_rsvd()
-    bench_nystrom_pcg()
-    bench_ridge()
+    names = sys.argv[1:] or list(BENCHES)
+    for name in names:
+        BENCHES[name]()

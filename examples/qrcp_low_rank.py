@@ -52,6 +52,29 @@ def sketch_qrcp(a: COOMatrix, k: int, power_iters: int = 2):
     return np.asarray(q), np.asarray(b), piv
 
 
+def stabilizer_study(a: COOMatrix, k: int, power_iters: int = 2):
+    """The reference example's stabilization-variant comparison
+    (qrcp_matrixmarket.cc:220-283): run the same power iteration with
+    each between-pass scheme and compare quality + wall time. Expected
+    shape of the result: 'qr'/'cholqr' equal within roundoff, 'lu'
+    matches them on anything non-pathological at lower cost, 'none'
+    degrades once the iteration count squares the spectrum enough that
+    un-stabilized columns collapse onto the leading subspace."""
+    from randblas_tpu.linalg import sketch_qrcp as lib_sketch_qrcp
+    dense = np.asarray(a.to_dense())
+    nrm = np.linalg.norm(dense)
+    print(f"\nstabilizer study (k={k}, power_iters={power_iters}):")
+    for stab in ("qr", "cholqr", "lu", "none"):
+        t0 = time.perf_counter()
+        q, b, piv = lib_sketch_qrcp(a, k, RNGState.from_key(7),
+                                    power_iters=power_iters,
+                                    stabilizer=stab)
+        dt = time.perf_counter() - t0
+        rel = np.linalg.norm(dense - np.asarray(q) @ np.asarray(b)) / nrm
+        print(f"  {stab:7s}: rel err {rel:.5f}, {dt:.3f}s, "
+              f"pivots {piv[:4].tolist()}")
+
+
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else None
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 16
@@ -66,6 +89,7 @@ def main():
     approx = q @ b
     rel = np.linalg.norm(dense - approx) / np.linalg.norm(dense)
     print(f"rank-{k} relative Frobenius error: {rel:.4f}")
+    stabilizer_study(a, k)
 
 
 if __name__ == "__main__":

@@ -85,20 +85,50 @@ def _orth(y: jax.Array, how: str) -> jax.Array:
     return q
 
 
+def _stabilize(y: jax.Array, how: str) -> jax.Array:
+    """Between-pass stabilization for the power iteration — the three
+    schemes the reference's QRCP example walks through
+    (qrcp_matrixmarket.cc:220-283): full orthonormalization ('qr' /
+    'cholqr', strongest), pivoted-LU span extraction ('lu' — P @ unit-L
+    spans the same space with bounded conditioning at roughly half the
+    cost of QR), or nothing ('none' — one pass of drift is fine when
+    every other pass orthonormalizes; the spectrum-squaring makes
+    un-stabilized columns collapse onto the leading subspace only after
+    ~2 ungated passes at f32). The FINAL basis is always produced by
+    _orth, so the rangefinder's output is orthonormal regardless."""
+    if how == "none":
+        return y
+    if how == "lu":
+        m, k = y.shape
+        lu, _, perm = jax.lax.linalg.lu(y)       # y[perm] == L @ U
+        l = jnp.tril(lu, -1)[:, :k] + jnp.eye(m, k, dtype=y.dtype)
+        # U is k x k nonsingular (generic y), so span(y) == span(P^T L):
+        # y[perm[i]] = (L U)[i]  =>  y = (L U)[inv] with inv o perm = id
+        inv = jnp.zeros_like(perm).at[perm].set(
+            jnp.arange(perm.shape[0], dtype=perm.dtype))
+        return l[inv]
+    return _orth(y, how)
+
+
 def rangefinder(a, k: int, state: RNGState, power_iters: int = 2,
                 dtype=jnp.float32, operator: str = "gaussian",
-                orth: str = "cholqr") -> jax.Array:
+                orth: str = "cholqr", stabilizer: str = None) -> jax.Array:
     """Orthonormal Q (m x k) approximating range(A) via sketch + power
-    iteration with re-orthonormalization each pass.
+    iteration with re-stabilization each pass.
 
     ``operator`` picks the rangefinder's embedding family ('gaussian' |
     'saso' | 'srht', dense data only for the latter two): the initial
     sketch becomes A @ S^T with S a (k, n) operator, so 'srht' costs
     O(mn log n) instead of the dense 2mnk — cheaper whenever
-    k > log2(n)/2, i.e. essentially always. ``orth`` picks the
-    orthonormalizer (see _orth; 'cholqr' is ~2x faster on TPU)."""
+    k > log2(n)/2, i.e. essentially always. ``orth`` picks the FINAL
+    orthonormalizer (see _orth; 'cholqr' is ~2x faster on TPU).
+    ``stabilizer`` picks the BETWEEN-pass scheme ('cholqr' | 'qr' |
+    'lu' | 'none', default = same as orth) — the stabilization-variant
+    menu of the reference's QRCP example (qrcp_matrixmarket.cc:220-283);
+    see _stabilize and examples/qrcp_low_rank.py's variant study."""
     n_rows, n_cols = a.shape
     require(k <= min(n_rows, n_cols), "rank must be <= min dim")
+    stabilizer = orth if stabilizer is None else stabilizer
     if operator == "gaussian" or _is_sparse(a):
         require(operator == "gaussian",
                 "sparse data supports only the 'gaussian' rangefinder "
@@ -109,13 +139,12 @@ def rangefinder(a, k: int, state: RNGState, power_iters: int = 2,
         from .embed import make_embedding
         S = make_embedding(operator, k, n_cols, state, dtype=dtype)
         y = sketch_general(S, a.astype(dtype), side="right", op_s="T")
-    q = _orth(y, orth)
-    for _ in range(power_iters):
+    for i in range(power_iters):
+        q = _stabilize(y, stabilizer)
         z = _apply_t(a, q)
-        w = _orth(z, orth)
+        w = _stabilize(z, stabilizer)
         y = _apply(a, w)
-        q = _orth(y, orth)
-    return q
+    return _orth(y, orth)
 
 
 def qb_decompose(a, k: int, state: RNGState, power_iters: int = 2,

@@ -27,7 +27,8 @@ from .qb import _apply, _apply_t, _is_sparse, rangefinder
 
 
 def sketch_qrcp(a, k: int, state: RNGState, power_iters: int = 2,
-                dtype=jnp.float32, operator: str = "gaussian"
+                dtype=jnp.float32, operator: str = "gaussian",
+                stabilizer: str = None
                 ) -> Tuple[jax.Array, jax.Array, np.ndarray]:
     """Rank-k sketched column-pivoted QR.
 
@@ -35,9 +36,14 @@ def sketch_qrcp(a, k: int, state: RNGState, power_iters: int = 2,
     rangefinder, ``b = q^T A`` (k, n), and ``piv`` (n,) the LAPACK
     pivot order of b's columns — ``piv[:k]`` indexes a well-conditioned
     rank-k column subset of A (qrcp_matrixmarket.cc's pipeline).
+    ``stabilizer`` picks the power iteration's between-pass scheme
+    ('cholqr' | 'qr' | 'lu' | 'none' — the variant menu the reference's
+    example walks through, qrcp_matrixmarket.cc:220-283; see
+    qb._stabilize and the variant study in examples/qrcp_low_rank.py).
     """
     import scipy.linalg
-    q = rangefinder(a, k, state, power_iters, dtype, operator)
+    q = rangefinder(a, k, state, power_iters, dtype, operator,
+                    stabilizer=stabilizer)
     b = _apply_t(a, q).T                        # (k, n) = q^T A
     _, _, piv = scipy.linalg.qr(np.asarray(b), pivoting=True,
                                 mode="economic")

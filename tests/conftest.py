@@ -23,3 +23,22 @@ import jax  # noqa: E402
 if not os.environ.get("RBT_TPU_TESTS"):
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (the reference splits its tests into four
+    executables for the same reason, test/CMakeLists.txt): `pytest -q`
+    runs the fast tier; tests marked `slow` (statistical sweeps,
+    distributed mesh lattices) need RBT_FULL_SUITE=1 or an explicit
+    -m selection."""
+    if os.environ.get("RBT_FULL_SUITE"):
+        return
+    if config.getoption("-m"):
+        return  # user picked markers explicitly; don't second-guess
+    skip_slow = pytest.mark.skip(
+        reason="slow tier: set RBT_FULL_SUITE=1 (or -m slow) to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)

@@ -247,6 +247,7 @@ def test_coo_flat_scatter_limit_fallback():
 
 # -- round-3 advisor findings (ADVICE.md r3) ---------------------------------
 
+@pytest.mark.slow
 def test_arnoldi_coerces_matvec_dtype():
     """An f64 A with an f32 b (under x64) used to raise an obscure
     dynamic_update_slice dtype mismatch inside the Arnoldi loop; the
@@ -285,6 +286,7 @@ def test_arnoldi_coerces_matvec_dtype():
         jax.config.update("jax_enable_x64", was_x64)
 
 
+@pytest.mark.slow
 def test_sgmres_warns_on_zero_oversampling():
     """d == m < n voids the ~sqrt(m/d) distortion contract — warn."""
     from randblas_tpu.linalg import sgmres, sketched_eigs

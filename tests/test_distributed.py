@@ -367,6 +367,7 @@ def test_distributed_sketch_grad():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_distributed_fused_grad_all_layouts():
     """jax.grad through the FUSED shard branches (interpret mode forces
     them on the CPU mesh): fused_call_diff's cotangent is the transposed

@@ -20,6 +20,8 @@ from randblas_tpu.linalg import (cholqr, distributed_qb,
                                  sketch_and_precondition)
 from randblas_tpu.parallel import make_sketch_mesh
 
+pytestmark = pytest.mark.slow  # distributed/statistical-heavy tier
+
 
 def _low_rank(m, n, r, noise=0.0, seed=0, spectrum_hi=8.0):
     rng = np.random.default_rng(seed)

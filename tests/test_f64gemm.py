@@ -83,6 +83,7 @@ def test_sketch_general_f64_forced_hiprec():
     np.testing.assert_allclose(got, want, rtol=1e-13)
 
 
+@pytest.mark.slow
 def test_matmul_hiprec_blocked_k():
     # k above the block size: blocked accumulation must be exact and
     # identical for any block size (shared full-axis grid)

@@ -25,6 +25,7 @@ def test_kernel_approximation():
     assert nxt.to_dict() != RNGState.from_key(2).to_dict()
 
 
+@pytest.mark.slow
 def test_reproducible_and_error_shrinks_with_D():
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.uniform(-1, 1, (40, 4)), jnp.float32)
@@ -48,6 +49,7 @@ def test_reproducible_and_error_shrinks_with_D():
     assert e_big < e_small / 2
 
 
+@pytest.mark.slow
 def test_feature_ridge_matches_kernel_solve():
     # primal: ridge on RFF features ~= dual kernel ridge (nystrom_pcg)
     rng = np.random.default_rng(5)

@@ -37,6 +37,7 @@ def test_rowmajor_grad_vs_staged():
     assert _rel(g, g_ref) < 1e-2   # bf16-dot precision
 
 
+@pytest.mark.slow
 def test_colmajor_grad_vs_staged():
     S = rb.DenseSkOp(rb.DenseDist(96, 32), rb.RNGState.from_key(2))
     A = jnp.asarray(RNG.normal(size=(32, 16)).astype(np.float32))
@@ -46,6 +47,7 @@ def test_colmajor_grad_vs_staged():
     assert _rel(g, g_ref) < 1e-2
 
 
+@pytest.mark.slow
 def test_submatrix_unaligned_grad():
     big = rb.DenseSkOp(rb.DenseDist(40, 120), rb.RNGState.from_key(3))
     A = jnp.asarray(RNG.normal(size=(64, 8)).astype(np.float32))
@@ -143,6 +145,7 @@ def test_coo_spmm_grad():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_square_dist_grad():
     """A square dist transposes to itself (the layout does not flip), so
     the backward pass must NOT use the autotranspose fused route — it

@@ -24,6 +24,7 @@ def _spectrum_matrix(m, n, sv, seed=0):
     return jnp.asarray((u * sv) @ v.T, jnp.float32)
 
 
+@pytest.mark.slow
 class TestKrylovRangefinder:
     def test_basis_orthonormal_and_captures_range(self):
         sv = np.linspace(8.0, 1.0, 6)
@@ -61,6 +62,7 @@ class TestKrylovRangefinder:
                                    atol=5e-5)
 
 
+@pytest.mark.slow
 class TestRsvdKrylov:
     def test_recovers_planted_spectrum(self):
         sv = np.linspace(10.0, 2.0, 8)
@@ -100,6 +102,7 @@ class TestRsvdKrylov:
         np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
 
 
+@pytest.mark.slow
 class TestRangeErrorEstimate:
     def test_certifies_captured_range(self):
         sv = np.linspace(6.0, 1.0, 5)
@@ -133,6 +136,7 @@ class TestRangeErrorEstimate:
         assert n1.to_dict() == n2.to_dict()
 
 
+@pytest.mark.slow
 class TestAdaptiveRangefinder:
     def test_finds_planted_rank(self):
         # rank-12 signal at scale >= 1, noise at 1e-4. The certificate

@@ -125,6 +125,7 @@ def test_nystrom_jits():
 # ----------------------------------------------------------------- rsvd
 
 @pytest.mark.parametrize("operator", ["gaussian", "saso", "srht"])
+@pytest.mark.slow
 def test_rsvd_recovers_low_rank(operator):
     rng = np.random.default_rng(11)
     m, n, r = 200, 90, 10
@@ -175,6 +176,7 @@ def test_rsvd_validates():
 # ------------------------------------------------------------- leverage
 
 @pytest.mark.parametrize("operator", ["saso", "gaussian", "srht"])
+@pytest.mark.slow
 def test_leverage_scores_close_to_exact(operator):
     rng = np.random.default_rng(15)
     m, n = 400, 20
@@ -193,6 +195,7 @@ def test_leverage_scores_close_to_exact(operator):
     assert nxt.to_dict() != rbt.default_state(16).to_dict()
 
 
+@pytest.mark.slow
 def test_leverage_scores_jl_estimates_norms():
     rng = np.random.default_rng(17)
     m, n = 300, 32
@@ -221,6 +224,7 @@ def _regularized_system(n, rank, mu, seed):
     return jnp.asarray(a), jnp.asarray(b), x_true
 
 
+@pytest.mark.slow
 def test_nystrom_pcg_solves_regularized_system():
     mu = 1e-4
     a, b, x_true = _regularized_system(200, 30, mu, seed=11)
@@ -231,6 +235,7 @@ def test_nystrom_pcg_solves_regularized_system():
     assert nxt.to_dict() != rbt.default_state(12).to_dict()
 
 
+@pytest.mark.slow
 def test_nystrom_pcg_beats_plain_cg_iterations():
     # spectrum decays over ~13 orders: plain CG on (A + mu I) crawls,
     # the Nystrom-preconditioned system converges spectrum-independently
@@ -248,6 +253,7 @@ def test_nystrom_pcg_beats_plain_cg_iterations():
     assert np.linalg.norm(res) / np.linalg.norm(np.asarray(b)) < 1e-4
 
 
+@pytest.mark.slow
 def test_nystrom_pcg_block_rhs_and_callable():
     mu = 1e-3
     a, b, _ = _regularized_system(160, 24, mu, seed=15)
@@ -278,6 +284,7 @@ def _symmetric_indefinite(n, lam, seed):
     return a.astype(np.float32), q, np.asarray(lam, np.float32)
 
 
+@pytest.mark.slow
 def test_rand_eigh_signed_spectrum_exact_rank():
     lam = np.array([6.0, -5.0, 3.5, -2.0, 1.0])
     a, _, _ = _symmetric_indefinite(180, lam, seed=21)
@@ -316,6 +323,7 @@ def test_rand_eigh_validates():
                       rbt.default_state(1))
 
 
+@pytest.mark.slow
 def test_nystrom_pcg_rank_deficient_mu_zero():
     """Review regression: mu=0 with a Nystrom tail that clamps to exactly
     zero used to produce a 0/0 = NaN preconditioner and silently return

@@ -65,6 +65,7 @@ class TestCGLS:
         assert int(iters) <= 2
 
 
+@pytest.mark.slow
 class TestSketchAndSolve:
     @pytest.mark.parametrize("operator", ["saso", "gaussian", "srht"])
     def test_residual_near_optimal(self, operator):
@@ -93,6 +94,7 @@ class TestSketchAndSolve:
                                       np.asarray(n2.counter))
 
 
+@pytest.mark.slow
 class TestSketchAndPrecondition:
     @pytest.mark.parametrize("operator", ["saso", "gaussian", "srht"])
     def test_solver_accurate(self, operator):
@@ -132,6 +134,7 @@ class TestSketchAndPrecondition:
         assert _residual(a, b, x) <= r_opt * (1 + 1e-3)
 
 
+@pytest.mark.slow
 class TestSparseData:
     def _sparse_problem(self, m=500, n=30, density=0.05, seed=0):
         rng = np.random.default_rng(seed)
@@ -189,6 +192,7 @@ def test_f64_matvecs_route_through_hiprec():
 
 # ----------------------------------------------------------- min_norm_lsq
 
+@pytest.mark.slow
 class TestMinNormLsq:
     def _wide_consistent(self, m=40, n=400, cond=1e4, seed=0, k=None):
         rng = np.random.default_rng(seed)
@@ -265,6 +269,7 @@ class TestMinNormLsq:
             rla.min_norm_lsq(a, jnp.zeros(50), rbt.default_state(9))
 
 
+@pytest.mark.slow
 class TestRidgeLsq:
     @pytest.mark.parametrize("operator", ["saso", "gaussian", "srht"])
     def test_matches_direct_normal_equations(self, operator):
@@ -351,6 +356,7 @@ class TestRidgeLsq:
                           -1.0, RNGState.from_key(9))
 
 
+@pytest.mark.slow
 class TestDivergenceGuard:
     def test_unreachable_tol_returns_best_iterate(self):
         # review regression: an f32-unreachable tol used to make CGLS

@@ -29,6 +29,7 @@ class TestLogdet:
         assert abs(float(est) - ref) / abs(ref) < 0.05
         assert nxt.to_dict() != rbt.default_state(2).to_dict()
 
+    @pytest.mark.slow
     def test_more_probes_tightens(self):
         # variance-reduction sanity on a fixed matrix: average absolute
         # error over several independent seeds must shrink with probes

@@ -18,6 +18,7 @@ def _nonsym(n, cond=10.0, seed=0):
     return jnp.asarray(a, jnp.float32)
 
 
+@pytest.mark.slow
 def test_full_basis_solves_exactly():
     n = 48
     a = _nonsym(n, seed=1)
@@ -40,6 +41,7 @@ def test_residual_estimate_tracks_true_residual():
     assert 0.4 * true_rel - 1e-6 <= float(res) <= 2.5 * true_rel + 1e-6
 
 
+@pytest.mark.slow
 def test_larger_basis_improves():
     n = 96
     a = _nonsym(n, seed=6)
@@ -50,6 +52,7 @@ def test_larger_basis_improves():
     assert float(r_big) < 0.5 * float(r_small)
 
 
+@pytest.mark.slow
 def test_sparse_and_callable_paths_match_dense():
     n = 64
     rng = np.random.default_rng(10)
@@ -71,6 +74,7 @@ def test_sparse_and_callable_paths_match_dense():
 
 
 @pytest.mark.parametrize("operator", ["saso", "gaussian", "srht"])
+@pytest.mark.slow
 def test_embedding_families(operator):
     n = 72
     a = _nonsym(n, seed=12)
@@ -83,6 +87,7 @@ def test_embedding_families(operator):
     assert rel < 0.2, (operator, rel)
 
 
+@pytest.mark.slow
 def test_jit_and_breakdown():
     # b in a 3-dimensional invariant subspace: happy breakdown at j=3;
     # the zero-padded basis must still produce the exact solution.

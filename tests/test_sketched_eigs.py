@@ -1,6 +1,7 @@
 """Sketched Rayleigh–Ritz eigensolver: dominant-pair accuracy on
 nonsymmetric and symmetric operators, complex spectra, residuals."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,6 +10,7 @@ from randblas_tpu.linalg.spectral import sketched_eigs
 from randblas_tpu.rng.state import RNGState
 
 
+@pytest.mark.slow
 def test_dominant_eigs_nonsymmetric_real():
     # upper-triangular: spectrum on the diagonal, well-separated head
     n = 100
@@ -27,6 +29,7 @@ def test_dominant_eigs_nonsymmetric_real():
     assert np.all(rel < 5e-2)
 
 
+@pytest.mark.slow
 def test_complex_conjugate_pair():
     # rotation-like block embedded in a damped system: dominant pair is
     # complex conjugate with |theta| = 2, angle +-pi/4
@@ -58,6 +61,7 @@ def test_symmetric_path_on_device():
     assert np.all(np.asarray(res) < 5e-2)
 
 
+@pytest.mark.slow
 def test_callable_matches_dense_and_chains_state():
     n = 64
     rng = np.random.default_rng(4)

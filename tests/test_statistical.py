@@ -23,6 +23,8 @@ from randblas_tpu import (
     repeated_fisher_yates,
 )
 
+pytestmark = pytest.mark.slow  # distributed/statistical-heavy tier
+
 SIG = 1e-4  # significance level for KS tests (reference sweeps 1e-2..1e-6)
 
 

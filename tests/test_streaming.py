@@ -68,6 +68,7 @@ class TestSinglePass:
 
 
 class TestStreamingSketch:
+    @pytest.mark.slow
     def test_chunking_invariance(self):
         # counter addressing: the operator slices and the row-partitioned
         # Y buffer are BITWISE identical under any chunking; the W
@@ -98,6 +99,7 @@ class TestStreamingSketch:
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
                                    rtol=1e-4)
 
+    @pytest.mark.slow
     def test_matches_single_pass_svd(self):
         # the streaming accumulator IS single_pass_svd, computed in
         # pieces: same seed, same operators, same answer (f32 matmul

@@ -2,6 +2,7 @@
 construction, unbiasedness of sketched inner products, polynomial kernel
 features, state chaining."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -108,6 +109,7 @@ def test_single_factor_is_countsketch():
     assert nxt.to_dict() == C.next_state.to_dict()
 
 
+@pytest.mark.slow
 def test_inner_product_unbiased():
     # E[<TS(x), TS(y)>] = <x (x) x', y (x) y'> over sketch draws
     m1, m2, d = 8, 6, 64
@@ -131,6 +133,7 @@ def test_inner_product_unbiased():
     assert abs(mean - exact) < 4 * sem + 0.05 * abs(exact) + 1e-3
 
 
+@pytest.mark.slow
 def test_polynomial_kernel_features():
     m, n, d, p = 10, 6, 256, 2
     rng = np.random.default_rng(4)

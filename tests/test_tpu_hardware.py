@@ -239,3 +239,148 @@ def test_srht_on_hardware():
         rel = (np.linalg.norm(got - want)
                / max(np.linalg.norm(want), 1e-30))
         assert rel < 3e-2, rel
+
+
+def test_saso_onehot_panel_on_hardware():
+    """The config-3 production route: a wide canonical SASO through the
+    public sketch() dispatches to ops/coo_apply.py::onehot_panel_apply
+    on TPU (skge.py::_sparse_left_apply) — iota-compare panels contracted
+    on the MXU. Oracle: the densified operator, bf16-rounded like the
+    MXU sees it, under the f32-eps componentwise bound."""
+    import jax.numpy as jnp
+    import randblas_tpu as rb
+    from oracle import assert_componentwise_close
+
+    d, m, n, k = 512, 16384, 512, 8
+    S = rb.SparseSkOp(rb.SparseDist(d, m, vec_nnz=k),
+                      rb.RNGState.from_key(31))
+    A = jnp.asarray(np.random.default_rng(12).normal(
+        size=(m, n)).astype(np.float32))
+    got = np.asarray(rb.sketch(S, A))
+    assert_componentwise_close(got, _bf16(S.materialize()),
+                               _bf16(np.asarray(A)),
+                               eps=float(np.finfo(np.float32).eps))
+
+
+def test_saso_row_gather_on_hardware():
+    """Tall canonical SASO -> ops/coo_apply.py::row_gather_apply (pure
+    gather + k-term weighted sum, no MXU): full f32 accuracy, so the
+    oracle is the raw f32 densified operator under the componentwise
+    bound."""
+    import jax.numpy as jnp
+    import randblas_tpu as rb
+    from oracle import assert_componentwise_close
+
+    d, m, n, k = 4096, 1024, 384, 8
+    S = rb.SparseSkOp(rb.SparseDist(d, m, vec_nnz=k),
+                      rb.RNGState.from_key(32))
+    A = jnp.asarray(np.random.default_rng(13).normal(
+        size=(m, n)).astype(np.float32))
+    got = np.asarray(rb.sketch(S, A))
+    assert_componentwise_close(got, np.asarray(S.materialize()),
+                               np.asarray(A),
+                               eps=float(np.finfo(np.float32).eps))
+
+
+def test_coo_flat_scatter_densify_on_hardware():
+    """The one-shot flat-scatter traced-COO densify
+    (ops/coo_apply.py::coo_left_apply_dense — the round-3 2.6x path),
+    reached two ways: the auto dispatch for a wide operand, and general
+    (non-canonical) sparse-operator triplets through the public spmm.
+    Compiled scatter + MXU GEMM vs the bf16 densify oracle."""
+    import jax.numpy as jnp
+    from randblas_tpu.ops.coo_apply import (
+        coo_left_apply_auto, coo_left_apply_dense)
+    from randblas_tpu.sparse_data import COOMatrix
+    from randblas_tpu.sparse_data.spmm import spmm
+    from oracle import assert_componentwise_close
+
+    d, m, nnz, n = 2048, 8192, 200_000, 512
+    rng = np.random.default_rng(14)
+    rows = rng.integers(0, d, nnz)
+    cols = rng.integers(0, m, nnz)
+    vals = rng.normal(size=nnz).astype(np.float32)
+    B = jnp.asarray(rng.normal(size=(m, n)).astype(np.float32))
+    dense = np.zeros((d, m), np.float32)
+    np.add.at(dense, (rows, cols), vals)
+
+    got = np.asarray(coo_left_apply_dense(
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+        B, d, m))
+    assert_componentwise_close(got, _bf16(dense), _bf16(np.asarray(B)),
+                               eps=float(np.finfo(np.float32).eps))
+    # the auto dispatch must take the same route at this (wide-n) shape
+    got_auto = np.asarray(coo_left_apply_auto(
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+        B, d, m))
+    np.testing.assert_array_equal(got, got_auto)
+    # and the public sparse-DATA product rides it too
+    got_spmm = np.asarray(spmm(
+        COOMatrix.from_arrays(d, m, rows, cols, vals), B))
+    assert_componentwise_close(got_spmm, _bf16(dense),
+                               _bf16(np.asarray(B)),
+                               eps=float(np.finfo(np.float32).eps))
+
+
+def test_tensor_sketch_on_hardware():
+    """tensor_sketch (FFT-domain CountSketch convolution, tensor.py) on
+    the compiled TPU path vs the explicit Kronecker-CountSketch oracle:
+    densify each factor's CountSketch, form the exact Khatri-Rao product
+    sketch in f64 on host, compare in relative Frobenius norm (f32 FFT
+    + MXU factor sketches => ~1e-3)."""
+    import jax.numpy as jnp
+    from randblas_tpu import RNGState
+    from randblas_tpu.tensor import _countsketch, tensor_sketch
+
+    d, m1, m2, n = 256, 96, 80, 16
+    rng = np.random.default_rng(15)
+    a1 = jnp.asarray(rng.normal(size=(m1, n)).astype(np.float32))
+    a2 = jnp.asarray(rng.normal(size=(m2, n)).astype(np.float32))
+    st = RNGState.from_key(33)
+    out, _ = tensor_sketch([a1, a2], d, st)
+    out = np.asarray(out)
+
+    C1 = _countsketch(d, m1, st)
+    C2 = _countsketch(d, m2, C1.next_state)
+    c1 = np.asarray(C1.materialize()).astype(np.float64)
+    c2 = np.asarray(C2.materialize()).astype(np.float64)
+    oracle = np.zeros((d, n))
+    a1n = np.asarray(a1, np.float64)
+    a2n = np.asarray(a2, np.float64)
+    # exact CountSketch-of-Kronecker: hash = (h1 + h2) % d, sign = s1*s2,
+    # recovered from the densified operators (one nonzero per column)
+    r1 = np.abs(c1).argmax(axis=0)
+    g1 = c1[r1, np.arange(m1)]
+    r2 = np.abs(c2).argmax(axis=0)
+    g2 = c2[r2, np.arange(m2)]
+    for i1 in range(m1):
+        for i2 in range(m2):
+            oracle[(r1[i1] + r2[i2]) % d] += (
+                g1[i1] * g2[i2] * a1n[i1] * a2n[i2])
+    rel = np.linalg.norm(out - oracle) / np.linalg.norm(oracle)
+    assert rel < 1e-3, rel
+
+
+def test_sgmres_pipeline_on_hardware():
+    """One composed linalg pipeline on the chip end to end: sketched
+    GMRES on a 1k well-conditioned system (Arnoldi matvecs, fused/staged
+    sketch of the basis, whitened lstsq) — the true residual must beat
+    1e-3 relative."""
+    import jax.numpy as jnp
+    import randblas_tpu as rb
+    from randblas_tpu.linalg import sgmres
+
+    n = 1024
+    rng = np.random.default_rng(16)
+    a = jnp.asarray((rng.normal(size=(n, n)) / np.sqrt(n)
+                     + 4 * np.eye(n)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    x, res_est, _ = sgmres(a, b, rb.RNGState.from_key(34), basis=80)
+    x = np.asarray(x, np.float64)
+    true_rel = (np.linalg.norm(np.asarray(a, np.float64) @ x
+                               - np.asarray(b, np.float64))
+                / np.linalg.norm(np.asarray(b)))
+    assert true_rel < 1e-3, true_rel
+    # the sketched residual estimate must agree within the embedding
+    # distortion (~sqrt(m/d) < 1.6 at the default d = 2m + 8)
+    assert float(res_est) < 2e-3

@@ -199,6 +199,7 @@ class TestSketchGeneralIntegration:
             sketch_general(S, a, d=4, ro_s=1)
 
 
+@pytest.mark.slow
 class TestStatistical:
     def test_isometry_scale(self):
         dist = TrigDist(16, 100)

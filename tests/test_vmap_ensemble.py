@@ -7,6 +7,7 @@ analog (the C++ library is strictly one-operator-per-call)."""
 
 import numpy as np
 
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -67,6 +68,7 @@ def test_vmap_composes_with_grad():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_vmap_sparse_operator_apply():
     """Batched SASO sketching: vmap over pre-filled triplet pytrees."""
     ops = [rb.SparseSkOp(rb.SparseDist(8, 64, vec_nnz=4),
