@@ -57,7 +57,11 @@ def _measure_pair(d, m, n, kind):
     else:
         A = jnp.asarray(rng.normal(size=(m, n)).astype(np.float32))
     flops = 2.0 * d * m * n
-    iters = max(8, min(48, int(40e-3 / (flops / 150e12))))
+    # Size the differencing signal to >= 100 ms at an assumed 100 TF/s
+    # (time_loop needs >> 50 ms of signal or the subtraction returns
+    # noise — the first sweep's 48-iteration cap produced a literal
+    # 283-PFLOP/s "measurement" at the smallest shape).
+    iters = 4 + max(12, min(4000, int(100e-3 / (flops / 100e12))))
 
     def body_fused(i, carry, a):
         st = _per_iter_state(rb, jnp, carry, i)

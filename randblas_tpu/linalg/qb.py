@@ -70,6 +70,33 @@ def _apply_precise(a, x):
     return _mm_precise(a, x)
 
 
+def qr_clipped_lstsq(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Least-squares solve of a tall ``a @ y = b`` via Tikhonov-damped
+    Householder QR: solve ``min || [a; lam*I] y - [b; 0] ||`` with
+    ``lam = eps * m * ||a||_F`` — directions with singular value
+    sigma >> lam get the exact LS coefficient (relative perturbation
+    (lam/sigma)^2), directions with sigma << lam (exact-zero breakdown
+    columns, numerically dependent basis vectors) are smoothly clipped
+    toward 0, exactly the role lstsq's rcond cutoff plays. The damped
+    system is full-rank by construction, so the triangular solve never
+    divides by ~0. (Plain unpivoted-QR column dropping is NOT valid
+    here: row i of R still constrains the later variables.)
+
+    This replaces ``jnp.linalg.lstsq`` on the sketched-solve paths:
+    lstsq's SVD-based route SIGABRTs the TPU compiler ("Check failed:
+    buffer != nullptr" in HloOptimize) at the sgmres shapes — caught by
+    tests/test_tpu_hardware.py::test_sgmres_pipeline_on_hardware, round
+    4 — while Householder QR compiles and runs fine.
+    ``b`` may be a vector or a matrix of stacked right-hand sides."""
+    m = a.shape[1]
+    lam = jnp.finfo(a.dtype).eps * m * jnp.linalg.norm(a)
+    aug = jnp.concatenate([a, lam * jnp.eye(m, dtype=a.dtype)])
+    zeros = jnp.zeros((m,) + b.shape[1:], b.dtype)
+    rhs = jnp.concatenate([b, zeros])
+    q, r = jnp.linalg.qr(aug)
+    return jax.scipy.linalg.solve_triangular(r, q.T @ rhs, lower=False)
+
+
 def _orth(y: jax.Array, how: str) -> jax.Array:
     """Tall-skinny orthonormalization for the rangefinder family.
     'cholqr' (default) = rescued CholQR2 — all-GEMM, measured 1.9x

@@ -23,8 +23,10 @@ plus a k-vector orthogonalization window (dynamic_slice over the basis
 buffer; unfilled slots are zero and orthogonalizing against them is a
 no-op, so the window needs no masking). The (d, m) sketch of the basis
 rides sketch_general (fused / SASO panels — S never hits HBM), and the
-small solve is one SVD-backed lstsq on a d x m matrix, robust to the
-near-dependence a truncated basis develops.
+small solve is one rank-clipped Householder-QR lstsq on a d x m matrix
+(qb.qr_clipped_lstsq — jnp.linalg.lstsq's SVD route crashes the TPU
+compiler at these shapes), robust to the near-dependence a truncated
+basis develops.
 """
 
 from __future__ import annotations
@@ -38,7 +40,7 @@ from ..base import require
 from ..rng.state import RNGState
 from ..skge import sketch_general
 from .embed import make_embedding
-from .qb import _apply, _is_sparse
+from .qb import _apply, _is_sparse, qr_clipped_lstsq
 
 
 def _warn_thin_embedding(d: int, m: int, n: int) -> None:
@@ -69,8 +71,9 @@ def _truncated_arnoldi(matvec, b: jax.Array, m: int, k: int):
     catches EXACT invariance (structured/integer A). NEAR-invariant
     directions above that floor become normalized rounding-noise
     vectors; they are benign because every consumer solves through a
-    singular-value-clipped SVD/lstsq that discards the dependent
-    directions (see sgmres/sketched_eigs)."""
+    clipped solve that suppresses the dependent directions — the damped
+    QR of qb.qr_clipped_lstsq (sgmres) or a singular-value-clipped SVD
+    whiten (sketched_eigs)."""
     n = b.shape[0]
     dtype = b.dtype
     nrm0 = jnp.linalg.norm(b)
@@ -112,7 +115,8 @@ def _truncated_arnoldi(matvec, b: jax.Array, m: int, k: int):
 
 def sgmres(a, b: jax.Array, state: RNGState, *, basis: int = 50,
            trunc: int = 4, d: Optional[int] = None,
-           operator: str = "saso", vec_nnz: int = 8, dtype=None
+           operator: str = "saso", vec_nnz: int = 8, dtype=None,
+           refine: int = 1
            ) -> Tuple[jax.Array, jax.Array, RNGState]:
     """Solve the square system ``A x = b`` approximately over an
     m=``basis``-dimensional Krylov subspace by sketched GMRES.
@@ -130,6 +134,16 @@ def sgmres(a, b: jax.Array, state: RNGState, *, basis: int = 50,
     Accuracy is quasi-optimal over the subspace; for ill-conditioned A
     increase ``basis`` or run under float64 (matvecs then ride the
     int8-sliced MXU GEMM through the sparse/dense apply layer).
+
+    ``refine`` (default 1) adds that many iterative-refinement passes
+    over the SAME basis: sketch the true residual ``b - A x``, solve the
+    small LS problem again, correct x. Each pass costs one matvec + one
+    tail sketch and multiplies the recoverable error by the solve's
+    contraction factor (~1e-3 here), so one pass pins the true residual
+    to the subspace optimum even on TPU, where the tail sketch's bf16
+    MXU products otherwise leave a ~1e-3 component of the residual
+    inside range(AQ) (measured on chip — the hardware sgmres test sat
+    at 1.7e-3 vs the 1e-3 bound before refinement).
     """
     require(b.ndim == 1, "sgmres expects a single right-hand side (n,)")
     n = b.shape[0]
@@ -148,7 +162,17 @@ def sgmres(a, b: jax.Array, state: RNGState, *, basis: int = 50,
     elif _is_sparse(a):
         matvec = lambda v: _apply(a, v[:, None])[:, 0]
     else:
-        matvec = lambda v: a @ v
+        # Precision.HIGHEST: a matvec is HBM-bandwidth-bound, so the
+        # 3-pass f32 MXU product costs nothing in wall time — while the
+        # default bf16 product visibly corrupts the Krylov basis (the
+        # on-chip sgmres test missed its 1e-3 residual bound until this;
+        # same bf16 floor as memory/tpu-mxu-precision-floor.md). f64
+        # still routes through the hiprec int8-sliced GEMM via _apply.
+        if a.dtype == jnp.float64:
+            matvec = lambda v: _apply(a, v[:, None])[:, 0]
+        else:
+            matvec = lambda v: jnp.matmul(
+                a, v, precision=jax.lax.Precision.HIGHEST)
     bb = b.astype(dtype) if dtype is not None else b
     q, aq = _truncated_arnoldi(matvec, bb, m, k)
 
@@ -156,8 +180,17 @@ def sgmres(a, b: jax.Array, state: RNGState, *, basis: int = 50,
                        dtype=dtype or bb.dtype)
     sc = sketch_general(S, aq)                                # (d, m)
     sb = sketch_general(S, bb[:, None])[:, 0]                 # (d,)
-    y, _, _, _ = jnp.linalg.lstsq(sc, sb, rcond=None)
+    sb_norm = jnp.maximum(jnp.linalg.norm(sb),
+                          jnp.finfo(sb.dtype).tiny)
+    y = qr_clipped_lstsq(sc, sb)
     x = q @ y
-    res = jnp.linalg.norm(sc @ y - sb) / jnp.maximum(
-        jnp.linalg.norm(sb), jnp.finfo(sb.dtype).tiny)
+    sr = sb - sc @ y
+    require(refine >= 0, "refine must be >= 0")
+    for _ in range(int(refine)):
+        r = bb - matvec(x).astype(bb.dtype)
+        sr = sketch_general(S, r[:, None])[:, 0]
+        z = qr_clipped_lstsq(sc, sr)
+        x = x + q @ z
+        sr = sr - sc @ z
+    res = jnp.linalg.norm(sr) / sb_norm
     return x, res, S.next_state

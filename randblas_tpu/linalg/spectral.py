@@ -212,8 +212,14 @@ def sketched_eigs(a, k: int, state: RNGState, *, basis: int = None,
         matvec = lambda v: a(v)
     elif _is_sparse(a):
         matvec = lambda v: _apply(a, v[:, None])[:, 0]
+    elif a.dtype == jnp.float64:
+        matvec = lambda v: _apply(a, v[:, None])[:, 0].astype(dtype)
     else:
-        matvec = lambda v: (a @ v).astype(dtype)
+        # Precision.HIGHEST is free here (matvecs are bandwidth-bound)
+        # and keeps the Krylov basis at true f32 instead of the TPU's
+        # default bf16 product — see sgmres.py / the on-chip test note.
+        matvec = lambda v: jnp.matmul(
+            a, v, precision=jax.lax.Precision.HIGHEST).astype(dtype)
     v0, st = _probe(n, state, dtype)
     q, aq = _truncated_arnoldi(matvec, v0, m, min(trunc, m))
 

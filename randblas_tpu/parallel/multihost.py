@@ -31,11 +31,15 @@ full walkthrough):
     mesh = par.make_multihost_sketch_mesh(model=2)
     B = par.distributed_sketch(S, A, mesh)   # unchanged from single-host
 
-There is no multi-host hardware in this environment; the arrangement
-logic is pure (testable with mocked process maps —
-tests/test_multihost.py) and the resulting meshes are exercised end to
-end on the virtual CPU mesh with a mocked process partition. Reference:
-ABSENT (RandBLAS is single-node OpenMP; SURVEY §2.3 rows 2-5).
+There is no multi-host TPU hardware in this environment, but the path
+is exercised for real anyway: tests/test_multihost.py spawns TWO OS
+processes, each with its own 2-device CPU backend, initializes
+``jax.distributed`` over a localhost coordinator, and runs
+``distributed_sketch`` (aligned + pad-and-shard) through XLA's gloo
+cross-process collectives — the same collective machinery a
+DCN-connected pod uses, modulo transport. The arrangement logic is
+additionally covered with mocked process maps. Reference: ABSENT
+(RandBLAS is single-node OpenMP; SURVEY §2.3 rows 2-5).
 """
 
 from __future__ import annotations

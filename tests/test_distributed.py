@@ -31,6 +31,7 @@ def _setup(key=5):
 
 @pytest.mark.parametrize("model,data", [(1, 8), (2, 4), (4, 2), (8, 1),
                                         (1, 1)])
+@pytest.mark.slow
 def test_mesh_shape_invariance(model, data):
     S, A = _setup()
     devices = jax.devices()[:model * data]
@@ -78,6 +79,7 @@ def test_distributed_right(model, data):
 
 
 @pytest.mark.parametrize("model,data", [(1, 8), (2, 4), (4, 2), (8, 1)])
+@pytest.mark.slow
 def test_distributed_sparse(model, data):
     """Canonical wide-SASO path: operator triplets sharded over 'data',
     output rows over 'model' (no replication of either)."""
@@ -203,6 +205,7 @@ def test_distributed_sparse_data(model, data):
 
 @pytest.mark.parametrize("fn_kind", ["left", "right", "sparse_op",
                                      "sparse_data", "cols"])
+@pytest.mark.slow
 def test_pad_and_shard_non_divisible(fn_kind):
     """d=12, m=40 (and friends) on a 2x4 mesh: nothing divides, the
     pad-and-shard scheme must still match the single-device oracle

@@ -114,6 +114,7 @@ def test_submat_dtype_override_bitwise_vs_materialized():
         np.testing.assert_array_equal(lazy, mat)
 
 
+@pytest.mark.slow
 def test_blocked_path_unaligned_tail():
     """k > k_block with an unaligned tail: the tail block is padded in
     isolation (the full operands are never k-padded) and the result

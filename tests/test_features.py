@@ -9,6 +9,7 @@ from randblas_tpu import RNGState
 from randblas_tpu import linalg as rla
 
 
+@pytest.mark.slow
 def test_kernel_approximation():
     # z(x)^T z(y) converges to the RBF kernel at ~1/sqrt(D)
     rng = np.random.default_rng(1)

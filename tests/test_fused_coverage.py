@@ -47,6 +47,7 @@ def _close(got, want, atol=2e-2):
                                np.asarray(want) / scale, atol=atol)
 
 
+@pytest.mark.slow
 def test_left_trans_tall_operator_routes_fused(fused_route):
     # stored S (512, 64) tall Long (ColMajor natural): S^T @ A is the
     # autotransposed wide operator applied directly
@@ -58,6 +59,7 @@ def test_left_trans_tall_operator_routes_fused(fused_route):
     _close(got, np.asarray(S.materialize()).T @ np.asarray(A))
 
 
+@pytest.mark.slow
 def test_left_trans_submatrix_routes_fused(fused_route):
     m, d, n = 512, 64, 16
     big = DenseSkOp(DenseDist(m + 8, d + 4), RNGState.from_key(2))
@@ -70,6 +72,7 @@ def test_left_trans_submatrix_routes_fused(fused_route):
 
 
 @pytest.mark.parametrize("co_s", [1, 2, 3, 5])
+@pytest.mark.slow
 def test_unaligned_column_offset_routes_fused(fused_route, co_s):
     # previously fell back to materialize+GEMM; now top-pads the data
     d, m, n = 32, 256, 16
@@ -81,6 +84,7 @@ def test_unaligned_column_offset_routes_fused(fused_route, co_s):
     _close(got, sub @ np.asarray(A))
 
 
+@pytest.mark.slow
 def test_unaligned_offset_bitwise_vs_aligned_kernel(fused_route):
     # the unaligned route must produce the kernel's own values for the
     # same block, bitwise: compare fused(co_s=2) against fused on a
@@ -98,6 +102,7 @@ def test_unaligned_offset_bitwise_vs_aligned_kernel(fused_route):
     assert fused_route.calls == 1
 
 
+@pytest.mark.slow
 def test_fused_distributed_sketch_right():
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 virtual devices")
@@ -133,6 +138,7 @@ def colmajor_route(monkeypatch):
     yield rec
 
 
+@pytest.mark.slow
 def test_left_notrans_wide_short_routes_colmajor(colmajor_route):
     # wide + Short = ColMajor natural; previously materialize+GEMM
     d, m, n = 32, 256, 16
@@ -145,6 +151,7 @@ def test_left_notrans_wide_short_routes_colmajor(colmajor_route):
     _close(got, np.asarray(S.materialize()) @ np.asarray(A))
 
 
+@pytest.mark.slow
 def test_left_notrans_tall_long_routes_colmajor(colmajor_route):
     # tall + Long ("lifting", d > m) = ColMajor natural
     d, m, n = 256, 64, 16
@@ -155,6 +162,7 @@ def test_left_notrans_tall_long_routes_colmajor(colmajor_route):
     _close(got, np.asarray(S.materialize()) @ np.asarray(A))
 
 
+@pytest.mark.slow
 def test_left_notrans_colmajor_submatrix(colmajor_route):
     d, m, n = 32, 128, 16
     big = DenseSkOp(DenseDist(d + 9, m + 4, major_axis=MajorAxis.Short),
@@ -166,6 +174,7 @@ def test_left_notrans_colmajor_submatrix(colmajor_route):
     _close(got, sub @ np.asarray(A))
 
 
+@pytest.mark.slow
 def test_left_trans_wide_long_routes_colmajor(colmajor_route):
     # S (d', m') wide+Long is RowMajor natural; its transposed dist is
     # tall+Long = ColMajor natural -> op_s=T routes through the

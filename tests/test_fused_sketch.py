@@ -18,6 +18,7 @@ from randblas_tpu.ops.fused_sketch import (
 
 @pytest.mark.parametrize("family", [DenseDistName.Gaussian,
                                     DenseDistName.Uniform])
+@pytest.mark.slow
 def test_fused_interpret_matches_materialize(family):
     d, m, n = 16, 512, 128
     S = DenseSkOp(DenseDist(d, m, family), RNGState.from_key(3))
@@ -111,6 +112,7 @@ class TestPallasFill:
     ])
     @pytest.mark.parametrize("fam", [DenseDistName.Gaussian,
                                      DenseDistName.Uniform])
+    @pytest.mark.slow
     def test_block_matches_xla_fill(self, shape, ma, fam):
         from randblas_tpu.dense import fill_dense_submat
         from randblas_tpu.ops import fused_sketch as fs

@@ -61,7 +61,11 @@ def _make_operator(cfg):
                       dtype=cfg["dtype"])
 
 
-@pytest.mark.parametrize("i", range(24))
+# fast tier keeps a 6-config smoke slice of the lattice; the full
+# 24-config sweep is the slow tier's job (suite tiering, round 4)
+@pytest.mark.parametrize("i", [i if i % 4 == 0 else
+                               pytest.param(i, marks=pytest.mark.slow)
+                               for i in range(24)])
 def test_fuzz_config(i):
     cfg = _random_config(i)
     S = _make_operator(cfg)
@@ -101,7 +105,9 @@ def test_fuzz_config(i):
                                err_msg=str(cfg))
 
 
-@pytest.mark.parametrize("i", range(12))
+@pytest.mark.parametrize("i", [i if i % 4 == 0 else
+                               pytest.param(i, marks=pytest.mark.slow)
+                               for i in range(12)])
 def test_fuzz_forced_fused_left(i, monkeypatch):
     """Left-side dense f32 lattice with the fused kernels FORCED (both
     RowMajor and ColMajor routes, interpret mode): every natural layout x

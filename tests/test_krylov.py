@@ -209,6 +209,7 @@ class TestAdaptiveRangefinder:
         assert np.linalg.norm(res, 2) < 1e-4
 
 
+@pytest.mark.slow
 def test_rsvd_krylov_rank_above_numerical_rank_pads_with_zeros():
     """Asking for more rank than A has: the basis stops at the numerical
     rank and the extra singular triples come back as exact zeros, never

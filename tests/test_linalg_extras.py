@@ -308,6 +308,7 @@ def test_rand_eigh_dominant_modes_under_noise():
                                atol=0.05)
 
 
+@pytest.mark.slow
 def test_rand_eigh_sparse_container():
     lam = np.array([4.0, -3.0, 2.0])
     a, _, _ = _symmetric_indefinite(120, lam, seed=26)

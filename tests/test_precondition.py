@@ -16,6 +16,7 @@ from randblas_tpu import RNGState, SparseDist, SparseSkOp, sketch
 # (cond 1e8 requires sketching in f64 — the example enables x64 for
 # exactly this reason; in f32 the small singular directions sit below
 # eps and the R factor cannot see them)
+@pytest.mark.slow
 def test_saso_qr_preconditioner_conditioning(cond_target):
     m, n, d = 4000, 64, 256
     rng = np.random.default_rng(int(np.log10(cond_target)))

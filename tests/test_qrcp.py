@@ -45,6 +45,7 @@ class TestSketchQRCP:
         _, _, piv = sketch_qrcp(jnp.asarray(a), 4, rbt.default_state(2))
         assert set(piv[:4].tolist()) == set(planted)
 
+    @pytest.mark.slow
     def test_sparse_data(self):
         a = _low_rank(r=5)
         coo = COOMatrix.from_dense(a)
@@ -155,6 +156,7 @@ class TestStabilizerVariants:
         # and it is far better conditioned than a power-iterated basis
         assert np.linalg.cond(l) < 1e3
 
+    @pytest.mark.slow
     def test_lu_beats_none_on_fast_decay(self):
         """With a steep spectrum and several passes, un-stabilized
         power iteration collapses in f32 where 'lu' holds rank."""

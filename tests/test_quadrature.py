@@ -21,6 +21,7 @@ def _psd(n, lam, seed):
 
 
 class TestLogdet:
+    @pytest.mark.slow
     def test_matches_slogdet(self):
         lam = np.linspace(4.0, 0.5, 80)
         a, _ = _psd(80, lam, seed=1)
@@ -47,6 +48,7 @@ class TestLogdet:
 
         assert mean_err(32) <= mean_err(2)
 
+    @pytest.mark.slow
     def test_breakdown_is_finite(self):
         # A with only 3 distinct eigenvalues: Lanczos breaks down after
         # 3 steps; spurious zero-weight nodes at theta=0 must not turn
@@ -62,6 +64,7 @@ class TestLogdet:
 
 
 class TestSlqGeneral:
+    @pytest.mark.slow
     def test_trace_of_exp(self):
         lam = np.linspace(1.0, -1.0, 50)      # indefinite is fine
         a, _ = _psd(50, lam, seed=6)
@@ -70,6 +73,7 @@ class TestSlqGeneral:
         ref = float(np.sum(np.exp(lam)))
         assert abs(float(est) - ref) / ref < 0.08
 
+    @pytest.mark.slow
     def test_identity_recovers_plain_trace(self):
         lam = np.linspace(5.0, 1.0, 40)
         a, _ = _psd(40, lam, seed=8)
@@ -78,6 +82,7 @@ class TestSlqGeneral:
         ref = float(np.sum(lam))
         assert abs(float(est) - ref) / ref < 0.1
 
+    @pytest.mark.slow
     def test_callable_and_sparse(self):
         rng = np.random.default_rng(10)
         g = rng.normal(size=(80, 80)).astype(np.float32) / np.sqrt(80)
@@ -95,6 +100,7 @@ class TestSlqGeneral:
                               steps=30)
         np.testing.assert_allclose(float(est_s), float(est_c), rtol=1e-4)
 
+    @pytest.mark.slow
     def test_reproducible_and_validates(self):
         a, _ = _psd(30, np.linspace(2, 1, 30), seed=12)
         e1, n1 = rla.slq(a, jnp.sqrt, rbt.default_state(13), probes=4,
@@ -110,6 +116,7 @@ class TestSlqGeneral:
 
 
 class TestLanczosFnApply:
+    @pytest.mark.slow
     def test_expm_times_vector(self):
         lam = np.linspace(1.0, -1.0, 40)
         a, _ = _psd(40, lam, seed=20)
@@ -121,6 +128,7 @@ class TestLanczosFnApply:
         ref = v @ (np.exp(w) * (v.T @ np.asarray(b, np.float64)))
         np.testing.assert_allclose(np.asarray(x), ref, rtol=0, atol=2e-4)
 
+    @pytest.mark.slow
     def test_inverse_sqrt_block(self):
         lam = np.linspace(4.0, 0.5, 50)
         a, _ = _psd(50, lam, seed=22)

@@ -17,6 +17,7 @@ def _psd(n, spectrum, seed=0):
     return jnp.asarray(0.5 * (a + a.T), jnp.float32)
 
 
+@pytest.mark.slow
 def test_exact_recovery_low_rank():
     n, r = 96, 12
     spec = np.concatenate([np.linspace(5.0, 1.0, r), np.zeros(n - r)])
@@ -113,6 +114,7 @@ def test_zero_residual_fallback():
 
 
 @pytest.mark.parametrize("mu", [0.0, 1e-2])
+@pytest.mark.slow
 def test_rpcholesky_pcg_solves(mu):
     n = 96
     spec = np.concatenate([np.linspace(50.0, 5.0, 12),

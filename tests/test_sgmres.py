@@ -31,6 +31,7 @@ def test_full_basis_solves_exactly():
     assert float(res) < 5e-3
 
 
+@pytest.mark.slow
 def test_residual_estimate_tracks_true_residual():
     n = 80
     a = _nonsym(n, seed=4)
@@ -111,3 +112,33 @@ def test_validation():
         sgmres(jnp.ones((8, 4)), jnp.ones(8), RNGState.from_key(0))
     with pytest.raises(ValueError):
         sgmres(a, jnp.ones(8), RNGState.from_key(0), basis=20)
+
+
+def test_qr_clipped_lstsq_matches_lstsq_and_clips():
+    """qr_clipped_lstsq == jnp.linalg.lstsq on full-rank systems; on
+    zero/dependent columns it zeroes those coefficients instead of
+    pinv-ing (the TPU-safe replacement — lstsq's SVD route SIGABRTs the
+    TPU compiler at the sgmres shapes, test_tpu_hardware.py r4)."""
+    from randblas_tpu.linalg.qb import qr_clipped_lstsq
+    rng = np.random.default_rng(9)
+    a = jnp.asarray(rng.normal(size=(40, 7)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=40).astype(np.float32))
+    want, *_ = jnp.linalg.lstsq(a, b, rcond=None)
+    got = qr_clipped_lstsq(a, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
+    # matrix right-hand side
+    B = jnp.asarray(rng.normal(size=(40, 3)).astype(np.float32))
+    wantB, *_ = jnp.linalg.lstsq(a, B, rcond=None)
+    np.testing.assert_allclose(np.asarray(qr_clipped_lstsq(a, B)),
+                               np.asarray(wantB), atol=1e-5)
+    # exact zero column (sgmres breakdown padding): the damping drives
+    # that coefficient to ~0 while the kept columns still solve their
+    # LS problem (the damped system is full-rank, so no 1/~0 division)
+    a0 = a.at[:, 3].set(0.0)
+    y = np.asarray(qr_clipped_lstsq(a0, b))
+    assert abs(y[3]) < 1e-4
+    keep = [0, 1, 2, 4, 5, 6]
+    yref = np.linalg.lstsq(np.asarray(a0)[:, keep], np.asarray(b),
+                           rcond=None)[0]
+    np.testing.assert_allclose(y[keep], yref, atol=1e-4)

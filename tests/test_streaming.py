@@ -27,6 +27,7 @@ def _low_rank(m, n, r, noise=0.0, seed=0):
 
 
 class TestSinglePass:
+    @pytest.mark.slow
     def test_recovers_planted_spectrum(self):
         a, s_true = _low_rank(500, 120, r=6, noise=1e-4, seed=1)
         u, s, vt, nxt = rla.single_pass_svd(a, 6, RNGState.from_key(1))
@@ -36,6 +37,7 @@ class TestSinglePass:
         assert np.linalg.norm(approx - np.asarray(a), 2) < 0.05
         assert nxt.to_dict() != RNGState.from_key(1).to_dict()
 
+    @pytest.mark.slow
     def test_sparse_data(self):
         # planted low-rank spike in sparse noise (the low_rank_svd
         # example's matrix family) — single-pass accuracy needs a

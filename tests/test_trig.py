@@ -263,6 +263,7 @@ class TestComposition:
                                    np.asarray(S.materialize()) @ a,
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow
     def test_vmap_over_seeds_matches_serial(self):
         """Ensemble sketching: vmapping the seed state through sampling
         and apply is bitwise equal to the serial per-seed results (the
