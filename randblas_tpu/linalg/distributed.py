@@ -39,7 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..base import require
 from ..dense import DenseDist, DenseSkOp
 from ..rng.state import RNGState
-from .qb import _mm_precise
+from .qb import _mm_precise, safe_svd
 
 
 def cholqr(y: jax.Array, *, iters: int = 2, shift: float = 0.0
@@ -190,7 +190,7 @@ def distributed_rsvd(a: jax.Array, k: int, state: RNGState, mesh: Mesh, *,
     q, b = distributed_qb(a, k + oversample, state, mesh,
                           power_iters=power_iters,
                           dtype=dtype, gram_shift=gram_shift)
-    ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    ub, s, vt = safe_svd(b, full_matrices=False)
     u = _mm(q, ub[:, :k], q.dtype)
     return u, s[:k], vt[:k]
 

@@ -28,7 +28,7 @@ from ..base import require
 from ..dense import DenseDist, DenseSkOp
 from ..rng.state import RNGState
 from ..skge import sketch_general
-from .qb import _apply, _apply_t, _is_sparse, _mm_precise
+from .qb import _apply, _apply_t, _is_sparse, _mm_precise, safe_svd
 
 
 def krylov_rangefinder(a, block: int, state: RNGState, *, depth: int = 2,
@@ -84,7 +84,7 @@ def krylov_rangefinder(a, block: int, state: RNGState, *, depth: int = 2,
     # loop stops when a block's post-projection content is a rounding
     # ghost of its own pre-projection scale.
     rel = 20.0 * float(jnp.finfo(dtype).eps) * float(m) ** 0.5
-    ur, sr, _ = jnp.linalg.svd(y, full_matrices=False)
+    ur, sr, _ = safe_svd(y, full_matrices=False)
     keep = max(1, int((np.asarray(sr) > rel * float(sr[0])).sum()))
     basis = prev = ur[:, :keep]
     for _ in range(depth):
@@ -95,7 +95,7 @@ def krylov_rangefinder(a, block: int, state: RNGState, *, depth: int = 2,
         # directions above the rank cutoff (see qb._mm_precise)
         y = y - _mm_precise(basis, _mm_precise(basis.T, y))
         y = y - _mm_precise(basis, _mm_precise(basis.T, y))
-        ur, sr, _ = jnp.linalg.svd(y, full_matrices=False)
+        ur, sr, _ = safe_svd(y, full_matrices=False)
         if float(sr[0]) <= rel * pre_scale:
             break                                    # range captured
         keep = int((np.asarray(sr) > rel * float(sr[0])).sum())
@@ -124,7 +124,7 @@ def rsvd_krylov(a, rank: int, state: RNGState, *, block: int = None,
                            operator=operator)
     bb = _apply_t(a, q).T if _is_sparse(a) else jnp.matmul(
         q.T, a.astype(dtype), preferred_element_type=dtype)
-    ub, s, vt = jnp.linalg.svd(bb, full_matrices=False)
+    ub, s, vt = safe_svd(bb, full_matrices=False)
     u = jnp.matmul(q, ub[:, :rank])
     s, vt = s[:rank], vt[:rank, :]
     if q.shape[1] < rank:

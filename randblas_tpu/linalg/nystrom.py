@@ -25,7 +25,7 @@ from ..base import require
 from ..dense import DenseDist, DenseSkOp
 from ..rng.state import RNGState
 from ..skge import sketch_general
-from .qb import _apply, _is_sparse
+from .qb import _apply, _is_sparse, safe_svd
 
 
 def nystrom(a, d: int, state: RNGState, dtype=jnp.float32, *,
@@ -65,7 +65,7 @@ def nystrom(a, d: int, state: RNGState, dtype=jnp.float32, *,
     c = jnp.linalg.cholesky(gram)
     # B = Y_nu C^{-T}  via triangular solve on the right
     b = jax.scipy.linalg.solve_triangular(c, y_nu.T, lower=True).T
-    u, s, _ = jnp.linalg.svd(b, full_matrices=False)
+    u, s, _ = safe_svd(b, full_matrices=False)
     lam = jnp.maximum(s * s - nu, 0.0)
     return u, lam, S.next_state
 

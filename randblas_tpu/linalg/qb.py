@@ -70,6 +70,27 @@ def _apply_precise(a, x):
     return _mm_precise(a, x)
 
 
+def safe_svd(x: jax.Array, full_matrices: bool = False):
+    """``jnp.linalg.svd`` with the x64 trace context scoped OFF for
+    sub-f64 inputs.
+
+    Measured on v5e (round 4, tests/test_tpu_hardware.py +
+    /tmp probes): with ``jax_enable_x64`` enabled, the TPU compiler
+    SIGABRTs ("Check failed: buffer != nullptr" in TransposeFolding)
+    on the SVD graph for BOTH tall and wide f32 inputs — the x64 mode
+    switches the lowering's index dtypes to int64 and that graph
+    variant crashes the pass. The same shapes compile and run fine
+    with x64 off, and QR/eigh are unaffected. Since x64 mode changes
+    only index types for f32 DATA, scoping it off around the trace is
+    value-identical and unblocks every SVD consumer (rsvd, nystrom,
+    sketched_eigs, streaming, ...) for x64-enabled sessions.
+    f64 inputs keep the x64 context (disabling would downcast)."""
+    if x.dtype == jnp.float64:
+        return jnp.linalg.svd(x, full_matrices=full_matrices)
+    with jax.enable_x64(False):
+        return jnp.linalg.svd(x, full_matrices=full_matrices)
+
+
 def qr_clipped_lstsq(a: jax.Array, b: jax.Array) -> jax.Array:
     """Least-squares solve of a tall ``a @ y = b`` via Tikhonov-damped
     Householder QR: solve ``min || [a; lam*I] y - [b; 0] ||`` with
@@ -187,7 +208,7 @@ def qb_decompose(a, k: int, state: RNGState, power_iters: int = 2,
 def qb_to_svd(q: jax.Array, b: jax.Array):
     """SVD of A from its QB factorization (svd_rank1_plus_noise.cc:264-300):
     svd(B) on the small k x n factor, then U = Q Ub."""
-    ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    ub, s, vt = safe_svd(b, full_matrices=False)
     u = jnp.matmul(q, ub)
     return u, s, vt
 
@@ -252,7 +273,7 @@ def adaptive_rangefinder(a, tol: float, state: RNGState, *,
         # ~700 on an exactly low-rank A with an unreachable tol). Keep
         # only directions with real content; zero survivors means the
         # range is captured to working precision — stop.
-        ur, sr, _ = jnp.linalg.svd(r, full_matrices=False)
+        ur, sr, _ = safe_svd(r, full_matrices=False)
         cut = 20.0 * float(jnp.finfo(dtype).eps) * float(m) ** 0.5 \
             * a_scale
         keep = int((np.asarray(sr) > cut).sum())

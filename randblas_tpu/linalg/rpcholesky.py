@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ..base import require
 from ..rng.state import RNGState
 from ..util import sample_indices_iid
-from .qb import _mm_precise
+from .qb import _mm_precise, safe_svd
 
 
 def _inv_sqrt_psd(h: jax.Array) -> jax.Array:
@@ -149,7 +149,7 @@ def rpcholesky_pcg(a, bvec, state: RNGState, *, rank: int, mu: float = 0.0,
     f, _, nxt = rpcholesky(a, rank, state, block=block)
     # Eigendecompose F F^T through the skinny factor: F = U S V^T gives
     # A ~= U diag(S^2) U^T — the same (u, lam) form nystrom() returns.
-    u, s, _ = jnp.linalg.svd(f.astype(bb.dtype), full_matrices=False)
+    u, s, _ = safe_svd(f.astype(bb.dtype), full_matrices=False)
     lam = s * s
     lam_reg = lam + mu
     eps = jnp.finfo(bb.dtype).eps

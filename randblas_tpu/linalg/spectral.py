@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from ..base import require
 from ..dense import DenseDist, DenseSkOp
 from ..rng.state import RNGState
-from .qb import _apply, _is_sparse
+from .qb import _apply, _is_sparse, safe_svd
 
 
 def required_power_iters(n: int, p_fail: float, tol: float) -> int:
@@ -230,7 +230,7 @@ def sketched_eigs(a, k: int, state: RNGState, *, basis: int = None,
         # relative: the 1/s amplification of rounding noise in aq V S^+
         # is then bounded by ~sqrt(eps), and the dropped directions are
         # the numerically repeated ones a truncated basis develops.
-        u, s, vt = jnp.linalg.svd(q, full_matrices=False)
+        u, s, vt = safe_svd(q, full_matrices=False)
         cutoff = jnp.sqrt(jnp.finfo(dtype).eps) * jnp.maximum(
             s[0], jnp.finfo(dtype).tiny)
         keep = s > cutoff
@@ -262,7 +262,7 @@ def sketched_eigs(a, k: int, state: RNGState, *, basis: int = None,
     # injective S, so eig(M_w) recovers them regardless of the
     # embedding distortion (unlike any symmetrization — see the sym
     # branch note above).
-    u, s, vt = jnp.linalg.svd(sq, full_matrices=False)
+    u, s, vt = safe_svd(sq, full_matrices=False)
     cutoff = jnp.finfo(dtype).eps * m * jnp.maximum(
         s[0], jnp.finfo(dtype).tiny)
     s_inv = jnp.where(s > cutoff, 1.0 / jnp.maximum(s, cutoff), 0.0)

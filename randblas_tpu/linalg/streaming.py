@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from ..base import require
 from ..dense import DenseDist, DenseSkOp, fill_dense_submat
 from ..rng.state import RNGState
-from .qb import _apply, _is_sparse, _orth, qr_clipped_lstsq
+from .qb import _apply, _is_sparse, _orth, qr_clipped_lstsq, safe_svd
 
 
 def _sketch_dims(m: int, n: int, rank: int, oversample: int,
@@ -62,7 +62,7 @@ def _recover(y, w, psi_full, rank, dtype):
     # rank-deficiency junk, so use the unconditionally stable QR here
     pq = psi_full @ q                       # (l, k)
     b = qr_clipped_lstsq(pq, w)             # (k, n)
-    ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    ub, s, vt = safe_svd(b, full_matrices=False)
     u = q @ ub[:, :rank]
     return u, s[:rank], vt[:rank, :]
 

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..base import require
+from .qb import safe_svd
 from ..dense import DenseSkOp
 from ..skge import sketch_general
 from ..sparse import SparseSkOp
@@ -22,7 +23,7 @@ def tls_via_svd(ab: jax.Array) -> jax.Array:
     """Classical TLS on the stacked (m, n+1) matrix [A b]: solution from
     the right singular vector of the smallest singular value
     (tls_dense_skop.cc solver block)."""
-    _, _, vt = jnp.linalg.svd(ab, full_matrices=False)
+    _, _, vt = safe_svd(ab, full_matrices=False)
     v = vt[-1]                      # right singular vector, min sigma
     # x = -v[:n] / v[n]
     return -v[:-1] / v[-1]

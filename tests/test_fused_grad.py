@@ -27,6 +27,7 @@ def _rel(a, b):
                  / np.abs(np.asarray(b)).max())
 
 
+@pytest.mark.slow
 def test_rowmajor_grad_vs_staged():
     S = rb.DenseSkOp(rb.DenseDist(16, 64), rb.RNGState.from_key(1))
     A = jnp.asarray(RNG.normal(size=(64, 24)).astype(np.float32))

@@ -117,6 +117,7 @@ class TestStabilizerVariants:
     (qrcp_matrixmarket.cc:220-283) as rangefinder options: between-pass
     'qr' | 'cholqr' | 'lu' | 'none'."""
 
+    @pytest.mark.slow
     def test_all_variants_capture_the_range(self):
         a = _low_rank(m=400, n=200, r=8, noise=1e-4)
         an = np.asarray(a)

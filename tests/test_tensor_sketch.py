@@ -23,6 +23,7 @@ def _hash_sign(d, m, state):
     return h, s
 
 
+@pytest.mark.slow
 def test_matches_combined_countsketch_exactly():
     # FFT identity: TS(A1 (kr) A2) == CountSketch with hash (h1+h2) % d
     # and sign s1*s2 applied to the explicit Khatri-Rao product.

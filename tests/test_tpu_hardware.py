@@ -384,3 +384,29 @@ def test_sgmres_pipeline_on_hardware():
     # the sketched residual estimate must agree within the embedding
     # distortion (~sqrt(m/d) < 1.6 at the default d = 2m + 8)
     assert float(res_est) < 2e-3
+
+
+def test_single_pass_svd_on_hardware():
+    """single_pass_svd (TYUC17, streaming.py) end to end on the chip —
+    covers the damped-QR lstsq replacement (qb.qr_clipped_lstsq) in its
+    second consumer: recovery of a planted rank-16 spectrum from one
+    pass, singular values to 1e-2 relative and reconstruction to the
+    noise floor."""
+    import jax.numpy as jnp
+    from randblas_tpu import RNGState
+    from randblas_tpu.linalg import single_pass_svd
+
+    m, n, r = 2048, 512, 16
+    rng = np.random.default_rng(17)
+    u, _ = np.linalg.qr(rng.normal(size=(m, r)))
+    v, _ = np.linalg.qr(rng.normal(size=(n, r)))
+    s_true = np.linspace(10.0, 1.0, r)
+    a_np = ((u * s_true) @ v.T).astype(np.float32)
+    a = jnp.asarray(a_np + 1e-4 * rng.normal(size=(m, n)).astype(
+        np.float32))
+    uu, ss, vt, _ = single_pass_svd(a, r, RNGState.from_key(35),
+                                    oversample=8)
+    np.testing.assert_allclose(np.asarray(ss), s_true, rtol=1e-2)
+    approx = np.asarray(uu) @ np.diag(np.asarray(ss)) @ np.asarray(vt)
+    rel = np.linalg.norm(a_np - approx) / np.linalg.norm(a_np)
+    assert rel < 5e-3, rel
