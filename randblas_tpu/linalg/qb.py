@@ -115,7 +115,10 @@ def qr_clipped_lstsq(a: jax.Array, b: jax.Array) -> jax.Array:
     zeros = jnp.zeros((m,) + b.shape[1:], b.dtype)
     rhs = jnp.concatenate([b, zeros])
     q, r = jnp.linalg.qr(aug)
-    return jax.scipy.linalg.solve_triangular(r, q.T @ rhs, lower=False)
+    # HIGHEST: the projection is a thin product, and its default bf16
+    # MXU rounding (~4e-3 relative) would dominate the solve's accuracy
+    qtb = jnp.matmul(q.T, rhs, precision=jax.lax.Precision.HIGHEST)
+    return jax.scipy.linalg.solve_triangular(r, qtb, lower=False)
 
 
 def _orth(y: jax.Array, how: str) -> jax.Array:

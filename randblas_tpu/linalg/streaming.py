@@ -60,10 +60,14 @@ def _recover(y, w, psi_full, rank, dtype):
     q = _orth(y, "qr")                      # (m, k); Householder — the
     # single-pass Y has no refinement passes to absorb CholQR's
     # rank-deficiency junk, so use the unconditionally stable QR here
-    pq = psi_full @ q                       # (l, k)
+    pq = jnp.matmul(psi_full, q,
+                    precision=jax.lax.Precision.HIGHEST)    # (l, k)
     b = qr_clipped_lstsq(pq, w)             # (k, n)
     ub, s, vt = safe_svd(b, full_matrices=False)
-    u = q @ ub[:, :rank]
+    # thin basis rotation: default bf16 rounding here puts ~4e-3
+    # relative error directly on U (and thus on Q B) — HIGHEST is free
+    u = jnp.matmul(q, ub[:, :rank],
+                   precision=jax.lax.Precision.HIGHEST)
     return u, s[:rank], vt[:rank, :]
 
 
@@ -106,8 +110,14 @@ class StreamingSketch:
             jax.lax.dynamic_slice(self._seen, (row_start,), (r,)))),
             "rows submitted twice (each row exactly once; W accumulates)")
         blk = block.astype(self.dtype)
+        # Precision.HIGHEST on the one-pass products: these are the
+        # ONLY passes over the data, so there is no refinement pass to
+        # absorb the TPU's default bf16 MXU rounding (measured on chip:
+        # 9.7e-3 reconstruction floor vs ~2e-3 at full f32); they are
+        # HBM-bandwidth-bound, so the 3-pass f32 product is ~free.
         self._y = jax.lax.dynamic_update_slice(
             self._y, jnp.matmul(blk, self._omega,
+                                precision=jax.lax.Precision.HIGHEST,
                                 preferred_element_type=self.dtype),
             (row_start, 0))
         # Psi[:, rows] regenerated from counters — any chunking yields
@@ -116,6 +126,7 @@ class StreamingSketch:
                                      self.l, r, 0, row_start,
                                      dtype=self.dtype)
         self._w = self._w + jnp.matmul(psi_cols, blk,
+                                       precision=jax.lax.Precision.HIGHEST,
                                        preferred_element_type=self.dtype)
         self._seen = jax.lax.dynamic_update_slice(
             self._seen, jnp.ones((r,), jnp.bool_), (row_start,))
@@ -150,7 +161,13 @@ def single_pass_svd(a, rank: int, state: RNGState, *,
         w = _apply_t(a, psi.T).T                 # (Psi A) via A^T Psi^T
     else:
         ad = a.astype(dtype)
-        y = jnp.matmul(ad, om.materialize(), preferred_element_type=dtype)
-        w = jnp.matmul(psi, ad, preferred_element_type=dtype)
+        # Precision.HIGHEST: single-pass has no refinement to absorb
+        # the bf16 MXU floor, and the pass is bandwidth-bound (see
+        # StreamingSketch.update).
+        y = jnp.matmul(ad, om.materialize(),
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=dtype)
+        w = jnp.matmul(psi, ad, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=dtype)
     u, s, vt = _recover(y, w, psi, rank, dtype)
     return u, s, vt, psi_op.next_state
