@@ -153,12 +153,15 @@ def _fused_eligible(S: DenseSkOp, rows_s: int, cols_s: int, ro_s: int,
     from .ops.fused_sketch import fused_sketch_supported
     ok = fused_sketch_supported(S.dist, rows_s, cols_s, ro_s, co_s, op_s,
                                 dtype)
-    # short contractions don't amortize the kernel's panel machinery:
-    # measured on v5e, fused wins 1.4-1.5x over staged fill+GEMM for
-    # m >= 4096 but LOSES at the m=1024 lifting shape (71 vs 86
-    # TFLOP/s, a 2-step k sweep). Auto mode hands short-m calls to the
-    # staged path; forcing still works.
-    if use_fused != True and cols_s < 2048:  # noqa: E712
+    # Gate from the measured profit boundary (benchmarks/gate_sweep.py,
+    # 10-shape same-run sweep, BENCH_LOCAL.md "Gate sweep" table):
+    # fused/staged is 1.01 at m=1280, 1.77 at 1536, 1.75-2.0 for
+    # m >= 2048 (both n=512 and n=2048), so the contraction gate sits
+    # at 1536 (round 2 had it at 2048 from a 2-point probe). A SHORT
+    # OPERATOR is the other loss mode: at d=256 the kernel pads to its
+    # row block and loses 13% (0.867 at 256x4096@4096), so auto mode
+    # also requires rows_s >= 1024 (the smallest measured winning d).
+    if use_fused != True and (cols_s < 1536 or rows_s < 1024):  # noqa: E712
         return False
     # use_fused is True ("forced") must not raise here: other fused
     # routes (left-Trans autotranspose) may still apply; the final
@@ -188,9 +191,12 @@ def _left_colmajor_fused_or_none(S: DenseSkOp, a_mat, rows_s: int,
     materialized-GEMM roofline at 4096x1024 @ 4096; round 2 had it the
     other way at 0.45 vs 0.58), so auto mode runs it whenever the
     contraction is long enough to amortize the panel machinery
-    (cols_s >= 1024 — shorter contractions are untested territory and
-    stay staged, matching the RowMajor kernel's short-m gate).
-    use_fused=True forces the kernel regardless (tests)."""
+    (cols_s >= 1024 — CONFIRMED by the round-4 profit-boundary sweep,
+    benchmarks/gate_sweep.py: fused/staged = 0.829 at m=512, 1.006 at
+    768, 1.031 at 1024, rising to 1.10-1.52 at larger m/d; round 3's
+    apparent 2.38x win at m=512 was a differencing artifact from an
+    under-sized timing signal). use_fused=True forces the kernel
+    regardless (tests)."""
     if op_s != Op.NoTrans or not _fused_gates_ok(S, dtype):
         return None
     from .ops import fused_sketch as fs
@@ -222,9 +228,10 @@ def _left_trans_fused_or_none(S: DenseSkOp, a_mat, rows_s: int,
     """
     if op_s != Op.Trans or not _fused_gates_ok(S, dtype):
         return None
-    if use_fused != True and rows_s < 2048:  # noqa: E712
-        # the fused call's contraction length is rows_s; short sweeps
-        # lose to staged fill+GEMM (see _fused_eligible)
+    if use_fused != True and (rows_s < 1536 or cols_s < 1024):  # noqa: E712
+        # the fused call's contraction length is rows_s and its
+        # operator row count is cols_s; both gates from the measured
+        # boundary (see _fused_eligible / gate_sweep.py)
         return None
     from .dense import DenseDist, DenseDistName, dist_to_layout
     from .base import Layout
@@ -247,8 +254,8 @@ def _left_trans_fused_or_none(S: DenseSkOp, a_mat, rows_s: int,
                                               dtype):
         return None
     # same contraction gate as the NoTrans ColMajor route (the fused
-    # call's contraction length is rows_s; the rows_s >= 2048 gate above
-    # already covers it)
+    # call's contraction length is rows_s; the rows_s >= 1536 gate above
+    # already covers its 1024 threshold)
     return fs.fused_sketch_colmajor(S_t, a_mat, alpha=float(alpha),
                                     rows_s=cols_s, cols_s=rows_s,
                                     ro_s=co_s, co_s=ro_s)
@@ -266,8 +273,13 @@ def _right_fused_or_none(S: DenseSkOp, a_mat, rows_s: int, cols_s: int,
       fill-order autotranspose property (tested in test_dense_fill.py),
       the same seed drawn from the transposed distribution gives exactly
       S^T, which is wide-RowMajor and fused-eligible.
-    Only profitable when the operator block dwarfs the data (the
-    transposes cost two passes over a_mat/B); gate at 2x.
+    Profitable far below the round-2 "operator dwarfs the data" guess:
+    the round-4 sweep (benchmarks/gate_sweep.py, m=32768, n=2048)
+    measured fused/staged = 1.10 at size ratio 0.5x, 1.60 at 1x, 1.84
+    at 2x, 2.05 at 4x, 2.16 at 8x — the staged side pays the full
+    operator fill, which dominates long before the operator outweighs
+    the data. Gate at 0.5x, the smallest measured-winning ratio;
+    below it is unmeasured territory and stays staged.
     """
     if S.materialized is not None or use_fused is False:
         return None
@@ -277,7 +289,7 @@ def _right_fused_or_none(S: DenseSkOp, a_mat, rows_s: int, cols_s: int,
         return None
     if not (use_fused is True or _tpu_backend()):
         return None
-    if rows_s * cols_s < 2 * a_mat.size:
+    if 2 * rows_s * cols_s < a_mat.size:
         return None
     from .dense import DenseDist, DenseDistName, dist_to_layout
     from .base import Layout
