@@ -159,9 +159,10 @@ def _fused_eligible(S: DenseSkOp, rows_s: int, cols_s: int, ro_s: int,
     # m >= 2048 (both n=512 and n=2048), so the contraction gate sits
     # at 1536 (round 2 had it at 2048 from a 2-point probe). A SHORT
     # OPERATOR is the other loss mode: at d=256 the kernel pads to its
-    # row block and loses 13% (0.867 at 256x4096@4096), so auto mode
-    # also requires rows_s >= 1024 (the smallest measured winning d).
-    if use_fused != True and (cols_s < 1536 or rows_s < 1024):  # noqa: E712
+    # row block and loses 13% (0.867 at 256x4096@4096) while d=512/768
+    # win 1.43x/1.41x, so auto mode requires rows_s >= 512 (the
+    # smallest measured winning d).
+    if use_fused != True and (cols_s < 1536 or rows_s < 512):  # noqa: E712
         return False
     # use_fused is True ("forced") must not raise here: other fused
     # routes (left-Trans autotranspose) may still apply; the final
