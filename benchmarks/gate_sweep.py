@@ -2,14 +2,17 @@
 gates, in ONE same-run probe (VERDICT r3 #4: the gates were set from
 three-point measurements; this charts the full boundary).
 
-Gates under test (randblas_tpu/skge.py):
-  * RowMajor fused (`_fused_eligible`): auto mode fuses wide RowMajor-
-    natural operators when the contraction cols_s >= 2048.
+Gates under test (randblas_tpu/skge.py; the values BELOW are the ones
+this sweep's round-4 run produced — if you re-run the sweep, compare
+against the gates currently in skge.py, not this list):
+  * RowMajor fused (`_fused_eligible`): auto mode fuses RowMajor-
+    natural operators when cols_s >= 1536 AND rows_s >= 512 (was
+    2048 / no d gate before this sweep).
   * ColMajor fused (`_left_colmajor_fused_or_none`): tall ColMajor-
-    natural operators fuse when cols_s >= 1024.
-  * Right-side transpose route (`_right_fused_or_none`): taken when the
-    operator block is >= 2x the data (the route pays two data passes
-    for the transposes).
+    natural operators fuse when cols_s >= 1024 (confirmed).
+  * Right-side transpose route (`_right_fused_or_none`): taken when
+    the operator block is >= 0.5x the data (was 2x) and the left
+    routes' contraction/short-operator floors hold.
 
 Per shape, both sides run the REAL production entries: the fused Pallas
 kernel (per-iteration RNGState so generation can't be cached) vs the

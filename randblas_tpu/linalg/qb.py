@@ -70,6 +70,24 @@ def _apply_precise(a, x):
     return _mm_precise(a, x)
 
 
+def make_matvec(a):
+    """``v -> A @ v`` on (n,) vectors for dense / sparse / callable A,
+    with the round-4 precision policy shared by the Krylov consumers
+    (sgmres, sketched_eigs): dense sub-f64 products run at
+    Precision.HIGHEST — a matvec is HBM-bandwidth-bound, so the 3-pass
+    f32 MXU product is free, while the TPU's default bf16 product
+    visibly corrupts Krylov bases (caught on chip by the sgmres
+    hardware test) — and dense f64 routes through the hiprec
+    int8-sliced GEMM via _apply. Callers cast the output to their basis
+    dtype (the Arnoldi loop body does; ADVICE r3)."""
+    if callable(a):
+        return a
+    if _is_sparse(a) or a.dtype == jnp.float64:
+        return lambda v: _apply(a, v[:, None])[:, 0]
+    return lambda v: jnp.matmul(a, v,
+                                precision=jax.lax.Precision.HIGHEST)
+
+
 def safe_svd(x: jax.Array, full_matrices: bool = False):
     """``jnp.linalg.svd`` with the x64 trace context scoped OFF for
     sub-f64 inputs.
@@ -110,7 +128,14 @@ def qr_clipped_lstsq(a: jax.Array, b: jax.Array) -> jax.Array:
     4 — while Householder QR compiles and runs fine.
     ``b`` may be a vector or a matrix of stacked right-hand sides."""
     m = a.shape[1]
-    lam = jnp.finfo(a.dtype).eps * m * jnp.linalg.norm(a)
+    # tiny floor ON THE PRODUCT: an all-zero `a` would give lam == 0, a
+    # rank-0 damped system, and 0/0 in the triangular solve (review
+    # find, round 4). The floor must be the smallest NORMAL float —
+    # flooring the norm instead leaves eps*m*tiny subnormal, which the
+    # TPU/XLA flush to zero, resurrecting the NaN. With the floor the
+    # zero system solves to y == 0 exactly, matching lstsq.
+    lam = jnp.maximum(jnp.finfo(a.dtype).eps * m * jnp.linalg.norm(a),
+                      jnp.finfo(a.dtype).tiny)
     aug = jnp.concatenate([a, lam * jnp.eye(m, dtype=a.dtype)])
     zeros = jnp.zeros((m,) + b.shape[1:], b.dtype)
     rhs = jnp.concatenate([b, zeros])

@@ -40,7 +40,7 @@ from ..base import require
 from ..rng.state import RNGState
 from ..skge import sketch_general
 from .embed import make_embedding
-from .qb import _apply, _is_sparse, qr_clipped_lstsq
+from .qb import make_matvec, qr_clipped_lstsq
 
 
 def _warn_thin_embedding(d: int, m: int, n: int) -> None:
@@ -49,9 +49,13 @@ def _warn_thin_embedding(d: int, m: int, n: int) -> None:
     d == m the guarantee degenerates entirely (the sketched residual can
     be arbitrarily far from the true one). Defaults use d = 2m + 8;
     warn when a user-supplied d leaves no oversampling headroom
-    (ADVICE r3). d == m == n is exempt — the embedding is then square
-    and the sketch is a mere change of basis."""
-    if d < m + 4 and not (d == n):
+    (ADVICE r3). Only the full-basis case d == m == n is exempt — the
+    Krylov space is then all of R^n, GMRES is exact over it regardless
+    of the embedding's distortion, and any singular-square-embedding
+    damage is absorbed by the clipped solve. d == n alone is NOT exempt
+    (review find, round 4: a square-over-the-data but
+    thin-over-the-basis embedding still voids the contract)."""
+    if d < m + 4 and not (d == m == n):
         import warnings
         warnings.warn(
             f"embedding dimension d={d} has <4 rows of oversampling over "
@@ -157,22 +161,10 @@ def sgmres(a, b: jax.Array, state: RNGState, *, basis: int = 50,
     require(d >= m, "embedding dimension d must be >= basis")
     _warn_thin_embedding(d, m, n)
 
-    if callable(a):
-        matvec = lambda v: a(v)
-    elif _is_sparse(a):
-        matvec = lambda v: _apply(a, v[:, None])[:, 0]
-    else:
-        # Precision.HIGHEST: a matvec is HBM-bandwidth-bound, so the
-        # 3-pass f32 MXU product costs nothing in wall time — while the
-        # default bf16 product visibly corrupts the Krylov basis (the
-        # on-chip sgmres test missed its 1e-3 residual bound until this;
-        # same bf16 floor as memory/tpu-mxu-precision-floor.md). f64
-        # still routes through the hiprec int8-sliced GEMM via _apply.
-        if a.dtype == jnp.float64:
-            matvec = lambda v: _apply(a, v[:, None])[:, 0]
-        else:
-            matvec = lambda v: jnp.matmul(
-                a, v, precision=jax.lax.Precision.HIGHEST)
+    # shared dense/sparse/callable dispatch + the HIGHEST-precision
+    # policy for dense matvecs (see qb.make_matvec — the default bf16
+    # product corrupts the Krylov basis, caught by the on-chip test)
+    matvec = make_matvec(a)
     bb = b.astype(dtype) if dtype is not None else b
     q, aq = _truncated_arnoldi(matvec, bb, m, k)
 

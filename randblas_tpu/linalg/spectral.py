@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from ..base import require
 from ..dense import DenseDist, DenseSkOp
 from ..rng.state import RNGState
-from .qb import _apply, _is_sparse, safe_svd
+from .qb import _apply, _is_sparse, _mm_precise, make_matvec, safe_svd
 
 
 def required_power_iters(n: int, p_fail: float, tol: float) -> int:
@@ -208,18 +208,10 @@ def sketched_eigs(a, k: int, state: RNGState, *, basis: int = None,
         from .sgmres import _warn_thin_embedding
         _warn_thin_embedding(d, m, n)
 
-    if callable(a):
-        matvec = lambda v: a(v)
-    elif _is_sparse(a):
-        matvec = lambda v: _apply(a, v[:, None])[:, 0]
-    elif a.dtype == jnp.float64:
-        matvec = lambda v: _apply(a, v[:, None])[:, 0].astype(dtype)
-    else:
-        # Precision.HIGHEST is free here (matvecs are bandwidth-bound)
-        # and keeps the Krylov basis at true f32 instead of the TPU's
-        # default bf16 product — see sgmres.py / the on-chip test note.
-        matvec = lambda v: jnp.matmul(
-            a, v, precision=jax.lax.Precision.HIGHEST).astype(dtype)
+    # shared dense/sparse/callable dispatch + the HIGHEST-precision
+    # policy for dense matvecs (qb.make_matvec; the Arnoldi body casts
+    # to the basis dtype)
+    matvec = make_matvec(a)
     v0, st = _probe(n, state, dtype)
     q, aq = _truncated_arnoldi(matvec, v0, m, min(trunc, m))
 
@@ -235,8 +227,12 @@ def sketched_eigs(a, k: int, state: RNGState, *, basis: int = None,
             s[0], jnp.finfo(dtype).tiny)
         keep = s > cutoff
         s_inv = jnp.where(keep, 1.0 / jnp.maximum(s, cutoff), 0.0)
-        au = aq @ (vt.T * s_inv[None, :])                      # A U, (n, m)
-        h = u.T @ au
+        # thin products at certificate precision (_mm_precise): their
+        # default bf16 rounding (~4e-3) would land directly on h and
+        # the Ritz pairs, wasting the HIGHEST-precision matvecs above
+        # (review find, round 4)
+        au = _mm_precise(aq, vt.T * s_inv[None, :])            # A U, (n, m)
+        h = _mm_precise(u.T, au)
         h = jnp.where(keep[:, None] & keep[None, :],
                       0.5 * (h + h.T), 0.0)
         theta_all, w_all = jnp.linalg.eigh(h)
@@ -245,8 +241,9 @@ def sketched_eigs(a, k: int, state: RNGState, *, basis: int = None,
         sel = order[:k]
         theta = theta_all[sel]
         w = w_all[:, sel]
-        x = u @ w
-        num = jnp.linalg.norm(au @ w - x * theta[None, :], axis=0)
+        x = _mm_precise(u, w)
+        num = jnp.linalg.norm(_mm_precise(au, w) - x * theta[None, :],
+                              axis=0)
         den = jnp.maximum(jnp.abs(theta), jnp.finfo(dtype).tiny)
         return theta, x, num / den, st
 

@@ -298,14 +298,24 @@ def _right_fused_or_none(S: DenseSkOp, a_mat, rows_s: int, cols_s: int,
 
     n = a_mat.shape[0]
     if op_s == Op.Trans:
-        # stored block (rows_s=d', cols_s=m...) acts as the left operand
+        # stored block (rows_s=d', cols_s=m...) acts as the left operand:
+        # contraction = cols_s, operator rows = rows_s — apply the left
+        # route's measured floors (gate_sweep: losses below 1536/512)
+        if use_fused != True and (cols_s < 1536 or rows_s < 512):  # noqa: E712
+            return None
         if fused_sketch_supported(S.dist, rows_s, cols_s, ro_s, co_s,
                                   Op.NoTrans, dtype):
             return fused_sketch(S, a_mat.T, alpha=float(alpha),
                                 rows_s=rows_s, cols_s=cols_s,
                                 ro_s=ro_s, co_s=co_s).T
         return None
-    # op_s == NoTrans: use the autotransposed distribution
+    # op_s == NoTrans: use the autotransposed distribution. The fused
+    # call's contraction is rows_s and its operator row count is cols_s
+    # — same measured floors as the left routes (review find: the 0.5x
+    # ratio gate alone would fuse short contractions the sweep only
+    # measured at m=32768).
+    if use_fused != True and (rows_s < 1536 or cols_s < 512):  # noqa: E712
+        return None
     if S.dist.family == DenseDistName.BlackBox:
         return None
     dist_t = DenseDist(S.dist.n_cols, S.dist.n_rows, S.dist.family,

@@ -125,6 +125,7 @@ def test_real_mesh_model_spanning_processes_end_to_end():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_live_two_process_distributed_sketch():
     """LIVE multi-process run — not a mock: two OS processes, each with
     its own 2-device virtual CPU backend, jax.distributed over a
@@ -132,33 +133,47 @@ def test_live_two_process_distributed_sketch():
     collectives (the same collective machinery a DCN-connected pod
     uses, modulo transport). Each worker builds the process-contiguous
     mesh, runs distributed_sketch (aligned + pad-and-shard), and
-    oracle-checks its addressable shards."""
+    oracle-checks its addressable shards.
+
+    slow tier: two full interpreter + XLA + gloo startups (~22 s).
+    The bind-then-close port probe races other processes on the
+    machine, so a failed coordinator bind is retried on a fresh port."""
     import socket
     import subprocess
     import sys
     from pathlib import Path
 
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-    coord = f"localhost:{port}"
     worker = Path(__file__).with_name("_multihost_worker.py")
     env = {k: v for k, v in __import__("os").environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-    procs = [subprocess.Popen(
-                 [sys.executable, str(worker), coord, str(i), "2"],
-                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                 text=True, env=env, cwd=str(worker.parent.parent))
-             for i in range(2)]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=240)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(out)
+
+    def run_once():
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        coord = f"localhost:{port}"
+        procs = [subprocess.Popen(
+                     [sys.executable, str(worker), coord, str(i), "2"],
+                     stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                     text=True, env=env, cwd=str(worker.parent.parent))
+                 for i in range(2)]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=240)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+        return procs, outs
+
+    procs, outs = run_once()
+    if any(p.returncode != 0 for p in procs) and \
+            any("bind" in o.lower() or "address" in o.lower()
+                for o in outs):
+        procs, outs = run_once()       # port was stolen between probe
+        #                                and coordinator bind; retry once
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"proc {i}: OK" in out, f"worker {i} output:\n{out}"

@@ -142,3 +142,12 @@ def test_qr_clipped_lstsq_matches_lstsq_and_clips():
     yref = np.linalg.lstsq(np.asarray(a0)[:, keep], np.asarray(b),
                            rcond=None)[0]
     np.testing.assert_allclose(y[keep], yref, atol=1e-4)
+
+
+def test_qr_clipped_lstsq_zero_matrix():
+    """Review regression (round 4): an all-zero system must solve to
+    y == 0 (lstsq's min-norm answer), not NaN/Inf — the damping floor
+    keeps the augmented system full-rank even at ||a|| == 0."""
+    from randblas_tpu.linalg.qb import qr_clipped_lstsq
+    y = np.asarray(qr_clipped_lstsq(jnp.zeros((10, 3)), jnp.ones(10)))
+    np.testing.assert_array_equal(y, np.zeros(3))
