@@ -5,7 +5,7 @@ from .leverage import exact_leverage_scores, leverage_scores
 from .distributed import (cholqr, distributed_krylov_rangefinder,
                           distributed_qb, distributed_rangefinder,
                           distributed_rsvd)
-from .eigh import rand_eigh
+from .eigh import rand_eigh, rand_geigh
 from .embed import make_embedding
 from .features import random_fourier_features
 from .lstsq import (cgls, min_norm_lsq, ridge_lsq,
@@ -37,7 +37,7 @@ __all__ = ["adaptive_rangefinder",
            "hutchpp", "lanczos_fn_apply", "leverage_scores", "logdet",
            "nystrom",
            "nystrom_apply", "nystrom_pcg", "slq",
-           "qb_decompose", "qb_to_svd", "rademacher_probes", "rand_eigh",
+           "qb_decompose", "qb_to_svd", "rademacher_probes", "rand_eigh", "rand_geigh",
            "rangefinder", "ridge_lsq", "rpcholesky", "rpcholesky_pcg",
            "rsvd", "rsvd_adaptive",
            "sgmres", "sketch_and_precondition",

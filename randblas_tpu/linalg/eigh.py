@@ -52,3 +52,46 @@ def rand_eigh(a, k: int, state: RNGState, power_iters: int = 2,
     w, v = jnp.linalg.eigh(t)
     u = jnp.matmul(q, v, preferred_element_type=dtype)
     return w, u
+
+
+def rand_geigh(a, b, k: int, state: RNGState, power_iters: int = 2,
+               dtype=jnp.float32, operator: str = "gaussian"
+               ) -> Tuple[jax.Array, jax.Array]:
+    """Rank-k randomized GENERALIZED symmetric-definite eigensolver:
+    the k dominant-|theta| pairs of ``A x = theta B x`` with A symmetric
+    and B symmetric positive definite (both dense (n, n)).
+
+    Fully on-device and jittable — this is the generalized counterpart
+    the host-eig boundary note in docs/linalg.md points to: XLA has no
+    generalized eig, but the symmetric-DEFINITE pencil reduces exactly
+    to a standard symmetric problem by Cholesky whitening
+    (Golub & Van Loan §8.7): with B = L L^T,
+
+        C = L^-1 A L^-T,   C y = theta y,   x = L^-T y,
+
+    so the randomized Rayleigh-Ritz machinery of rand_eigh applies to C
+    unchanged. C is formed with two triangular solves against n
+    right-hand sides (same O(n^2 k)-dominated cost class as the
+    rangefinder's products; XLA maps triangular solves onto the MXU).
+
+    Returns ``(theta, x)`` with ``theta`` (k,) ascending and ``x``
+    (n, k) B-orthonormal (``x.T @ B @ x == I`` — the natural
+    normalization for a definite pencil; it reduces to plain
+    orthonormality at B = I, where the function degenerates to
+    rand_eigh). For a pencil whose whitened form has exact rank
+    r <= k the factorization is exact. Reference: ABSENT (RandBLAS has
+    no eigensolvers; this extends the examples-tier posture the same
+    way rand_eigh does)."""
+    n, n2 = a.shape
+    require(n == n2, "rand_geigh needs a square symmetric A")
+    require(b.shape == (n, n), "B must match A's shape")
+    require(1 <= k <= n, "rank must be in [1, n]")
+    ell = jnp.linalg.cholesky(b.astype(dtype))         # B = L L^T
+    # C = L^-1 A L^-T via two triangular solves (n RHS each)
+    y = jax.scipy.linalg.solve_triangular(ell, a.astype(dtype),
+                                          lower=True)
+    c = jax.scipy.linalg.solve_triangular(ell, y.T, lower=True).T
+    c = 0.5 * (c + c.T)
+    w, u = rand_eigh(c, k, state, power_iters, dtype, operator)
+    x = jax.scipy.linalg.solve_triangular(ell.T, u, lower=False)
+    return w, x

@@ -342,3 +342,77 @@ def test_nystrom_pcg_rank_deficient_mu_zero():
     assert float(jnp.linalg.norm(x)) > 0.0
     res = np.linalg.norm(np.asarray(a @ x) - np.asarray(b))
     assert res / np.linalg.norm(np.asarray(b)) < 1e-4
+
+
+class TestRandGeigh:
+    """rand_geigh: randomized symmetric-definite generalized
+    eigensolver (round 4). Oracle: scipy.linalg.eigh(a, b)."""
+
+    def _pencil(self, n=120, k=6, seed=0):
+        rng = np.random.default_rng(seed)
+        g = rng.normal(size=(n, n)).astype(np.float32)
+        b = g @ g.T / n + np.eye(n, dtype=np.float32)
+        # plant: whitened form has exact rank k with known spectrum
+        ell = np.linalg.cholesky(b.astype(np.float64))
+        u, _ = np.linalg.qr(rng.normal(size=(n, k)))
+        theta = np.linspace(5.0, -3.0, k)
+        c = (u * theta) @ u.T
+        a = (ell @ c @ ell.T).astype(np.float32)
+        return jnp.asarray(a), jnp.asarray(b), theta
+
+    def test_recovers_planted_pencil(self):
+        from randblas_tpu.linalg import rand_geigh
+        a, b, theta = self._pencil()
+        w, x = rand_geigh(a, b, 6, rbt.default_state(21))
+        np.testing.assert_allclose(np.sort(np.asarray(w)),
+                                   np.sort(theta), atol=2e-3)
+        # B-orthonormal eigenvectors, and A x = theta B x holds
+        xn = np.asarray(x, np.float64)
+        bn = np.asarray(b, np.float64)
+        np.testing.assert_allclose(xn.T @ bn @ xn, np.eye(6), atol=1e-3)
+        resid = np.asarray(a, np.float64) @ xn - bn @ xn * np.asarray(w)
+        assert np.abs(resid).max() < 2e-3
+
+    def test_matches_scipy_dense_oracle(self):
+        import scipy.linalg
+        from randblas_tpu.linalg import rand_geigh
+        a, b, _ = self._pencil(n=80, k=4, seed=3)
+        w, x = rand_geigh(a, b, 4, rbt.default_state(22))
+        w_all = scipy.linalg.eigh(np.asarray(a, np.float64),
+                                  np.asarray(b, np.float64),
+                                  eigvals_only=True)
+        dominant = w_all[np.argsort(-np.abs(w_all))[:4]]
+        np.testing.assert_allclose(np.sort(np.asarray(w)),
+                                   np.sort(dominant), atol=2e-3)
+
+    def test_identity_b_reduces_to_rand_eigh(self):
+        from randblas_tpu.linalg import rand_eigh, rand_geigh
+        rng = np.random.default_rng(5)
+        g = rng.normal(size=(60, 5)).astype(np.float32)
+        a = jnp.asarray(g @ np.diag([4, 3, -2, 1, -1]).astype(
+            np.float32) @ g.T / 60)
+        w1, u1 = rand_eigh(a, 5, rbt.default_state(23))
+        w2, x2 = rand_geigh(a, jnp.eye(60), 5, rbt.default_state(23))
+        np.testing.assert_allclose(np.asarray(w1), np.asarray(w2),
+                                   atol=1e-4)
+
+    def test_jits_end_to_end(self):
+        from randblas_tpu.linalg import rand_geigh
+        a, b, theta = self._pencil(n=64, k=3, seed=7)
+        f = jax.jit(lambda aa, bb: rand_geigh(
+            aa, bb, 3, rbt.default_state(24))[0])
+        hlo = jax.jit(lambda aa, bb: rand_geigh(
+            aa, bb, 3, rbt.default_state(24))[0]).lower(a, b).as_text()
+        assert "custom_call" not in hlo or "callback" not in hlo
+        np.testing.assert_allclose(np.sort(np.asarray(f(a, b))),
+                                   np.sort(theta), atol=2e-3)
+
+    def test_validates(self):
+        from randblas_tpu.linalg import rand_geigh
+        a, b, _ = self._pencil(n=40, k=2)
+        with pytest.raises(ValueError):
+            rand_geigh(a[:, :20], b, 2, rbt.default_state(1))
+        with pytest.raises(ValueError):
+            rand_geigh(a, b[:20, :20], 2, rbt.default_state(1))
+        with pytest.raises(ValueError):
+            rand_geigh(a, b, 0, rbt.default_state(1))
