@@ -18,6 +18,8 @@ module's docstring for why wall clocks lie through the axon tunnel):
      4096-dim data, 2048 points, into d=4096.
   8. random_fourier_features: 65536 points x 128 dims -> 4096 RBF
      features (one fused sketch + phase map).
+  9. rand_geigh: k=32 pairs of an 8192^2 symmetric-definite pencil
+     (implicit Cholesky-whitened rangefinder).
 
 Run: python benchmarks/linalg_bench.py [names...]  (TPU; minutes —
 tunnel compiles; no names = all). Numbers recorded in BENCH_LOCAL.md.
@@ -37,7 +39,7 @@ from randblas_tpu.bench_util import time_loop                   # noqa: E402
 from randblas_tpu.linalg import (                               # noqa: E402
     nystrom_pcg, random_fourier_features, ridge_lsq, rpcholesky_pcg,
     rsvd, sgmres, sketched_eigs,
-)
+)  # rand_geigh imported lazily in its bench body
 from randblas_tpu.tensor import polynomial_kernel_features      # noqa: E402
 
 
@@ -169,6 +171,30 @@ def bench_tensor_sketch():
           f"implicit row count m^p = {m**degree:.2e})")
 
 
+def bench_rand_geigh():
+    n, k = 8192, 32
+    rng = np.random.default_rng(8)
+    g = rng.normal(size=(n, n)).astype(np.float32)
+    a = jnp.asarray((g + g.T) / np.sqrt(2 * n))
+    h = rng.normal(size=(n, 64)).astype(np.float32) / 8.0
+    b = jnp.asarray(h @ h.T + np.eye(n, dtype=np.float32))
+
+    def body(i, carry, a_op, b_op):
+        from randblas_tpu.linalg import rand_geigh
+        w, x = rand_geigh(a_op + carry * 0.0, b_op, k,
+                          RNGState.from_key(15))
+        return carry + w[0] * 1e-20 + jnp.float32(i) * 0.0
+
+    t = time_loop(body, a, b, iters_small=1, iters_large=3, repeats=2)
+    # the whitened operator is implicit: 6 applies of
+    # C X = L^-1 (A (L^-T X)) at O(n^2 k) each — measured 4.3x faster
+    # than forming C with two n-RHS triangular solves (74.4 ms on v5e)
+    flops = 6 * (2 * n * n * k + 2 * 2 * n * n * k)
+    print(f"rand_geigh n={n}, k={k}: {t*1e3:.1f} ms/solve "
+          f"(~{flops/t/1e12:.1f} TFLOP/s on the implicit whitened "
+          "applies; explicit whitening: 74.4 ms)")
+
+
 def bench_rff():
     n, dim, feat = 65536, 128, 4096
     rng = np.random.default_rng(7)
@@ -195,6 +221,7 @@ BENCHES = {
     "rpcholesky": bench_rpcholesky_pcg,
     "tensor": bench_tensor_sketch,
     "rff": bench_rff,
+    "geigh": bench_rand_geigh,
 }
 
 

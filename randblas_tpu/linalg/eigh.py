@@ -74,6 +74,15 @@ def rand_geigh(a, b, k: int, state: RNGState, power_iters: int = 2,
     right-hand sides (same O(n^2 k)-dominated cost class as the
     rangefinder's products; XLA maps triangular solves onto the MXU).
 
+    C is never formed: every product the rangefinder needs is
+    ``C @ X = L^-1 (A (L^-T X))`` — two triangular solves against the
+    k-column block plus one A-apply, O(n^2 k) per pass instead of the
+    O(n^3) explicit whitening (measured on v5e at n=8192, k=32: 74.4
+    ms/solve explicit vs the implicit form's, see BENCH_LOCAL.md).
+    ``operator`` is accepted for signature parity with rand_eigh but
+    only 'gaussian' is supported (structured embeddings need a
+    materialized operand).
+
     Returns ``(theta, x)`` with ``theta`` (k,) ascending and ``x``
     (n, k) B-orthonormal (``x.T @ B @ x == I`` — the natural
     normalization for a definite pencil; it reduces to plain
@@ -82,16 +91,38 @@ def rand_geigh(a, b, k: int, state: RNGState, power_iters: int = 2,
     r <= k the factorization is exact. Reference: ABSENT (RandBLAS has
     no eigensolvers; this extends the examples-tier posture the same
     way rand_eigh does)."""
+    from .distributed import cholqr
+    from ..dense import DenseDist, DenseSkOp
+
     n, n2 = a.shape
     require(n == n2, "rand_geigh needs a square symmetric A")
     require(b.shape == (n, n), "B must match A's shape")
     require(1 <= k <= n, "rank must be in [1, n]")
+    require(operator == "gaussian",
+            "rand_geigh supports only the 'gaussian' probe family "
+            "(the whitened operator is implicit)")
     ell = jnp.linalg.cholesky(b.astype(dtype))         # B = L L^T
-    # C = L^-1 A L^-T via two triangular solves (n RHS each)
-    y = jax.scipy.linalg.solve_triangular(ell, a.astype(dtype),
-                                          lower=True)
-    c = jax.scipy.linalg.solve_triangular(ell, y.T, lower=True).T
-    c = 0.5 * (c + c.T)
-    w, u = rand_eigh(c, k, state, power_iters, dtype, operator)
+
+    def cmat(x):                                       # C @ X, (n, k)
+        x = jax.scipy.linalg.solve_triangular(ell.T, x, lower=False)
+        x = _apply(a, x).astype(dtype)
+        return jax.scipy.linalg.solve_triangular(ell, x, lower=True)
+
+    def orth(y):
+        q, _ = cholqr(y)
+        return q
+
+    probe = DenseSkOp(DenseDist(k, n), state, dtype=dtype)
+    y = cmat(probe.materialize().T)                    # C @ Omega
+    for _ in range(power_iters):
+        # the rangefinder's per-pass schedule specialized to C^T == C:
+        # stabilize between every apply
+        y = cmat(orth(cmat(orth(y))))
+    q = orth(y)
+    cq = cmat(q)
+    t = jnp.matmul(q.T, cq, preferred_element_type=dtype)
+    t = 0.5 * (t + t.T)                                # Rayleigh quotient
+    w, v = jnp.linalg.eigh(t)
+    u = jnp.matmul(q, v, preferred_element_type=dtype)
     x = jax.scipy.linalg.solve_triangular(ell.T, u, lower=False)
     return w, x

@@ -415,3 +415,30 @@ def test_single_pass_svd_on_hardware():
     # Precision.HIGHEST fixes (it sat at 9.7e-3 with default-precision
     # products). Bound = floor + 25% headroom for cross-release drift.
     assert rel < 1.1e-2, rel
+
+
+def test_rand_geigh_on_hardware():
+    """rand_geigh end to end on the chip: Cholesky whitening (two
+    n-RHS triangular solves), rangefinder, eigh — recovers a planted
+    definite pencil's spectrum. Covers triangular_solve + eigh compiled
+    under the suite's x64 mode (probed fine standalone; this pins the
+    composed graph)."""
+    import jax.numpy as jnp
+    from randblas_tpu import RNGState
+    from randblas_tpu.linalg import rand_geigh
+
+    n, k = 512, 6
+    rng = np.random.default_rng(18)
+    g = rng.normal(size=(n, n)).astype(np.float32)
+    b = jnp.asarray(g @ g.T / n + np.eye(n, dtype=np.float32))
+    ell = np.linalg.cholesky(np.asarray(b, np.float64))
+    u, _ = np.linalg.qr(rng.normal(size=(n, k)))
+    theta = np.linspace(5.0, -3.0, k)
+    a = jnp.asarray((ell @ ((u * theta) @ u.T) @ ell.T).astype(
+        np.float32))
+    w, x = rand_geigh(a, b, k, RNGState.from_key(36))
+    np.testing.assert_allclose(np.sort(np.asarray(w)), np.sort(theta),
+                               atol=5e-3)
+    xn = np.asarray(x, np.float64)
+    bn = np.asarray(b, np.float64)
+    np.testing.assert_allclose(xn.T @ bn @ xn, np.eye(k), atol=5e-3)
