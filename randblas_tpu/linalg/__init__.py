@@ -5,6 +5,7 @@ from .leverage import exact_leverage_scores, leverage_scores
 from .distributed import (cholqr, distributed_krylov_rangefinder,
                           distributed_qb, distributed_rangefinder,
                           distributed_rsvd)
+from .amm import amm
 from .eigh import rand_eigh, rand_geigh
 from .embed import make_embedding
 from .features import random_fourier_features
@@ -25,7 +26,8 @@ from .streaming import StreamingSketch, single_pass_svd
 from .tls import sketched_tls, tls_via_svd
 from .trace import exact_trace, hutchinson, hutchpp, rademacher_probes
 
-__all__ = ["adaptive_rangefinder",
+__all__ = ["amm",
+           "adaptive_rangefinder",
            "cgls", "cholqr", "column_id", "cur",
            "distributed_krylov_rangefinder", "distributed_qb",
            "distributed_rangefinder", "distributed_rsvd",

@@ -1,0 +1,74 @@
+"""Monte-Carlo approximate matrix multiplication (BasicMatrixMultiply).
+
+Drineas–Kannan–Mahoney 2006 (SIAM J. Comput., "Fast Monte Carlo
+algorithms for matrices I"): approximate ``A @ B`` by sampling ``s``
+index pairs (column i of A, row i of B) with the variance-optimal
+probabilities
+
+    p_i = ||A[:, i]|| * ||B[i, :]|| / sum_j ||A[:, j]|| * ||B[j, :]||
+
+and averaging the rescaled outer products — equivalently one (m, s) x
+(s, p) GEMM of the gathered, 1/sqrt(s * p_i)-scaled panels. The
+estimator is unbiased and satisfies
+
+    E ||A B - amm||_F <= ||A||_F ||B||_F / sqrt(s).
+
+This is the classic RandNLA primitive the reference's sampling
+machinery exists to serve: the index stream rides the counter-based
+CDF sampler (util.weights_to_cdf + util.sample_indices_iid — the
+reference-exact streams of util.hh:285-306), so results are
+reproducible and the state chains like every other consumer. Reference:
+ABSENT as an algorithm (RandBLAS ships the sampler, not the consumer).
+
+TPU notes: the norms, CDF, gathers and the final GEMM are all one
+fused XLA graph — jittable end to end; the contraction runs on the MXU
+at (m, s) x (s, p). Use when n is huge and a full pass is affordable
+but the full O(m n p) product is not (s << n).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..base import require
+from ..rng.state import RNGState
+from ..util import sample_indices_iid, weights_to_cdf
+
+
+def amm(a: jax.Array, b: jax.Array, s: int, state: RNGState,
+        ) -> Tuple[jax.Array, RNGState]:
+    """Approximate ``A @ B`` from ``s`` sampled outer products.
+
+    ``a`` (m, n) and ``b`` (n, p) dense; ``s`` is the sample count
+    (error ~ ||A||_F ||B||_F / sqrt(s)). Returns
+    ``(approx (m, p), next_state)``. Sampling uses the optimal
+    row-column norm-product probabilities; zero-norm indices get zero
+    probability (they contribute nothing to A B). Unbiased: averaging
+    independent calls (chaining ``next_state``) converges to A @ B.
+    """
+    require(a.ndim == 2 and b.ndim == 2, "amm takes matrices")
+    require(a.shape[1] == b.shape[0],
+            "inner dimensions must match (A (m, n), B (n, p))")
+    require(s >= 1, "need at least one sample")
+    na = jnp.linalg.norm(a, axis=0)                    # (n,)
+    nb = jnp.linalg.norm(b, axis=1)                    # (n,)
+    w = na * nb
+    # degenerate guard: if A B == 0 exactly (all products zero), any
+    # distribution gives the correct zero estimate — use uniform
+    total = jnp.sum(w)
+    safe_w = jnp.where(total > 0, w, jnp.ones_like(w))
+    cdf = weights_to_cdf(safe_w)
+    idx, next_state = sample_indices_iid(cdf, s, state)
+    p_i = safe_w[idx] / jnp.maximum(jnp.sum(safe_w),
+                                    jnp.finfo(safe_w.dtype).tiny)
+    scale = 1.0 / jnp.sqrt(s * jnp.maximum(p_i,
+                                           jnp.finfo(p_i.dtype).tiny))
+    left = a[:, idx] * scale[None, :]                  # (m, s)
+    right = b[idx, :] * scale[:, None]                 # (s, p)
+    approx = jnp.matmul(left, right,
+                        preferred_element_type=a.dtype)
+    return jnp.where(total > 0, approx,
+                     jnp.zeros_like(approx)), next_state

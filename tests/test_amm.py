@@ -1,0 +1,105 @@
+"""Monte-Carlo approximate matrix multiplication (linalg/amm.py).
+
+Model: DKM06's guarantees — unbiasedness, the ||A||_F ||B||_F / sqrt(s)
+error rate, exactness structure — plus this framework's contracts
+(reproducibility, state chaining, jit)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import randblas_tpu as rbt
+from randblas_tpu.linalg import amm
+
+
+def _mats(m=60, n=400, p=24, seed=0):
+    rng = np.random.default_rng(seed)
+    a = jnp.asarray(rng.normal(size=(m, n)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(n, p)).astype(np.float32))
+    return a, b
+
+
+def test_error_rate_and_shrinks_with_s():
+    a, b = _mats()
+    exact = np.asarray(a) @ np.asarray(b)
+    bound_unit = (np.linalg.norm(np.asarray(a))
+                  * np.linalg.norm(np.asarray(b)))
+    errs = {}
+    for s in (50, 800):
+        est, _ = amm(a, b, s, rbt.default_state(1))
+        errs[s] = np.linalg.norm(np.asarray(est) - exact)
+        # DKM06: E error <= bound_unit / sqrt(s); allow 3x slack on a
+        # single draw
+        assert errs[s] < 3 * bound_unit / np.sqrt(s), (s, errs[s])
+    assert errs[800] < errs[50]
+
+
+def test_unbiased_over_chained_states():
+    a, b = _mats(m=24, n=200, p=16, seed=2)
+    exact = np.asarray(a) @ np.asarray(b)
+    st = rbt.default_state(3)
+    acc = np.zeros_like(exact)
+    reps = 60
+    for _ in range(reps):
+        est, st = amm(a, b, 40, st)
+        acc += np.asarray(est)
+    acc /= reps
+    # mean of 60 independent 40-sample estimates ~ one 2400-sample
+    # estimate: error must sit at/below the DKM06 rate for S_total
+    # (with 1.5x single-draw slack) AND far below a single 40-sample
+    # call's rate — i.e., averaging independent chained calls converges
+    err = np.linalg.norm(acc - exact)
+    bound_unit = (np.linalg.norm(np.asarray(a))
+                  * np.linalg.norm(np.asarray(b)))
+    assert err < 1.5 * bound_unit / np.sqrt(reps * 40), err
+    single, _ = amm(a, b, 40, rbt.default_state(3))
+    assert err < 0.4 * np.linalg.norm(np.asarray(single) - exact)
+
+
+def test_rank_one_is_exact():
+    """With rank-1 A and B sharing the one direction, every sampled
+    outer product is the SAME rescaled rank-1 term, so any s gives the
+    exact product (the variance formula's zero case)."""
+    rng = np.random.default_rng(4)
+    u = rng.normal(size=(30, 1)).astype(np.float32)
+    v = np.abs(rng.normal(size=(1, 200)).astype(np.float32)) + 0.1
+    w = rng.normal(size=(1, 12)).astype(np.float32)
+    a = jnp.asarray(u @ v)
+    b = jnp.asarray(v.T @ w)
+    est, _ = amm(a, b, 7, rbt.default_state(5))
+    np.testing.assert_allclose(np.asarray(est),
+                               np.asarray(a) @ np.asarray(b),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_reproducible_and_chains():
+    a, b = _mats(seed=6)
+    e1, n1 = amm(a, b, 64, rbt.default_state(7))
+    e2, n2 = amm(a, b, 64, rbt.default_state(7))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    np.testing.assert_array_equal(np.asarray(n1.counter),
+                                  np.asarray(n2.counter))
+    e3, _ = amm(a, b, 64, n1)
+    assert not np.array_equal(np.asarray(e1), np.asarray(e3))
+
+
+def test_jits_end_to_end():
+    a, b = _mats(m=16, n=128, p=8, seed=8)
+    f = jax.jit(lambda aa, bb: amm(aa, bb, 32, rbt.default_state(9))[0])
+    eager, _ = amm(a, b, 32, rbt.default_state(9))
+    # jit path uses the traced (f32) CDF sampler; same indices at this
+    # scale, values equal to f32 roundoff
+    np.testing.assert_allclose(np.asarray(f(a, b)), np.asarray(eager),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_zero_product_and_validation():
+    a = jnp.zeros((5, 20))
+    b = jnp.zeros((20, 3))
+    est, _ = amm(a, b, 4, rbt.default_state(10))
+    np.testing.assert_array_equal(np.asarray(est), np.zeros((5, 3)))
+    with pytest.raises(ValueError):
+        amm(a, jnp.zeros((19, 3)), 4, rbt.default_state(10))
+    with pytest.raises(ValueError):
+        amm(a, b, 0, rbt.default_state(10))
