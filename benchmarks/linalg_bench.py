@@ -195,6 +195,26 @@ def bench_rand_geigh():
           "applies; explicit whitening: 74.4 ms)")
 
 
+def bench_amm():
+    m, n, p, s = 2048, 262144, 2048, 16384
+    rng = np.random.default_rng(9)
+    a = jnp.asarray(rng.normal(size=(m, n)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(n, p)).astype(np.float32))
+
+    def body(i, carry, a_op, b_op):
+        from randblas_tpu.linalg import amm
+        est, _ = amm(a_op + carry * 0.0, b_op, s, RNGState.from_key(16))
+        return carry + est[0, 0] * 1e-20 + jnp.float32(i) * 0.0
+
+    t = time_loop(body, a, b, iters_small=1, iters_large=4, repeats=2)
+    exact_flops = 2.0 * m * n * p
+    done_flops = 2.0 * m * s * p + 2 * (m + p) * n
+    print(f"amm {m}x{n} @ {n}x{p}, s={s} ({s/n:.1%} of n): "
+          f"{t*1e3:.1f} ms/estimate — {done_flops/t/1e12:.1f} TFLOP/s "
+          f"on the sampled GEMM, {exact_flops/done_flops:.0f}x less "
+          "work than the exact product")
+
+
 def bench_rff():
     n, dim, feat = 65536, 128, 4096
     rng = np.random.default_rng(7)
@@ -222,6 +242,7 @@ BENCHES = {
     "tensor": bench_tensor_sketch,
     "rff": bench_rff,
     "geigh": bench_rand_geigh,
+    "amm": bench_amm,
 }
 
 

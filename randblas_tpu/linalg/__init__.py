@@ -5,7 +5,7 @@ from .leverage import exact_leverage_scores, leverage_scores
 from .distributed import (cholqr, distributed_krylov_rangefinder,
                           distributed_qb, distributed_rangefinder,
                           distributed_rsvd)
-from .amm import amm
+from .amm import amm, sample_lsq
 from .eigh import rand_eigh, rand_geigh
 from .embed import make_embedding
 from .features import random_fourier_features
@@ -41,7 +41,7 @@ __all__ = ["amm",
            "nystrom_apply", "nystrom_pcg", "slq",
            "qb_decompose", "qb_to_svd", "rademacher_probes", "rand_eigh", "rand_geigh",
            "rangefinder", "ridge_lsq", "rpcholesky", "rpcholesky_pcg",
-           "rsvd", "rsvd_adaptive",
+           "rsvd", "rsvd_adaptive", "sample_lsq",
            "sgmres", "sketch_and_precondition",
            "sketch_and_solve_lsq", "sketched_tls", "tls_via_svd",
            "extremal_eigs", "power_method", "required_power_iters",

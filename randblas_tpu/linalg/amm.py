@@ -72,3 +72,50 @@ def amm(a: jax.Array, b: jax.Array, s: int, state: RNGState,
                         preferred_element_type=a.dtype)
     return jnp.where(total > 0, approx,
                      jnp.zeros_like(approx)), next_state
+
+
+def sample_lsq(a: jax.Array, b: jax.Array, s: int, state: RNGState, *,
+               scores: jax.Array = None, lam: float = 0.5,
+               ) -> Tuple[jax.Array, RNGState]:
+    """Leverage-score ROW-SAMPLING least squares: an approximate
+    ``argmin ||A x - b||`` from ``s`` sampled rows (DMM06 / Mahoney
+    2011 §4 — the sampling sibling of the projection-based
+    sketch_and_solve_lsq).
+
+    Rows are drawn with probabilities mixing the (estimated) leverage
+    scores with uniform, ``p_i = lam * l_i / n + (1 - lam) / m``
+    (the standard defense against under-estimated scores), rescaled by
+    ``1 / sqrt(s * p_i)``, and the (s, n) subproblem is solved by the
+    TPU-safe damped QR. With s = O(n log n / eps) the solution is
+    (1 + eps)-quasi-optimal. ``scores`` lets callers reuse precomputed
+    leverage scores (e.g. exact_leverage_scores, or across many right-
+    hand sides); otherwise they are estimated with leverage_scores
+    (one sketched pass over A, state-chained).
+
+    Returns ``(x, next_state)``. Prefer sketch_and_solve_lsq /
+    sketch_and_precondition when A fits a full sketching pass — row
+    sampling's edge is when only selected ROWS of A are affordable to
+    touch after the (cheap, sketched) score pass, or when scores are
+    already known."""
+    require(a.ndim == 2, "sample_lsq takes a matrix A")
+    m, n = a.shape
+    require(m >= n, "sample_lsq expects a tall system (m >= n)")
+    require(s >= n, "need at least n sampled rows")
+    require(b.shape[0] == m, "b must have A's row count")
+    require(0.0 <= lam <= 1.0, "lam must be in [0, 1]")
+    from .leverage import leverage_scores
+    if scores is None:
+        scores, state = leverage_scores(a, state)
+    total = jnp.maximum(jnp.sum(scores),
+                        jnp.finfo(jnp.float32).tiny)
+    p = lam * scores / total + (1.0 - lam) / m
+    cdf = weights_to_cdf(p)
+    idx, next_state = sample_indices_iid(cdf, s, state)
+    p_i = p[idx] / jnp.sum(p)
+    scale = 1.0 / jnp.sqrt(s * jnp.maximum(
+        p_i, jnp.finfo(jnp.float32).tiny)).astype(a.dtype)
+    from .qb import qr_clipped_lstsq
+    x = qr_clipped_lstsq(a[idx, :] * scale[:, None],
+                         b[idx] * (scale if b.ndim == 1
+                                   else scale[:, None]))
+    return x, next_state

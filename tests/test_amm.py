@@ -35,6 +35,7 @@ def test_error_rate_and_shrinks_with_s():
     assert errs[800] < errs[50]
 
 
+@pytest.mark.slow
 def test_unbiased_over_chained_states():
     a, b = _mats(m=24, n=200, p=16, seed=2)
     exact = np.asarray(a) @ np.asarray(b)
@@ -103,3 +104,75 @@ def test_zero_product_and_validation():
         amm(a, jnp.zeros((19, 3)), 4, rbt.default_state(10))
     with pytest.raises(ValueError):
         amm(a, b, 0, rbt.default_state(10))
+
+
+class TestSampleLsq:
+    """Leverage-score row-sampling LS (linalg/amm.py::sample_lsq)."""
+
+    def _system(self, m=4000, n=24, seed=11, spike=True):
+        rng = np.random.default_rng(seed)
+        a = rng.normal(size=(m, n)).astype(np.float32)
+        if spike:
+            # a few high-leverage rows that uniform sampling would miss
+            a[:8] *= 40.0
+        x_true = rng.normal(size=n).astype(np.float32)
+        b = a @ x_true + 0.01 * rng.normal(size=m).astype(np.float32)
+        return jnp.asarray(a), jnp.asarray(b), x_true
+
+    def test_near_optimal_residual(self):
+        from randblas_tpu.linalg import sample_lsq
+        a, b, _ = self._system()
+        x_opt = np.linalg.lstsq(np.asarray(a), np.asarray(b),
+                                rcond=None)[0]
+        r_opt = np.linalg.norm(np.asarray(a) @ x_opt - np.asarray(b))
+        x, _ = sample_lsq(a, b, 600, rbt.default_state(12))
+        r = np.linalg.norm(np.asarray(a) @ np.asarray(x)
+                           - np.asarray(b))
+        assert r < 1.15 * r_opt, (r, r_opt)
+
+    @pytest.mark.slow
+    def test_leverage_beats_uniform_on_spiked_rows(self):
+        """With planted high-leverage rows, leverage-weighted sampling
+        (lam=1) must beat pure uniform (lam=0) at equal budget."""
+        from randblas_tpu.linalg import sample_lsq
+        a, b, _ = self._system(seed=13)
+        x_opt = np.linalg.lstsq(np.asarray(a), np.asarray(b),
+                                rcond=None)[0]
+
+        def excess(lam, seed):
+            x, _ = sample_lsq(a, b, 150, rbt.default_state(seed),
+                              lam=lam)
+            return (np.linalg.norm(np.asarray(a) @ np.asarray(x)
+                                   - np.asarray(b))
+                    - np.linalg.norm(np.asarray(a) @ x_opt
+                                     - np.asarray(b)))
+
+        lev = np.median([excess(1.0, s) for s in range(30, 36)])
+        uni = np.median([excess(0.0, s) for s in range(30, 36)])
+        assert lev < uni, (lev, uni)
+
+    def test_precomputed_scores_and_block_rhs(self):
+        from randblas_tpu.linalg import exact_leverage_scores, sample_lsq
+        a, b, _ = self._system(m=1500, n=12, seed=14)
+        scores = exact_leverage_scores(a)
+        B = jnp.stack([b, 2 * b], axis=1)
+        X, _ = sample_lsq(a, B, 400, rbt.default_state(15),
+                          scores=scores)
+        x_opt = np.linalg.lstsq(np.asarray(a), np.asarray(b),
+                                rcond=None)[0]
+        np.testing.assert_allclose(np.asarray(X[:, 1]),
+                                   2 * np.asarray(X[:, 0]), rtol=1e-4)
+        r_opt = np.linalg.norm(np.asarray(a) @ x_opt - np.asarray(b))
+        r = np.linalg.norm(np.asarray(a) @ np.asarray(X[:, 0])
+                           - np.asarray(b))
+        assert r < 1.2 * r_opt
+
+    def test_validates(self):
+        from randblas_tpu.linalg import sample_lsq
+        a, b, _ = self._system(m=100, n=10)
+        with pytest.raises(ValueError):
+            sample_lsq(a, b, 5, rbt.default_state(1))      # s < n
+        with pytest.raises(ValueError):
+            sample_lsq(a.T, b, 20, rbt.default_state(1))   # wide
+        with pytest.raises(ValueError):
+            sample_lsq(a, b, 20, rbt.default_state(1), lam=1.5)
