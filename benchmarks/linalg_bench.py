@@ -189,7 +189,9 @@ def bench_rand_geigh():
     # the whitened operator is implicit: 6 applies of
     # C X = L^-1 (A (L^-T X)) at O(n^2 k) each — measured 4.3x faster
     # than forming C with two n-RHS triangular solves (74.4 ms on v5e)
-    flops = 6 * (2 * n * n * k + 2 * 2 * n * n * k)
+    # per apply: A-apply 2*n^2*k + two k-RHS triangular solves at
+    # n^2*k each (n^2/2 multiply-adds per RHS)
+    flops = 6 * (2 * n * n * k + 2 * n * n * k)
     print(f"rand_geigh n={n}, k={k}: {t*1e3:.1f} ms/solve "
           f"(~{flops/t/1e12:.1f} TFLOP/s on the implicit whitened "
           "applies; explicit whitening: 74.4 ms)")

@@ -71,17 +71,30 @@ def worker(coord: str, pid: int, nproc: int) -> None:
 
 
 def main() -> None:
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-    coord = f"localhost:{port}"
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-    procs = [subprocess.Popen(
-                 [sys.executable, os.path.abspath(__file__),
-                  "--worker", coord, str(i), "2"], env=env)
-             for i in range(2)]
-    rc = [p.wait(timeout=300) for p in procs]
+
+    def run_once():
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        coord = f"localhost:{port}"
+        procs = [subprocess.Popen(
+                     [sys.executable, os.path.abspath(__file__),
+                      "--worker", coord, str(i), "2"], env=env)
+                 for i in range(2)]
+        try:
+            return [p.wait(timeout=300) for p in procs]
+        except subprocess.TimeoutExpired:
+            for p in procs:          # never leak a gloo-holding orphan
+                p.kill()
+            return [1, 1]
+
+    rc = run_once()
+    if any(rc):
+        # the probed port can be stolen before the coordinator binds
+        # it (same race tests/test_multihost.py retries on)
+        rc = run_once()
     if any(rc):
         raise SystemExit(f"worker exit codes: {rc}")
     print("both processes verified — see docs/distributed.md for the "

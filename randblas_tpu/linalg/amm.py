@@ -56,22 +56,27 @@ def amm(a: jax.Array, b: jax.Array, s: int, state: RNGState,
     na = jnp.linalg.norm(a, axis=0)                    # (n,)
     nb = jnp.linalg.norm(b, axis=1)                    # (n,)
     w = na * nb
-    # degenerate guard: if A B == 0 exactly (all products zero), any
-    # distribution gives the correct zero estimate — use uniform
+    # degenerate guard on total == 0 EXACTLY: if A B == 0, any
+    # distribution gives the correct zero estimate — use uniform. The
+    # guard must test == 0, not > 0, so a NaN total (NaN input) takes
+    # the sampled branch and PROPAGATES instead of masquerading as an
+    # exact zero product (review find, round 4).
     total = jnp.sum(w)
-    safe_w = jnp.where(total > 0, w, jnp.ones_like(w))
+    degenerate = total == 0
+    n = w.shape[0]
+    safe_w = jnp.where(degenerate, jnp.ones_like(w), w)
     cdf = weights_to_cdf(safe_w)
     idx, next_state = sample_indices_iid(cdf, s, state)
-    p_i = safe_w[idx] / jnp.maximum(jnp.sum(safe_w),
-                                    jnp.finfo(safe_w.dtype).tiny)
+    p_i = safe_w[idx] / jnp.where(degenerate, jnp.asarray(n, w.dtype),
+                                  total)
     scale = 1.0 / jnp.sqrt(s * jnp.maximum(p_i,
                                            jnp.finfo(p_i.dtype).tiny))
     left = a[:, idx] * scale[None, :]                  # (m, s)
     right = b[idx, :] * scale[:, None]                 # (s, p)
     approx = jnp.matmul(left, right,
                         preferred_element_type=a.dtype)
-    return jnp.where(total > 0, approx,
-                     jnp.zeros_like(approx)), next_state
+    return jnp.where(degenerate, jnp.zeros_like(approx),
+                     approx), next_state
 
 
 def sample_lsq(a: jax.Array, b: jax.Array, s: int, state: RNGState, *,
@@ -104,11 +109,21 @@ def sample_lsq(a: jax.Array, b: jax.Array, s: int, state: RNGState, *,
     require(b.shape[0] == m, "b must have A's row count")
     require(0.0 <= lam <= 1.0, "lam must be in [0, 1]")
     from .leverage import leverage_scores
-    if scores is None:
+    if lam == 0.0:
+        # pure-uniform baseline: the score pass's output would be
+        # multiplied by zero — skip the whole estimation (and its RNG
+        # consumption) rather than discarding it (review find, round 4)
+        scores = jnp.zeros((m,), jnp.float32)
+    elif scores is None:
         scores, state = leverage_scores(a, state)
-    total = jnp.maximum(jnp.sum(scores),
-                        jnp.finfo(jnp.float32).tiny)
-    p = lam * scores / total + (1.0 - lam) / m
+    stotal = jnp.sum(scores)
+    # zero-sum scores (all-zero A, or caller-supplied zeros) fall back
+    # to uniform instead of a NaN CDF; `+ stotal * 0` keeps a NaN in
+    # the scores propagating rather than silently going uniform
+    lam_eff = jnp.where(stotal > 0, jnp.float32(lam), 0.0)
+    p = (lam_eff * scores
+         / jnp.maximum(stotal, jnp.finfo(jnp.float32).tiny)
+         + (1.0 - lam_eff) / m) + stotal * 0
     cdf = weights_to_cdf(p)
     idx, next_state = sample_indices_iid(cdf, s, state)
     p_i = p[idx] / jnp.sum(p)

@@ -70,11 +70,7 @@ def rand_geigh(a, b, k: int, state: RNGState, power_iters: int = 2,
         C = L^-1 A L^-T,   C y = theta y,   x = L^-T y,
 
     so the randomized Rayleigh-Ritz machinery of rand_eigh applies to C
-    unchanged. C is formed with two triangular solves against n
-    right-hand sides (same O(n^2 k)-dominated cost class as the
-    rangefinder's products; XLA maps triangular solves onto the MXU).
-
-    C is never formed: every product the rangefinder needs is
+    unchanged. C is never formed: every product the rangefinder needs is
     ``C @ X = L^-1 (A (L^-T X))`` — two triangular solves against the
     k-column block plus one A-apply, O(n^2 k) per pass instead of the
     O(n^3) explicit whitening (measured on v5e at n=8192, k=32: 74.4

@@ -176,3 +176,38 @@ class TestSampleLsq:
             sample_lsq(a.T, b, 20, rbt.default_state(1))   # wide
         with pytest.raises(ValueError):
             sample_lsq(a, b, 20, rbt.default_state(1), lam=1.5)
+
+
+def test_nan_propagates():
+    """Review regression (round 4): a NaN in A must SURFACE — either as
+    NaN in the estimate (jit path) or as weights_to_cdf's host-side
+    validity error (eager path) — never as a silent exact-zero
+    product."""
+    a = jnp.ones((6, 30)).at[2, 3].set(jnp.nan)
+    b = jnp.ones((30, 4))
+    try:
+        est, _ = amm(a, b, 8, rbt.default_state(16))
+    except ValueError:
+        pass                        # eager CDF validity check fired
+    else:
+        assert np.isnan(np.asarray(est)).any()
+    # jit path has no host-side check: NaN must flow to the output
+    est = jax.jit(lambda aa, bb: amm(aa, bb, 8,
+                                     rbt.default_state(16))[0])(a, b)
+    assert np.isnan(np.asarray(est)).any()
+
+
+def test_sample_lsq_zero_scores_uniform_fallback():
+    """Review regression (round 4): caller-supplied all-zero scores
+    with lam=1 must fall back to uniform sampling, not produce NaN."""
+    from randblas_tpu.linalg import sample_lsq
+    rng = np.random.default_rng(17)
+    a = jnp.asarray(rng.normal(size=(300, 8)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=300).astype(np.float32))
+    x, _ = sample_lsq(a, b, 100, rbt.default_state(18),
+                      scores=jnp.zeros(300), lam=1.0)
+    assert np.isfinite(np.asarray(x)).all()
+    x_opt = np.linalg.lstsq(np.asarray(a), np.asarray(b), rcond=None)[0]
+    r_opt = np.linalg.norm(np.asarray(a) @ x_opt - np.asarray(b))
+    r = np.linalg.norm(np.asarray(a) @ np.asarray(x) - np.asarray(b))
+    assert r < 1.3 * r_opt
