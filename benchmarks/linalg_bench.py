@@ -217,6 +217,24 @@ def bench_amm():
           "work than the exact product")
 
 
+def bench_sample_lsq():
+    m, n, s = 524288, 512, 8192
+    rng = np.random.default_rng(10)
+    a = jnp.asarray(rng.normal(size=(m, n)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=m).astype(np.float32))
+
+    def body(i, carry, a_op, b_op):
+        from randblas_tpu.linalg import sample_lsq
+        x, _ = sample_lsq(a_op, b_op + carry * 0.0, s,
+                          RNGState.from_key(17))
+        return carry + x[0] * 1e-20 + jnp.float32(i) * 0.0
+
+    t = time_loop(body, a, b, iters_small=1, iters_large=3, repeats=2)
+    print(f"sample_lsq {m}x{n}, s={s} ({s/m:.1%} of rows): "
+          f"{t*1e3:.1f} ms/solve (leverage estimation pass + row "
+          "gather + damped-QR subproblem)")
+
+
 def bench_rff():
     n, dim, feat = 65536, 128, 4096
     rng = np.random.default_rng(7)
@@ -245,6 +263,7 @@ BENCHES = {
     "rff": bench_rff,
     "geigh": bench_rand_geigh,
     "amm": bench_amm,
+    "samplelsq": bench_sample_lsq,
 }
 
 

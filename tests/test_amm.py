@@ -20,6 +20,7 @@ def _mats(m=60, n=400, p=24, seed=0):
     return a, b
 
 
+@pytest.mark.slow
 def test_error_rate_and_shrinks_with_s():
     a, b = _mats()
     exact = np.asarray(a) @ np.asarray(b)
@@ -119,6 +120,7 @@ class TestSampleLsq:
         b = a @ x_true + 0.01 * rng.normal(size=m).astype(np.float32)
         return jnp.asarray(a), jnp.asarray(b), x_true
 
+    @pytest.mark.slow
     def test_near_optimal_residual(self):
         from randblas_tpu.linalg import sample_lsq
         a, b, _ = self._system()
@@ -197,6 +199,7 @@ def test_nan_propagates():
     assert np.isnan(np.asarray(est)).any()
 
 
+@pytest.mark.slow
 def test_sample_lsq_zero_scores_uniform_fallback():
     """Review regression (round 4): caller-supplied all-zero scores
     with lam=1 must fall back to uniform sampling, not produce NaN."""

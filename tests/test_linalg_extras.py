@@ -360,6 +360,7 @@ class TestRandGeigh:
         a = (ell @ c @ ell.T).astype(np.float32)
         return jnp.asarray(a), jnp.asarray(b), theta
 
+    @pytest.mark.slow
     def test_recovers_planted_pencil(self):
         from randblas_tpu.linalg import rand_geigh
         a, b, theta = self._pencil()
@@ -385,6 +386,7 @@ class TestRandGeigh:
         np.testing.assert_allclose(np.sort(np.asarray(w)),
                                    np.sort(dominant), atol=2e-3)
 
+    @pytest.mark.slow
     def test_identity_b_reduces_to_rand_eigh(self):
         from randblas_tpu.linalg import rand_eigh, rand_geigh
         rng = np.random.default_rng(5)
