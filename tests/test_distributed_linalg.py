@@ -345,3 +345,47 @@ class TestDistributedKrylov:
         _, s, _ = distributed_rsvd(_shard_rows(a, mesh), 16,
                                    rbt.default_state(49), mesh)
         np.testing.assert_allclose(np.asarray(s), s_true, rtol=1e-3)
+
+
+class TestShardedSolvers:
+    """The solver tier on mesh-sharded operands: sgmres and the
+    jittable sketched_eigs path are pure jnp products, so handing them
+    a row-sharded A must give the single-device answer with XLA
+    inserting the collectives (dryrun path 10 pins the same for the
+    driver)."""
+
+    def _mesh(self):
+        from randblas_tpu.parallel import make_sketch_mesh
+        return make_sketch_mesh(1, 4, jax.devices()[:4])
+
+    def test_sgmres_sharded_matches_single_device(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from randblas_tpu.linalg import sgmres
+        rng = np.random.default_rng(40)
+        n = 64
+        a = jnp.asarray((rng.normal(size=(n, n)) / np.sqrt(n)
+                         + 3 * np.eye(n)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=n).astype(np.float32))
+        mesh = self._mesh()
+        a_sh = jax.device_put(a, NamedSharding(mesh, P("data", None)))
+        x_sh, res_sh, _ = sgmres(a_sh, b, rbt.default_state(41),
+                                 basis=48)
+        x, res, _ = sgmres(a, b, rbt.default_state(41), basis=48)
+        np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_sketched_eigs_sym_sharded_matches_single_device(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from randblas_tpu.linalg import sketched_eigs
+        rng = np.random.default_rng(42)
+        n = 96
+        g = rng.normal(size=(n, n)).astype(np.float32)
+        a = jnp.asarray((g + g.T) / np.sqrt(2 * n))
+        mesh = self._mesh()
+        a_sh = jax.device_put(a, NamedSharding(mesh, P("data", None)))
+        th_sh, x_sh, _, _ = sketched_eigs(a_sh, 4, rbt.default_state(43),
+                                          basis=32, sym=True)
+        th, x, _, _ = sketched_eigs(a, 4, rbt.default_state(43),
+                                    basis=32, sym=True)
+        np.testing.assert_allclose(np.asarray(th_sh), np.asarray(th),
+                                   rtol=1e-4, atol=1e-5)
