@@ -24,7 +24,8 @@ from .spectral import (extremal_eigs, power_method, required_power_iters,
                        sketched_eigs, spectral_norm)
 from .streaming import StreamingSketch, single_pass_svd
 from .tls import sketched_tls, tls_via_svd
-from .trace import exact_trace, hutchinson, hutchpp, rademacher_probes
+from .trace import (diag_hutchinson, exact_trace, hutchinson, hutchpp,
+                    rademacher_probes, xdiag, xtrace)
 
 __all__ = ["amm",
            "adaptive_rangefinder",
@@ -46,4 +47,5 @@ __all__ = ["amm",
            "sketch_and_solve_lsq", "sketched_tls", "tls_via_svd",
            "extremal_eigs", "power_method", "required_power_iters",
            "sketched_eigs", "spectral_norm", "StreamingSketch",
-           "single_pass_svd"]
+           "single_pass_svd",
+           "diag_hutchinson", "xdiag", "xtrace"]

@@ -418,3 +418,149 @@ class TestRandGeigh:
             rand_geigh(a, b[:20, :20], 2, rbt.default_state(1))
         with pytest.raises(ValueError):
             rand_geigh(a, b, 0, rbt.default_state(1))
+
+
+# ------------------------------------------------- xtrace / diag / xdiag
+
+class TestXTrace:
+    """Leave-one-out trace estimation (trace.py::xtrace)."""
+
+    def test_beats_hutchinson_on_decaying_spectrum(self):
+        a, lam = _psd(200, 200, seed=5, decay=0.8)
+        want = lam.sum()
+        errs_h, errs_x, sders = [], [], []
+        for s in range(5):
+            eh, _ = rla.hutchinson(jnp.asarray(a), 200, 48,
+                                   rbt.default_state(20 + s))
+            ex, se, _ = rla.xtrace(jnp.asarray(a), 200, 48,
+                                   rbt.default_state(20 + s))
+            errs_h.append(abs(float(eh) - want))
+            errs_x.append(abs(float(ex) - want))
+            sders.append(float(se))
+        assert np.mean(errs_x) < 0.2 * np.mean(errs_h)
+        assert np.mean(errs_x) / want < 0.01
+        # the built-in stderr is an honest error bar
+        assert np.mean(errs_x) < 5 * np.mean(sders)
+
+    def test_matches_across_input_kinds_and_chains_state(self):
+        a, _ = _psd(96, 96, seed=6, decay=0.9)
+        aj = jnp.asarray(a)
+        st = rbt.default_state(30)
+        e1, s1, nxt1 = rla.xtrace(aj, 96, 32, st)
+        e2, s2, nxt2 = rla.xtrace(lambda x: aj @ x, 96, 32, st)
+        assert float(e1) == float(e2) and float(s1) == float(s2)
+        assert nxt1.to_dict() == nxt2.to_dict()
+        assert nxt1.to_dict() != st.to_dict()
+
+    def test_sparse_container(self):
+        rng = np.random.default_rng(7)
+        n = 120
+        rows = rng.integers(0, n, 900).astype(np.int32)
+        cols = rng.integers(0, n, 900).astype(np.int32)
+        vals = rng.normal(size=900).astype(np.float32) / n
+        coo = COOMatrix(jnp.asarray(rows), jnp.asarray(cols),
+                        jnp.asarray(vals), n, n)
+        dense = np.zeros((n, n), np.float32)
+        np.add.at(dense, (rows, cols), vals)
+        dense += 2.0 * np.eye(n, dtype=np.float32)
+        coo_shift = lambda x: rla.qb._apply(coo, x) + 2.0 * x  # noqa: E731
+        want = np.trace(dense)
+        ex, se, _ = rla.xtrace(coo_shift, n, 64, rbt.default_state(40))
+        assert abs(float(ex) - want) < max(5 * float(se), 0.05 * abs(want))
+
+    def test_nonsymmetric_general_a(self):
+        rng = np.random.default_rng(8)
+        n = 150
+        b = (rng.standard_normal((n, n)).astype(np.float32) / n
+             + np.diag(np.linspace(1.0, 3.0, n)).astype(np.float32))
+        want = float(np.trace(b))
+        ex, se, _ = rla.xtrace(jnp.asarray(b), n, 80, rbt.default_state(50))
+        assert abs(float(ex) - want) < max(6 * float(se), 0.02 * abs(want))
+
+    def test_rank_deficient_stays_finite(self):
+        # rank(A) << m makes trailing diag(R) ~ 0: the _loo_directions
+        # floor must keep the solve finite (and the estimate exact-ish,
+        # since the range is fully captured).
+        a, lam = _psd(100, 5, seed=9, decay=0.5)
+        ex, se, _ = rla.xtrace(jnp.asarray(a), 100, 40,
+                               rbt.default_state(60))
+        assert np.isfinite(float(ex)) and np.isfinite(float(se))
+        assert abs(float(ex) - lam.sum()) / lam.sum() < 1e-3
+
+    def test_matvec_budget(self):
+        """xtrace must spend exactly num_matvecs//2 * 2 applications."""
+        n, budget = 64, 24
+        a, _ = _psd(n, n, seed=10, decay=0.9)
+        aj = jnp.asarray(a)
+        cols = []
+        def counting(x):
+            cols.append(x.shape[1])
+            return aj @ x
+        rla.xtrace(counting, n, budget, rbt.default_state(70))
+        assert sum(cols) == (budget // 2) * 2
+
+
+class TestDiagEstimation:
+    """BKS diag_hutchinson and leave-one-out xdiag (trace.py)."""
+
+    def test_bks_converges_and_reproducible(self):
+        a, _ = _psd(96, 96, seed=11, decay=0.95)
+        aj = jnp.asarray(a)
+        st = rbt.default_state(80)
+        d1, nxt = rla.diag_hutchinson(aj, 96, 400, st)
+        d2, _ = rla.diag_hutchinson(lambda x: aj @ x, 96, 400, st)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+        assert nxt.to_dict() != st.to_dict()
+        err = np.linalg.norm(np.asarray(d1) - np.diag(a))
+        assert err / np.linalg.norm(np.diag(a)) < 0.2
+
+    def test_xdiag_beats_bks_on_decaying_spectrum(self):
+        a, _ = _psd(200, 200, seed=12, decay=0.8)
+        aj = jnp.asarray(a)
+        dtrue = np.diag(a)
+        errs_b, errs_x = [], []
+        for s in range(5):
+            db, _ = rla.diag_hutchinson(aj, 200, 48,
+                                        rbt.default_state(90 + s))
+            dx, _ = rla.xdiag(aj, 200, 48, rbt.default_state(90 + s))
+            errs_b.append(np.linalg.norm(np.asarray(db) - dtrue))
+            errs_x.append(np.linalg.norm(np.asarray(dx) - dtrue))
+        assert np.mean(errs_x) < 0.25 * np.mean(errs_b)
+
+    def test_xdiag_nonsymmetric_rmatvec(self):
+        rng = np.random.default_rng(13)
+        n = 100
+        b = (rng.standard_normal((n, n)).astype(np.float32) * 0.05
+             + np.diag(np.linspace(1.0, 2.0, n)).astype(np.float32))
+        bj = jnp.asarray(b)
+        st = rbt.default_state(100)
+        # array path (transpose derived) == callable path (explicit rmatvec)
+        d1, _ = rla.xdiag(bj, n, 40, st)
+        d2, _ = rla.xdiag(lambda x: bj @ x, n, 40, st,
+                          rmatvec=lambda x: bj.T @ x)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                                   atol=2e-5)
+
+    def test_xdiag_rank_deficient_exact(self):
+        a, _ = _psd(100, 4, seed=14, decay=0.5)
+        d, _ = rla.xdiag(jnp.asarray(a), 100, 40, rbt.default_state(110))
+        assert np.all(np.isfinite(np.asarray(d)))
+        np.testing.assert_allclose(np.asarray(d), np.diag(a), atol=1e-4)
+
+    def test_xdiag_unbiased_on_flat_spectrum(self):
+        # the docstring's caveat case: higher variance than BKS, but
+        # unbiased — 60-seed average must tighten vs a single run
+        rng = np.random.default_rng(15)
+        n = 60
+        b = (rng.standard_normal((n, n)).astype(np.float32) / n
+             + np.diag(np.linspace(1.0, 3.0, n)).astype(np.float32))
+        bj = jnp.asarray(b)
+        dtrue = np.diag(b)
+        acc = np.zeros(n)
+        singles = []
+        for s in range(60):
+            d, _ = rla.xdiag(bj, n, 24, rbt.default_state(200 + s))
+            acc += np.asarray(d)
+            singles.append(np.linalg.norm(np.asarray(d) - dtrue))
+        bias = np.linalg.norm(acc / 60 - dtrue)
+        assert bias < 0.4 * np.mean(singles)
