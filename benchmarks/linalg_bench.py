@@ -252,6 +252,117 @@ def bench_rff():
           "projection)")
 
 
+def bench_xtrace():
+    # implicit PSD operator at 16384^2: xtrace never forms A, only
+    # (n, m) block products — the production shape for trace of a
+    # Gram/kernel matrix. 64-matvec budget (m=32 probe columns).
+    n, k, budget = 16384, 256, 64
+    rng = np.random.default_rng(9)
+    g = jnp.asarray(rng.normal(size=(n, k)).astype(np.float32)
+                    / np.sqrt(k))
+
+    def body(i, carry, g_op):
+        from randblas_tpu.linalg import xtrace
+        gg = g_op + carry * 0.0                  # loop-carried dependence
+        mv = lambda x: gg @ (gg.T @ x)           # noqa: E731
+        est, se, _ = xtrace(mv, n, budget, RNGState.from_key(13))
+        return carry + est * 1e-20 + se * 0.0 + jnp.float32(i) * 0.0
+
+    t = time_loop(body, g, iters_small=1, iters_large=4, repeats=2)
+    flops = 2 * budget * 2 * n * k               # Y and Z block products
+    print(f"xtrace n={n} (implicit Gram, rank {k}), budget {budget}: "
+          f"{t*1e3:.2f} ms/estimate (~{flops/t/1e9:.0f} GFLOP/s matvecs)")
+
+
+def bench_xdiag():
+    n, k, budget = 16384, 256, 64
+    rng = np.random.default_rng(10)
+    g = jnp.asarray(rng.normal(size=(n, k)).astype(np.float32)
+                    / np.sqrt(k))
+
+    def body(i, carry, g_op):
+        from randblas_tpu.linalg import xdiag
+        gg = g_op + carry * 0.0                  # loop-carried dependence
+        mv = lambda x: gg @ (gg.T @ x)           # noqa: E731, symmetric
+        d, _ = xdiag(mv, n, budget, RNGState.from_key(14))
+        return carry + d[0] * 1e-20 + jnp.float32(i) * 0.0
+
+    t = time_loop(body, g, iters_small=1, iters_large=4, repeats=2)
+    flops = 2 * budget * 2 * n * k
+    print(f"xdiag n={n} (implicit Gram, rank {k}), budget {budget}: "
+          f"{t*1e3:.2f} ms/estimate (~{flops/t/1e9:.0f} GFLOP/s matvecs)")
+
+
+def bench_kaczmarz():
+    # restricted-access solvers at a production shape: each step reads
+    # one (block, n) row panel / (m, block) column panel
+    m, n, block, steps = 65536, 1024, 512, 48
+    rng = np.random.default_rng(11)
+    a = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+    xt = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    b = a @ xt
+
+    def body(i, carry, a_op, b_op):
+        from randblas_tpu.linalg import block_kaczmarz
+        x, _ = block_kaczmarz(a_op, b_op + carry * 0.0,
+                              RNGState.from_key(15), block=block,
+                              steps=steps)
+        return carry + x[0] * 1e-20 + jnp.float32(i) * 0.0
+
+    t = time_loop(body, a, b, iters_small=1, iters_large=3, repeats=2)
+    gbytes = steps * block * n * 4 / 1e9      # row-panel gathers
+    print(f"block_kaczmarz {m}x{n}, block {block}, {steps} steps: "
+          f"{t*1e3:.1f} ms/solve (~{gbytes/t:.0f} GB/s on panel reads)")
+
+    for mode in ("shuffle", "colnorm"):
+        def body_gs(i, carry, a_op, b_op):
+            from randblas_tpu.linalg import block_gauss_seidel
+            x, _ = block_gauss_seidel(a_op, b_op + carry * 0.0,
+                                      RNGState.from_key(16),
+                                      block=block, steps=steps,
+                                      sampling=mode)
+            return carry + x[0] * 1e-20 + jnp.float32(i) * 0.0
+
+        t = time_loop(body_gs, a, b, iters_small=1, iters_large=3,
+                      repeats=2)
+        gbytes = steps * m * block * 4 / 1e9  # column-panel reads (x3)
+        print(f"block_gauss_seidel[{mode}] {m}x{n}, block {block}, "
+              f"{steps} steps: {t*1e3:.1f} ms/solve "
+              f"(~{3*gbytes/t:.0f} GB/s on panel traffic)")
+
+
+def bench_fd():
+    # FrequentDirections is host-DRIVEN streaming (chunk arrival is a
+    # host decision), so time_loop's on-device differencing doesn't
+    # apply: measure wall time around the whole ingest with a final
+    # host transfer of the sketch, which truly synchronizes all
+    # pending work (block_until_ready does not, on this tunnel). The
+    # numbers include Python dispatch overhead — honest for this API.
+    import time
+    from randblas_tpu.linalg import FrequentDirections
+    m, n, ell, chunk = 65536, 1024, 256, 4096
+    rng = np.random.default_rng(12)
+    blocks = [jnp.asarray(rng.standard_normal((chunk, n))
+                          .astype(np.float32)) for _ in range(m // chunk)]
+    for b in blocks:
+        b.block_until_ready()
+
+    def run():
+        fd = FrequentDirections(n, ell)
+        for b in blocks:
+            fd.update(b)
+        return np.asarray(fd.sketch())
+
+    run()                                    # compile the shrink SVD
+    t0 = time.perf_counter()
+    run()
+    t = time.perf_counter() - t0
+    print(f"frequent_directions {m}x{n} rows, ell={ell}, "
+          f"chunk {chunk}: {t*1e3:.0f} ms/stream "
+          f"({m/t/1e6:.2f} Mrows/s, {m*n*4/t/1e9:.0f} GB/s ingest; "
+          f"{m//ell - 1} shrink SVDs of (512, {n}))")
+
+
 BENCHES = {
     "rsvd": bench_rsvd,
     "nystrom": bench_nystrom_pcg,
@@ -264,6 +375,10 @@ BENCHES = {
     "geigh": bench_rand_geigh,
     "amm": bench_amm,
     "samplelsq": bench_sample_lsq,
+    "xtrace": bench_xtrace,
+    "xdiag": bench_xdiag,
+    "kaczmarz": bench_kaczmarz,
+    "fd": bench_fd,
 }
 
 

@@ -11,6 +11,7 @@ from .embed import make_embedding
 from .features import random_fourier_features
 from .lstsq import (cgls, min_norm_lsq, ridge_lsq,
                     sketch_and_precondition, sketch_and_solve_lsq)
+from .kaczmarz import block_gauss_seidel, block_kaczmarz
 from .krylov import krylov_rangefinder, rsvd_krylov
 from .nystrom import nystrom, nystrom_apply, nystrom_pcg
 from .qb import (adaptive_rangefinder, qb_decompose, qb_to_svd,
@@ -22,7 +23,8 @@ from .sgmres import sgmres
 from .rsvd import rsvd, rsvd_adaptive
 from .spectral import (extremal_eigs, power_method, required_power_iters,
                        sketched_eigs, spectral_norm)
-from .streaming import StreamingSketch, single_pass_svd
+from .streaming import FrequentDirections, StreamingSketch, \
+    single_pass_svd
 from .tls import sketched_tls, tls_via_svd
 from .trace import (diag_hutchinson, exact_trace, hutchinson, hutchpp,
                     rademacher_probes, xdiag, xtrace)
@@ -48,4 +50,6 @@ __all__ = ["amm",
            "extremal_eigs", "power_method", "required_power_iters",
            "sketched_eigs", "spectral_norm", "StreamingSketch",
            "single_pass_svd",
-           "diag_hutchinson", "xdiag", "xtrace"]
+           "diag_hutchinson", "xdiag", "xtrace",
+           "block_gauss_seidel", "block_kaczmarz",
+           "FrequentDirections"]

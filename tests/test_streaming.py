@@ -5,6 +5,7 @@ chunking via counter addressing) + planted-spectrum recovery like the
 rest of the estimator tier.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -149,3 +150,98 @@ class TestStreamingSketch:
         with pytest.raises(ValueError):
             rla.StreamingSketch(120, 40, 4, RNGState.from_key(13),
                                 corange_factor=0.3)
+
+
+# ------------------------------------------------ FrequentDirections
+
+class TestFrequentDirections:
+    """Deterministic streaming sketch (streaming.py::FrequentDirections)."""
+
+    def _data(self, m=3000, n=100, seed=0, noise=0.05):
+        rng = np.random.default_rng(seed)
+        u = rng.standard_normal((m, 10))
+        v = rng.standard_normal((10, n))
+        return u @ v + noise * rng.standard_normal((m, n))
+
+    def test_guarantee_exact_in_f64(self):
+        # the FD theorem is deterministic: A^T A - B^T B is PSD with
+        # norm <= shrink_mass <= ||A||_F^2 / ell. In f64 it holds to
+        # roundoff (measured: TIGHT — max eig == shrink_mass to 1e-6).
+        from randblas_tpu.linalg import FrequentDirections
+        a = self._data()
+        n, ell = a.shape[1], 20
+        with jax.enable_x64():
+            fd = FrequentDirections(n, ell, dtype=jnp.float64)
+            for i in range(0, a.shape[0], 37):     # ragged chunks
+                fd.update(jnp.asarray(a[i:i + 37]))
+            b = np.asarray(fd.sketch())
+        diff = a.T @ a - b.T @ b
+        w = np.linalg.eigvalsh(diff)
+        assert w.min() > -1e-6                     # PSD
+        assert w.max() <= fd.shrink_mass * (1 + 1e-9) + 1e-9
+        assert fd.shrink_mass <= np.linalg.norm(a, "fro") ** 2 / ell
+
+    def test_guarantee_f32_with_roundoff_allowance(self):
+        # f32 accumulates ~eps * sigma1^2 per shrink SVD; the classic
+        # F^2/ell bound still holds with orders-of-magnitude headroom
+        from randblas_tpu.linalg import FrequentDirections
+        a = self._data(seed=1).astype(np.float32)
+        n, ell = a.shape[1], 20
+        fd = FrequentDirections(n, ell)
+        fd.update(jnp.asarray(a))
+        b = np.asarray(fd.sketch(), np.float64)
+        a64 = a.astype(np.float64)
+        err = np.linalg.norm(a64.T @ a64 - b.T @ b, 2)
+        assert err <= np.linalg.norm(a64, "fro") ** 2 / ell * 0.05
+
+    def test_exact_for_low_rank_streams(self):
+        # rank(A) < ell: every shrink sees sigma_ell == 0, so B^T B
+        # reproduces A^T A exactly (no information was ever discarded)
+        from randblas_tpu.linalg import FrequentDirections
+        a = self._data(m=800, n=64, seed=2, noise=0.0).astype(np.float32)
+        fd = FrequentDirections(64, 20)
+        for i in range(0, 800, 100):
+            fd.update(jnp.asarray(a[i:i + 100]))
+        b = np.asarray(fd.sketch(), np.float64)
+        a64 = a.astype(np.float64)
+        gram_norm = np.linalg.norm(a64.T @ a64, 2)
+        # the f32 Gram-eigh shrink reports sigma_ell^2 as ~eps*sigma1^2
+        # noise instead of exact 0 — negligible relative to the Gram
+        assert fd.shrink_mass < 1e-5 * gram_norm
+        rel = np.linalg.norm(a64.T @ a64 - b.T @ b, 2) / gram_norm
+        assert rel < 1e-4
+
+    def test_chunking_any_shape(self):
+        # single rows, ragged blocks, blocks larger than the buffer —
+        # all orders of the same rows satisfy the same guarantee
+        from randblas_tpu.linalg import FrequentDirections
+        a = self._data(m=500, n=40, seed=3).astype(np.float32)
+        bound = np.linalg.norm(a, "fro") ** 2 / 10
+        for chunks in ([1] * 64 + [436], [499, 1], [500], [63] * 7 + [59]):
+            fd = FrequentDirections(40, 10)
+            off = 0
+            for c in chunks:
+                fd.update(jnp.asarray(a[off:off + c]))
+                off += c
+            assert off == 500
+            b = np.asarray(fd.sketch())
+            err = np.linalg.norm(a.T @ a - b.T @ b, 2)
+            assert err <= bound, (chunks[:3], err, bound)
+
+    def test_sketch_shape_and_single_row(self):
+        from randblas_tpu.linalg import FrequentDirections
+        fd = FrequentDirections(32, 8)
+        fd.update(jnp.ones((32,), jnp.float32))    # 1-D row promotes
+        b = fd.sketch()
+        assert b.shape == (8, 32)
+        assert float(jnp.linalg.norm(b)) > 0
+
+    def test_validates(self):
+        from randblas_tpu.linalg import FrequentDirections
+        with pytest.raises(ValueError):
+            FrequentDirections(16, 0)
+        with pytest.raises(ValueError):
+            FrequentDirections(16, 17)
+        fd = FrequentDirections(16, 4)
+        with pytest.raises(ValueError):
+            fd.update(jnp.ones((3, 15), jnp.float32))

@@ -442,3 +442,64 @@ def test_rand_geigh_on_hardware():
     xn = np.asarray(x, np.float64)
     bn = np.asarray(b, np.float64)
     np.testing.assert_allclose(xn.T @ bn @ xn, np.eye(k), atol=5e-3)
+
+
+def test_xtrace_xdiag_on_hardware():
+    """XTrace/XDiag on the chip vs exact answers on a controlled
+    spectrum. The estimators are cancellation chains of n-length
+    contractions (u_i^T A u_i minus projector corrections), exactly
+    the pattern the default bf16 MXU product corrupted in sgmres and
+    one-pass SVD — this pins the Precision.HIGHEST routing end to end
+    on compiled code, plus QR + the clipped triangular solve in
+    _loo_directions under the suite's x64 mode."""
+    import jax.numpy as jnp
+    from randblas_tpu import RNGState
+    from randblas_tpu.linalg import xdiag, xtrace
+
+    n = 1024
+    rng = np.random.default_rng(19)
+    u, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    lam = 2.0 ** (-np.arange(n) / 8.0)
+    a64 = (u * lam) @ u.T
+    a = jnp.asarray(a64.astype(np.float32))
+    want_tr = float(lam.sum())
+    want_d = np.diag(a64)
+
+    est, se, _ = xtrace(a, n, 96, RNGState.from_key(37))
+    assert abs(float(est) - want_tr) < max(6 * float(se),
+                                           5e-3 * want_tr)
+    d, _ = xdiag(a, n, 96, RNGState.from_key(38))
+    err = np.linalg.norm(np.asarray(d) - want_d)
+    # 0.047 measured on the CPU oracle at this seed/budget; 0.08 leaves
+    # headroom for chip rounding without masking a broken routing
+    assert err / np.linalg.norm(want_d) < 0.08
+
+
+def test_kaczmarz_on_hardware():
+    """Block Kaczmarz + block Gauss-Seidel compiled on the chip: pins
+    lax.scan over gathered row/column panels + cho_factor/cho_solve
+    under the suite's x64 mode, and that the damped-Gram projections
+    actually contract on compiled arithmetic (not just in interpret
+    mode) — both solvers must recover exact solutions, not plausible
+    garbage."""
+    import jax.numpy as jnp
+    from randblas_tpu import RNGState
+    from randblas_tpu.linalg import block_gauss_seidel, block_kaczmarz
+
+    rng = np.random.default_rng(20)
+    m, n = 4096, 256
+    a = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+    xt = rng.standard_normal(n).astype(np.float32)
+    b = a @ jnp.asarray(xt)
+    x, _ = block_kaczmarz(a, b, RNGState.from_key(39), block=256,
+                          steps=30)
+    err = np.linalg.norm(np.asarray(x) - xt) / np.linalg.norm(xt)
+    assert err < 1e-3
+
+    bn = b + jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    xls = np.linalg.lstsq(np.asarray(a, np.float64),
+                          np.asarray(bn, np.float64), rcond=None)[0]
+    xg, _ = block_gauss_seidel(a, bn, RNGState.from_key(40), block=128,
+                               steps=60)
+    err = np.linalg.norm(np.asarray(xg) - xls) / np.linalg.norm(xls)
+    assert err < 5e-3
