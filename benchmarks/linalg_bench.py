@@ -363,6 +363,44 @@ def bench_fd():
           f"{m//ell - 1} shrink SVDs of (512, {n}))")
 
 
+def bench_density():
+    # DOS of an implicit operator: the shape where densities matter
+    # (spectrum exploration before committing a rank/shift budget)
+    n, k = 16384, 256
+    rng = np.random.default_rng(13)
+    g = jnp.asarray(rng.normal(size=(n, k)).astype(np.float32)
+                    / np.sqrt(k))
+    grid = jnp.linspace(-0.5, 8.0, 401)
+
+    def body_slq(i, carry, g_op):
+        from randblas_tpu.linalg import spectral_density
+        gg = g_op + carry * 0.0
+        mv = lambda x: gg @ (gg.T @ x)           # noqa: E731
+        _, dens, _ = spectral_density(mv, RNGState.from_key(17),
+                                      probes=16, steps=60, grid=grid,
+                                      sigma=0.05, n=n)
+        return carry + dens[0] * 1e-20 + jnp.float32(i) * 0.0
+
+    t = time_loop(body_slq, g, iters_small=1, iters_large=3, repeats=2)
+    print(f"spectral_density[slq] n={n} implicit Gram, 16 probes x 60 "
+          f"steps: {t*1e3:.1f} ms/estimate")
+
+    def body_kpm(i, carry, g_op):
+        from randblas_tpu.linalg import kpm_density
+        gg = g_op + carry * 0.0
+        mv = lambda x: gg @ (gg.T @ x)           # noqa: E731
+        _, dens, _ = kpm_density(mv, RNGState.from_key(18), probes=16,
+                                 degree=128, bounds=(-0.5, 8.0),
+                                 grid=grid, n=n)
+        return carry + dens[0] * 1e-20 + jnp.float32(i) * 0.0
+
+    t = time_loop(body_kpm, g, iters_small=1, iters_large=3, repeats=2)
+    flops = 16 * 128 * 2 * 2 * n * k
+    print(f"kpm_density n={n} implicit Gram, 16 probes x degree 128: "
+          f"{t*1e3:.1f} ms/estimate (~{flops/t/1e12:.1f} TFLOP/s on "
+          f"the Chebyshev matvecs)")
+
+
 BENCHES = {
     "rsvd": bench_rsvd,
     "nystrom": bench_nystrom_pcg,
@@ -379,6 +417,7 @@ BENCHES = {
     "xdiag": bench_xdiag,
     "kaczmarz": bench_kaczmarz,
     "fd": bench_fd,
+    "density": bench_density,
 }
 
 

@@ -11,6 +11,7 @@ from .embed import make_embedding
 from .features import random_fourier_features
 from .lstsq import (cgls, min_norm_lsq, ridge_lsq,
                     sketch_and_precondition, sketch_and_solve_lsq)
+from .density import eig_count, kpm_density, spectral_density
 from .kaczmarz import block_gauss_seidel, block_kaczmarz
 from .krylov import krylov_rangefinder, rsvd_krylov
 from .nystrom import nystrom, nystrom_apply, nystrom_pcg
@@ -52,4 +53,5 @@ __all__ = ["amm",
            "single_pass_svd",
            "diag_hutchinson", "xdiag", "xtrace",
            "block_gauss_seidel", "block_kaczmarz",
-           "FrequentDirections"]
+           "FrequentDirections",
+           "eig_count", "kpm_density", "spectral_density"]

