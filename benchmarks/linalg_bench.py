@@ -401,6 +401,35 @@ def bench_density():
           f"the Chebyshev matvecs)")
 
 
+def bench_rgs():
+    # the stability QR at a production rangefinder shape; compare the
+    # fast-path CholQR2 (well-conditioned regime) in the same run
+    m, k = 65536, 512
+    rng = np.random.default_rng(14)
+    a = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+
+    def body(i, carry, a_op):
+        from randblas_tpu.linalg.rgs import rgs_qr
+        q, r, _ = rgs_qr(a_op + carry * 0.0, RNGState.from_key(19),
+                         block=128)
+        return carry + q[0, 0] * 1e-20 + r[0, 0] * 1e-20 \
+            + jnp.float32(i) * 0.0
+
+    t = time_loop(body, a, iters_small=1, iters_large=3, repeats=2)
+    flops = 2 * 2 * m * k * k          # two full-length GEMM passes
+    print(f"rgs_qr {m}x{k} (block 128): {t*1e3:.1f} ms "
+          f"(~{flops/t/1e12:.1f} TFLOP/s on the projection GEMMs)")
+
+    def body_chol(i, carry, a_op):
+        from randblas_tpu.linalg import cholqr
+        q, r = cholqr(a_op + carry * 0.0)
+        return carry + q[0, 0] * 1e-20 + r[0, 0] * 1e-20 \
+            + jnp.float32(i) * 0.0
+
+    t = time_loop(body_chol, a, iters_small=1, iters_large=3, repeats=2)
+    print(f"cholqr2 {m}x{k} (same run): {t*1e3:.1f} ms")
+
+
 BENCHES = {
     "rsvd": bench_rsvd,
     "nystrom": bench_nystrom_pcg,
@@ -418,6 +447,7 @@ BENCHES = {
     "kaczmarz": bench_kaczmarz,
     "fd": bench_fd,
     "density": bench_density,
+    "rgs": bench_rgs,
 }
 
 

@@ -19,6 +19,7 @@ from .qb import (adaptive_rangefinder, qb_decompose, qb_to_svd,
                  range_error_estimate, rangefinder)
 from .quadrature import lanczos_fn_apply, logdet, slq
 from .qrcp import column_id, cur, sketch_qrcp
+from .rgs import rgs_qr
 from .rpcholesky import rpcholesky, rpcholesky_pcg
 from .sgmres import sgmres
 from .rsvd import rsvd, rsvd_adaptive
@@ -54,4 +55,5 @@ __all__ = ["amm",
            "diag_hutchinson", "xdiag", "xtrace",
            "block_gauss_seidel", "block_kaczmarz",
            "FrequentDirections",
-           "eig_count", "kpm_density", "spectral_density"]
+           "eig_count", "kpm_density", "spectral_density",
+           "rgs_qr"]

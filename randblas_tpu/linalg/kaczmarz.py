@@ -147,16 +147,19 @@ def block_gauss_seidel(a: jax.Array, b: jax.Array, state: RNGState, *,
 
     ``sampling`` picks how blocks are chosen — the TPU-native default
     is ``'shuffle'``: ONE counter-addressed random permutation of the
-    columns per solve, then sweeps over aligned contiguous panels of
-    the permuted A^T via ``dynamic_slice``. iid index gathers
+    columns per solve, then cyclic sweeps over the fixed partition of
+    the permuted A^T. The fixed partition lets each block's damped
+    Gram inverse be computed once and reused every sweep, so a step is
+    just three GEMVs: measured 19.6 ms at 65536x1024/block-512/48
+    steps vs 45.5 ms recomputing the Gram per step (same-run probe,
+    benchmarks/kaczmarz_probe.py) — and iid index gathers
     (``'colnorm'`` — LL10's importance weighting — or ``'uniform'``)
-    read the same panel bytes at a fraction of copy bandwidth: on the
-    65536x1024/block-512/48-step bench shape, shuffle runs 43.8 ms vs
-    102.1 ms for the gather modes (and 137.7 ms for the round's
-    all-HIGHEST gather baseline — 3.1x total), with the same converged
-    solution quality — shuffled sweeps also visit every column per
-    sweep (no duplicates), which in practice contracts at least as
-    fast as iid draws.
+    are slower still (TPU gathers run far below copy bandwidth, and
+    fresh indices per step mean per-step Grams). Solution quality is
+    the same — shuffled sweeps also visit every column per sweep (no
+    duplicates), which in practice contracts at least as fast as iid
+    draws. Use the iid modes when LL10's importance-sampling theory is
+    the point.
     """
     require(a.ndim == 2, "block_gauss_seidel takes a matrix A")
     m, n = a.shape
@@ -210,9 +213,21 @@ def _gauss_seidel_shuffle(a, x_init, r_init, state: RNGState,
     (argsort of one counter-addressed Uniform row — reproducible and
     seed-chained like every operator), pad A^T's permuted rows up to a
     whole number of blocks with zero rows (phantom coordinates: zero
-    Gram row + damping pins their update to 0), then scan aligned
-    ``dynamic_slice`` panels cyclically. All data movement is
-    contiguous at copy bandwidth; no iid gather anywhere."""
+    panel row makes their rhs — and so their update — exactly 0), then
+    sweep the fixed partition cyclically. All data movement is
+    contiguous; no iid gather anywhere.
+
+    The fixed partition means each block's damped Gram inverse is
+    computed ONCE and reused every sweep — the sweeps' per-step work
+    collapses to two (block, m) GEMVs + one (block, block) GEMV.
+    Measured on v5e at 65536x1024/block-512/48-steps (same-run probe,
+    benchmarks/kaczmarz_probe.py): per-step Gram + chol 45.5 ms,
+    precomputed inverses 19.6 ms — and the Gram GEMM is the FLOP bulk,
+    so it runs at DEFAULT precision (preconditioner role: the fixed
+    point is pinned by rhs and the residual update, which stay at
+    HIGHEST; the on-chip test asserts final accuracy). Explicit
+    inverses (not stored factors) are fine for the same reason, and
+    make the sweep step a GEMV instead of two triangular solves."""
     from ..dense import DenseDist, DenseDistName, DenseSkOp
     m, n = a.shape
     u_op = DenseSkOp(DenseDist(1, n, family=DenseDistName.Uniform),
@@ -226,28 +241,32 @@ def _gauss_seidel_shuffle(a, x_init, r_init, state: RNGState,
     if n_pad > n:
         at_p = jnp.concatenate(
             [at_p, jnp.zeros((n_pad - n, m), a.dtype)])
-    xp_init = jnp.zeros((n_pad,), a.dtype).at[:n].set(x_init[perm])
-    starts = (jnp.arange(steps, dtype=jnp.int32) % nblocks) * block
+    panels = at_p.reshape(nblocks, block, m)
+    grams = jnp.einsum("bij,bkj->bik", panels, panels,
+                       preferred_element_type=a.dtype)
+    s = block
+    lam = jnp.maximum(
+        jnp.finfo(a.dtype).eps * jnp.einsum("bii->b", grams) / s * 8.0,
+        jnp.finfo(a.dtype).tiny)
+    grams = grams + lam[:, None, None] * jnp.eye(s, dtype=a.dtype)
+    eye = jnp.eye(s, dtype=a.dtype)
+    invs = jax.vmap(lambda g: jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(g, lower=True), eye))(grams)
 
-    def step(carry, st):
+    xp_init = jnp.zeros((n_pad,), a.dtype).at[:n].set(x_init[perm])
+    order = jnp.arange(steps, dtype=jnp.int32) % nblocks
+
+    def step(carry, bi):
         xp, r = carry
-        panel = jax.lax.dynamic_slice(
-            at_p, (st, jnp.zeros((), st.dtype)), (block, m))
-        # Gram at DEFAULT precision: G only shapes the block step (a
-        # preconditioner role) — the fixed point is pinned by rhs and
-        # the residual update, which stay at HIGHEST. bf16's ~4e-3 on
-        # an SPD solve leaves the contraction intact (on-chip test
-        # asserts final accuracy) and the Gram is the step's FLOP bulk:
-        # 81.6 -> 43.8 ms on the 65536x1024/block-512/48-step shape
-        g = jnp.matmul(panel, panel.T,
-                       preferred_element_type=panel.dtype)
+        panel = panels[bi]
         rhs = jnp.matmul(panel, r, precision=_HI)
-        dx = _damped_spd_solve(g, rhs)
+        dx = jnp.matmul(invs[bi], rhs, precision=_HI)
+        st = bi * block
         xs = jax.lax.dynamic_slice(xp, (st,), (block,))
         xp = jax.lax.dynamic_update_slice(xp, xs + dx, (st,))
         r = r - jnp.matmul(panel.T, dx, precision=_HI)
         return (xp, r), None
 
-    (xp, _), _ = jax.lax.scan(step, (xp_init, r_init), starts)
+    (xp, _), _ = jax.lax.scan(step, (xp_init, r_init), order)
     x = jnp.zeros((n,), a.dtype).at[perm].set(xp[:n])
     return x, nxt

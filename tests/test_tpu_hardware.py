@@ -503,3 +503,32 @@ def test_kaczmarz_on_hardware():
                                steps=60)
     err = np.linalg.norm(np.asarray(xg) - xls) / np.linalg.norm(xls)
     assert err < 5e-3
+
+
+def test_rgs_qr_on_hardware():
+    """Randomized Gram-Schmidt QR on the chip at a condition number
+    where plain CholQR's f32 Gram is numerically singular. Pins the
+    HIGHEST routing of the projection GEMMs (the CGS2 passes are
+    cancellation chains — default bf16 products would leave ~4e-3
+    residual components in every panel), the (d, b) QR + triangular
+    panel solve, and the final CholQR pass on compiled code."""
+    import jax.numpy as jnp
+    from randblas_tpu import RNGState
+    from randblas_tpu.linalg.rgs import rgs_qr
+
+    rng = np.random.default_rng(21)
+    m, k = 8192, 128
+    u, _ = np.linalg.qr(rng.standard_normal((m, k)))
+    v, _ = np.linalg.qr(rng.standard_normal((k, k)))
+    s = 3e7 ** (-np.arange(k) / (k - 1))
+    a = jnp.asarray(((u * s) @ v.T).astype(np.float32))
+
+    q, r, _ = rgs_qr(a, RNGState.from_key(41), block=64)
+    an = np.asarray(a, np.float64)
+    qn = np.asarray(q, np.float64)
+    rn = np.asarray(r, np.float64)
+    rec = np.linalg.norm(qn @ rn - an) / np.linalg.norm(an)
+    orth = np.linalg.norm(qn.T @ qn - np.eye(k), 2)
+    assert rec < 2e-4, rec
+    assert orth < 2e-3, orth
+    assert np.allclose(rn, np.triu(rn))
