@@ -168,12 +168,28 @@ def kpm_density(a, state: RNGState, *, degree: int = 128,
     if bounds is None:
         require(hasattr(a, "shape") and not callable(a),
                 "kpm_density needs explicit spectrum bounds for "
-                "sparse/callable operators (Chebyshev iterates of an "
+                "callable operators (Chebyshev iterates of an "
                 "un-enclosed operator diverge)")
         # Gershgorin: every eigenvalue lies in union of
         # [a_ii - r_i, a_ii + r_i], r_i the off-diagonal abs row sum
-        di = jnp.diagonal(a)
-        ri = jnp.sum(jnp.abs(a), axis=1) - jnp.abs(di)
+        from .qb import _is_sparse
+        if _is_sparse(a):
+            # sparse-aware enclosure (ADVICE r4: COO/CSR/CSC expose
+            # .shape, so they reached the dense branch and crashed in
+            # jnp.diagonal). Duplicate triplets are legal in COO, so
+            # diag/row sums are scatter-adds over all entries.
+            from ..sparse_data.conversions import to_coo
+            c = to_coo(a)
+            absv = jnp.abs(c.vals)
+            ondiag = c.rows == c.cols
+            ri_all = jnp.zeros((n,), absv.dtype).at[c.rows].add(absv)
+            di = jnp.zeros((n,), c.vals.dtype).at[c.rows].add(
+                jnp.where(ondiag, c.vals, 0))
+            ri = ri_all - jnp.zeros((n,), absv.dtype).at[c.rows].add(
+                jnp.where(ondiag, absv, 0))
+        else:
+            di = jnp.diagonal(a)
+            ri = jnp.sum(jnp.abs(a), axis=1) - jnp.abs(di)
         lmin, lmax = jnp.min(di - ri), jnp.max(di + ri)
     else:
         lmin = jnp.asarray(bounds[0], dtype)

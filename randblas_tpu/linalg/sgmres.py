@@ -43,7 +43,8 @@ from .embed import make_embedding
 from .qb import make_matvec, qr_clipped_lstsq
 
 
-def _warn_thin_embedding(d: int, m: int, n: int) -> None:
+def _warn_thin_embedding(d: int, m: int, n: int,
+                         d_was_default: bool = False) -> None:
     """The quasi-optimality contract rests on S being a subspace
     embedding for an m-dimensional space: distortion ~ sqrt(m/d), so at
     d == m the guarantee degenerates entirely (the sketched residual can
@@ -54,14 +55,26 @@ def _warn_thin_embedding(d: int, m: int, n: int) -> None:
     of the embedding's distortion, and any singular-square-embedding
     damage is absorbed by the clipped solve. d == n alone is NOT exempt
     (review find, round 4: a square-over-the-data but
-    thin-over-the-basis embedding still voids the contract)."""
+    thin-over-the-basis embedding still voids the contract).
+
+    ``d_was_default`` suppresses the warning when the caller never
+    passed d and the default 2m+8 was merely clamped to n (ADVICE r4:
+    warning the user about a value they did not choose, with a remedy
+    — raise d — that is unreachable since d <= n, is just noise; the
+    basis being a large fraction of R^n is the normal near-exact
+    regime, not a misuse)."""
     if d < m + 4 and not (d == m == n):
+        if d_was_default:
+            return
         import warnings
+        remedy = ("Use d >= 2*m (the default)"
+                  if 2 * m <= n else
+                  f"Reduce the basis size (d cannot exceed n={n} here)")
         warnings.warn(
             f"embedding dimension d={d} has <4 rows of oversampling over "
             f"basis m={m}; the ~sqrt(m/d) distortion bound (and with it "
-            "the residual estimate and quasi-optimality) is void. Use "
-            "d >= 2*m (the default) unless you accept heuristic output.",
+            "the residual estimate and quasi-optimality) is void. "
+            f"{remedy} unless you accept heuristic output.",
             stacklevel=3)
 
 
@@ -157,9 +170,10 @@ def sgmres(a, b: jax.Array, state: RNGState, *, basis: int = 50,
     require(1 <= m <= n, "basis size must be in [1, n]")
     require(trunc >= 1, "trunc must be >= 1")
     k = min(trunc, m)
+    d_was_default = d is None
     d = min(n, 2 * m + 8) if d is None else d
     require(d >= m, "embedding dimension d must be >= basis")
-    _warn_thin_embedding(d, m, n)
+    _warn_thin_embedding(d, m, n, d_was_default)
 
     # shared dense/sparse/callable dispatch + the HIGHEST-precision
     # policy for dense matvecs (see qb.make_matvec — the default bf16

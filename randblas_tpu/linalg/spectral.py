@@ -202,11 +202,12 @@ def sketched_eigs(a, k: int, state: RNGState, *, basis: int = None,
         n = a.shape[0]
     m = min(n, max(4 * k, 2 * k + 10)) if basis is None else min(basis, n)
     require(1 <= k <= m, "need 1 <= k <= basis")
+    d_was_default = d is None
     d = min(n, 2 * m + 8) if d is None else d
     require(d >= m, "embedding dimension d must be >= basis")
     if not sym:
         from .sgmres import _warn_thin_embedding
-        _warn_thin_embedding(d, m, n)
+        _warn_thin_embedding(d, m, n, d_was_default)
 
     # shared dense/sparse/callable dispatch + the HIGHEST-precision
     # policy for dense matvecs (qb.make_matvec; the Arnoldi body casts

@@ -185,8 +185,10 @@ class FrequentDirections:
 
     TPU shape choices: rows accumulate into a fixed (2*ell, n) buffer
     (static shapes, one `dynamic_update_slice` per chunk) and the
-    shrink step is one thin SVD of that buffer — MXU/HBM-friendly
-    batch work every `ell` rows instead of per-row Givens updates.
+    shrink step is one eigendecomposition of the buffer's (2*ell,
+    2*ell) Gram matrix (see ``_shrink`` for why not a thin SVD of the
+    buffer itself) — MXU/HBM-friendly batch work every `ell` rows
+    instead of per-row Givens updates.
     Like ``StreamingSketch.update``, streaming is host-driven (chunk
     sizes are host decisions); everything per-chunk is device work.
 

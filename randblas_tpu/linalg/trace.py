@@ -195,7 +195,11 @@ def xtrace(a, n: int, num_matvecs: int, state: RNGState,
     ests = (jnp.trace(h) - q_aq                 # tr(P_i A)
             + u_au + alpha * (u_aq + q_au) + alpha * alpha * q_aq)
     est = jnp.mean(ests)
-    stderr = jnp.std(ests) / jnp.sqrt(jnp.asarray(m, dtype))
+    # ddof=1: the m leave-one-out estimates are correlated (they share
+    # the probe block), so this is the paper's *approximate* sample
+    # standard error, and the unbiased-variance form is the right
+    # flavor of approximate (ADVICE r4).
+    stderr = jnp.std(ests, ddof=1) / jnp.sqrt(jnp.asarray(m, dtype))
     return est, stderr, nxt
 
 

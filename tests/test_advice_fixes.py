@@ -352,3 +352,79 @@ def test_pallas_fill_interp_flag_is_live():
         fs.pallas_fill_block = orig
     assert calls.get("interpret") is True
     np.testing.assert_array_equal(np.asarray(blk), np.asarray(base))
+
+
+# -- ADVICE round 4 (all four findings) --------------------------------------
+
+def test_kpm_density_sparse_gershgorin():
+    """ADVICE r4: kpm_density(bounds=None) with a sparse container used
+    to reach the dense Gershgorin branch (sparse containers expose
+    .shape) and crash in jnp.diagonal. Now it computes a sparse-aware
+    Gershgorin enclosure and runs."""
+    from randblas_tpu.linalg import kpm_density
+    from randblas_tpu.sparse_data.coo import COOMatrix
+    from randblas_tpu.sparse_data.conversions import coo_to_csr
+
+    rng = np.random.default_rng(0)
+    n = 48
+    m = rng.normal(size=(n, n)).astype(np.float32)
+    a_np = (m + m.T) / 2
+    a_np[np.abs(a_np) < 0.8] = 0.0       # sparsify, keep symmetry
+    a = COOMatrix.from_dense(jnp.asarray(a_np))
+
+    grid, dens, _ = kpm_density(a, RNGState.from_key(3), degree=64,
+                                probes=8, npts=201)
+    total = np.trapezoid(np.asarray(dens), np.asarray(grid))
+    assert abs(total - n) / n < 0.15     # counting normalization holds
+    assert np.all(np.isfinite(np.asarray(dens)))
+
+    # the enclosure must match the dense Gershgorin bound: same grid
+    grid_d, _, _ = kpm_density(jnp.asarray(a_np), RNGState.from_key(3),
+                               degree=64, probes=8, npts=201)
+    np.testing.assert_allclose(np.asarray(grid), np.asarray(grid_d),
+                               rtol=1e-6)
+
+    # CSR route works too (exercises to_coo normalization)
+    kpm_density(coo_to_csr(a), RNGState.from_key(3), degree=16, probes=2,
+                npts=31)
+
+
+def test_kpm_density_callable_still_requires_bounds():
+    from randblas_tpu.linalg import kpm_density
+    with pytest.raises(ValueError, match="bounds"):
+        kpm_density(lambda x: x, RNGState.from_key(0), n=8)
+
+
+def test_sgmres_default_d_clamped_no_warning():
+    """ADVICE r4: with all-default parameters and n < basis+4, the thin-
+    embedding warning used to fire with an unreachable remedy. The
+    defaulted-and-clamped case must be silent; an explicit thin d still
+    warns, with a reachable remedy."""
+    import warnings
+    from randblas_tpu.linalg import sgmres
+
+    rng = np.random.default_rng(1)
+    n = 12
+    a = jnp.asarray((rng.normal(size=(n, n)) + 4 * np.eye(n)
+                     ).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=n).astype(np.float32))
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        x, res, _ = sgmres(a, b, RNGState.from_key(0), basis=n - 2)
+
+    with pytest.warns(UserWarning, match="Reduce the basis"):
+        sgmres(a, b, RNGState.from_key(0), basis=n - 2, d=n - 2)
+
+
+def test_xtrace_stderr_uses_sample_std():
+    """ADVICE r4: xtrace's a-posteriori stderr uses the unbiased (ddof=1)
+    sample standard deviation."""
+    from randblas_tpu.linalg import xtrace
+    n = 64
+    a_np = np.diag(np.linspace(1.0, 2.0, n)).astype(np.float32)
+    est, stderr, _ = xtrace(jnp.asarray(a_np), n, 8, RNGState.from_key(5))
+    assert np.isfinite(float(stderr)) and float(stderr) >= 0.0
+    # minimal budget (m = 2 leave-one-out estimates): ddof=1 stays finite
+    est2, stderr2, _ = xtrace(jnp.asarray(a_np), n, 4, RNGState.from_key(5))
+    assert np.isfinite(float(stderr2))
