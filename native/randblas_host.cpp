@@ -208,6 +208,63 @@ inline void threefry4x64_block(const uint64_t ctr[4], const uint64_t key[4],
         out[i] = x[i];
 }
 
+// little-endian multiword add over uint64 counter words (Random123
+// ctr.incr semantics for the x64 CBRNGs)
+inline void ctr_add_u64(uint64_t *v, int w, uint64_t n) {
+    uint64_t prev = v[0];
+    v[0] += n;
+    uint64_t carry = (v[0] < prev) ? 1u : 0u;
+    for (int i = 1; i < w && carry; ++i) {
+        prev = v[i];
+        v[i] += carry;
+        carry = (v[i] < prev) ? 1u : 0u;
+    }
+}
+
+inline double u01d(uint64_t u) {
+    return (double)u * 0x1p-64 + 0x1p-65;
+}
+
+inline double uneg11d(uint64_t u) {
+    return (double)(int64_t)u * 0x1p-63 + 0x1p-64;
+}
+
+inline void boxmul64(uint64_t u0, uint64_t u1, double *a, double *b) {
+    const double pi = 3.141592653589793238462643383;
+    double ang = pi * uneg11d(u0);
+    double r = std::sqrt(-2.0 * std::log(u01d(u1)));
+    *a = std::sin(ang) * r;
+    *b = std::cos(ang) * r;
+}
+
+// gen: 0 = philox2x64, 1 = philox4x64, 2 = threefry2x64, 3 = threefry4x64
+// (same encoding as rbt_cbrng64); returns the block width in words.
+inline int cbrng64_width(int gen) { return (gen == 0 || gen == 2) ? 2 : 4; }
+
+inline void cbrng64_block(int gen, const uint64_t *ctr, const uint64_t *key,
+                          uint64_t *out) {
+    switch (gen) {
+        case 0: philox2x64_block(ctr, key, 10, out); break;
+        case 1: philox4x64_block(ctr, key, 10, out); break;
+        case 2: threefry2x64_block(ctr, key, 20, out); break;
+        default: threefry4x64_block(ctr, key, 20, out); break;
+    }
+}
+
+inline void block_values64(int gen, const uint64_t *ctr, const uint64_t *key,
+                           int gaussian, double out[4]) {
+    uint64_t rv[4];
+    int w = cbrng64_width(gen);
+    cbrng64_block(gen, ctr, key, rv);
+    if (gaussian) {
+        for (int i = 0; i + 1 < w; i += 2)
+            boxmul64(rv[i], rv[i + 1], &out[i], &out[i + 1]);
+    } else {
+        for (int i = 0; i < w; ++i)
+            out[i] = uneg11d(rv[i]);
+    }
+}
+
 // rng: 0 = Philox4x32-10 (key[2]), 1 = Threefry4x32-20 (key[4])
 inline void cbrng_block(const Ctr4 &ctr, const uint32_t *key, int rng,
                         uint32_t out[4]) {
@@ -319,6 +376,45 @@ void rbt_cbrng64(int gen, const uint64_t *ctrs, const uint64_t *key,
             case 1: philox4x64_block(c, key, rounds, o); break;
             case 2: threefry2x64_block(c, key, rounds, o); break;
             default: threefry4x64_block(c, key, rounds, o); break;
+        }
+    }
+}
+
+// Counter-addressed row-major submatrix fill, NATIVE float64 streams
+// (the reference's x64-counter template instantiation,
+// random_gen.hh:121-173 + dense_skops.hh:97-170). Same padding math as
+// rbt_fill_rowmajor_g with w = the generator's word width; ctr/key are
+// uint64 word arrays. gen encoding as rbt_cbrng64. Parallel over rows;
+// output independent of thread count.
+void rbt_fill_rowmajor64_g(int gen, int64_t n_cols_parent, int64_t n_srows,
+                           int64_t n_scols, int64_t ptr, const uint64_t *ctr,
+                           const uint64_t *key, int gaussian, double *out) {
+    const int64_t w = cbrng64_width(gen);
+    int64_t pad = (w - (n_cols_parent % w)) % w;
+    int64_t ptr_padded = ptr + (ptr / n_cols_parent) * pad;
+    int64_t ctr_mat_start = ptr_padded / w;
+    int64_t fbs = ptr_padded % w;
+    int64_t stride = (n_cols_parent + pad) / w;
+    int64_t nblk = (fbs + n_scols - 1) / w + 1;
+    uint64_t base[4] = {0, 0, 0, 0};
+    std::memcpy(base, ctr, (size_t)w * sizeof(uint64_t));
+    ctr_add_u64(base, (int)w, (uint64_t)ctr_mat_start);
+
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n_srows; ++r) {
+        uint64_t row_ctr[4];
+        std::memcpy(row_ctr, base, sizeof(row_ctr));
+        ctr_add_u64(row_ctr, (int)w, (uint64_t)(r * stride));
+        double vals[4];
+        int64_t written = 0;
+        uint64_t c[4];
+        for (int64_t b = 0; b < nblk && written < n_scols; ++b) {
+            std::memcpy(c, row_ctr, sizeof(c));
+            ctr_add_u64(c, (int)w, (uint64_t)b);
+            block_values64(gen, c, key, gaussian, vals);
+            int64_t lane0 = (b == 0) ? fbs : 0;
+            for (int64_t l = lane0; l < w && written < n_scols; ++l)
+                out[r * n_scols + written++] = vals[l];
         }
     }
 }

@@ -112,10 +112,13 @@ def isometry_scale_factor(d) -> float:
 
 def compute_next_state(dist: DenseDist, state: RNGState) -> RNGState:
     """Advance past a full sample of `dist` by counter arithmetic alone
-    (dense_skops.hh:173-191)."""
+    (dense_skops.hh:173-191). ``block_width`` is the counter width in
+    WORDS (= values per block), so x32 and x64 states share the exact
+    same arithmetic — the reference's ctr_size is CTR::static_size for
+    either counter element width."""
     if dist.major_axis == MajorAxis.Undefined:
         return state
-    ctr_size = state.len_c
+    ctr_size = state.block_width
     major_len = major_axis_length(dist)
     minor_len = dist.n_rows + (dist.n_cols - major_len)
     pad = (-major_len) % ctr_size
@@ -147,6 +150,9 @@ def fill_dense_submat(
     natural = dist_to_layout(dist)
     ma_len = major_axis_length(dist)
     transform = _TRANSFORM[dist.family]
+    if state.is_x64:
+        return _fill_submat_x64(dist, state, n_rows, n_cols, ro_s, co_s,
+                                dtype, natural, ma_len, transform)
     if natural == Layout.ColMajor:
         # generate the transpose in row-major order (dense_skops.hh:494-498);
         # fill_colmajor computes that transpose natively in word planes
@@ -160,6 +166,44 @@ def fill_dense_submat(
     if dist.family == DenseDistName.Uniform:
         vals = vals * jnp.asarray(math.sqrt(3.0), dtype=dtype)
     return vals
+
+
+def _fill_submat_x64(dist, state, n_rows, n_cols, ro_s, co_s, dtype,
+                     natural, ma_len, transform) -> jax.Array:
+    """Native-f64 submatrix fill for x64-counter states (host-side).
+
+    The reference's fill engine templated on a 64-bit-counter CBRNG
+    produces native double streams (random_gen.hh:121-173,
+    dense_skops.hh:97-170); this is its parity path. Generation happens
+    on the HOST (numpy, with the native C++ engine as the fast/OpenMP
+    route when built) because TPUs have no 64-bit integer lanes — the
+    reference's fill is host code too. The ColMajor-natural case fills
+    the transposed parent row-major and flips, exactly the reference's
+    omatcopy fallback (dense_skops.hh:523-530).
+    """
+    import numpy as np
+    from .rng import x64 as rng64
+    if isinstance(state.counter, jax.core.Tracer):
+        raise ValueError(
+            "x64 (f64-stream) operators generate on the host and cannot "
+            "be filled under jit with a traced seed state; materialize "
+            "outside the traced region and pass the array in")
+    if natural == Layout.ColMajor:
+        ptr = ro_s + co_s * ma_len
+        vals = rng64.fill_rowmajor64(ma_len, n_cols, n_rows, ptr, state,
+                                     transform).T
+    else:
+        ptr = ro_s * ma_len + co_s
+        vals = rng64.fill_rowmajor64(ma_len, n_rows, n_cols, ptr, state,
+                                     transform)
+    if dist.family == DenseDistName.Uniform:
+        vals = vals * np.float64(math.sqrt(3.0))
+    if (jnp.dtype(dtype) == jnp.float64
+            and not jax.config.jax_enable_x64):
+        raise ValueError(
+            "materializing an f64 operator requires jax_enable_x64 "
+            "(the values would be silently downcast to f32)")
+    return jnp.asarray(np.ascontiguousarray(vals)).astype(dtype)
 
 
 def fill_dense_submat_traced(
@@ -275,7 +319,7 @@ class DenseSkOp:
         *,
         next_state: Optional[RNGState] = None,
         materialized: Optional[jax.Array] = None,
-        dtype=jnp.float32,
+        dtype=None,
     ):
         if isinstance(seed_state, int):
             seed_state = RNGState.from_key(seed_state)
@@ -283,6 +327,11 @@ class DenseSkOp:
         self.seed_state = seed_state
         self.next_state = (next_state if next_state is not None
                            else compute_next_state(dist, seed_state))
+        if dtype is None:
+            # width deduction, random_gen.hh:121-173: 64-bit-counter
+            # CBRNGs generate native double streams
+            dtype = (jnp.float64 if getattr(seed_state, "is_x64", False)
+                     else jnp.float32)
         self.dtype = jnp.dtype(dtype)
         if dist.family == DenseDistName.BlackBox:
             require(materialized is not None,

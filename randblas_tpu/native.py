@@ -58,8 +58,12 @@ def _load() -> Optional[ctypes.CDLL]:
         u32p, u32p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, i64p, f32p]
     u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
     lib.rbt_cbrng64.argtypes = [ctypes.c_int, u64p, u64p, ctypes.c_int,
                                 ctypes.c_int64, u64p]
+    lib.rbt_fill_rowmajor64_g.argtypes = [
+        ctypes.c_int, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, u64p, u64p, ctypes.c_int, f64p]
     _LIB = lib
     return _LIB
 
@@ -144,6 +148,24 @@ def fill_rowmajor(n_cols_parent: int, n_srows: int, n_scols: int,
     out = np.empty((n_srows, n_scols), dtype=np.float32)
     lib.rbt_fill_rowmajor_g(n_cols_parent, n_srows, n_scols, ptr, ctr,
                             key, _rng_id(rng), int(gaussian), out)
+    return out
+
+
+def fill_rowmajor64(n_cols_parent: int, n_srows: int, n_scols: int,
+                    ptr: int, ctr: np.ndarray, key: np.ndarray,
+                    gaussian: bool, rng: str = "philox4x64") -> np.ndarray:
+    """Native-f64 counter-addressed fill through the x64 CBRNGs
+    (independent cross-check of rng/x64.py::fill_rowmajor64). ctr/key
+    are uint64 WORD arrays."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    gen, width, key_words = _CBRNG64[rng]
+    ctr = np.ascontiguousarray(ctr, dtype=np.uint64)
+    key = np.ascontiguousarray(key, dtype=np.uint64)
+    assert ctr.shape[0] == width and key.shape[0] >= key_words
+    out = np.empty((n_srows, n_scols), dtype=np.float64)
+    lib.rbt_fill_rowmajor64_g(gen, n_cols_parent, n_srows, n_scols, ptr,
+                              ctr, key, int(gaussian), out)
     return out
 
 

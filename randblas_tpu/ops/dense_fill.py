@@ -294,8 +294,10 @@ def fill_next_state(
     state: RNGState,
 ) -> RNGState:
     """State returned by a submatrix fill: seed advanced past the last row's
-    first counter (dense_skops.hh:166-169). Pure counter arithmetic."""
-    ctr_size = state.len_c
+    first counter (dense_skops.hh:166-169). Pure counter arithmetic.
+    ``block_width`` (counter WORDS) keeps the same geometry for x64
+    states, whose uint32 storage holds two limbs per word."""
+    ctr_size = state.block_width
     ctr_mat_start, _, ctr_stride, _, _ = fill_geometry(
         n_cols_parent, n_scols, ptr, ctr_size)
     return state.incr(ctr_mat_start).incr(n_srows * ctr_stride)

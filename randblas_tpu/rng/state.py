@@ -35,17 +35,37 @@ _GENERATORS = {
     "threefry2x32": (2, 2, threefry.threefry2x32, 20),
 }
 
+# 64-bit-counter generators (the reference's native-f64 stream surface,
+# random_gen.hh:121-173). TPUs have no 64-bit integer lanes, so these
+# generate on the HOST (rng/x64.py numpy + native C++ engine; both
+# KAT-verified). State storage stays uint32: counter/key arrays hold the
+# little-endian LIMB view of the uint64 words (word i -> limbs 2i, 2i+1),
+# which makes rng/bits.py::ctr_add64's base-2^32 carry chain bitwise
+# equal to Random123's ctr.incr over the uint64 words — incr/incr_key
+# work unchanged. Registry values: (ctr_limbs, key_limbs, None, rounds);
+# fn is None because there is no traced (JAX) block generator.
+_GENERATORS_X64 = {
+    "philox4x64": (8, 4, None, 10),
+    "philox2x64": (4, 2, None, 10),
+    "threefry4x64": (8, 8, None, 20),
+    "threefry2x64": (4, 4, None, 20),
+}
+
 DEFAULT_RNG = "philox4x32"
+DEFAULT_RNG_X64 = "philox4x64"
 
 
 def generator_info(name: str):
     try:
         return _GENERATORS[name]
     except KeyError:
-        raise ValueError(
-            f"unknown counter-based RNG {name!r}; "
-            f"supported: {sorted(_GENERATORS)}"
-        ) from None
+        try:
+            return _GENERATORS_X64[name]
+        except KeyError:
+            raise ValueError(
+                f"unknown counter-based RNG {name!r}; supported: "
+                f"{sorted(_GENERATORS) + sorted(_GENERATORS_X64)}"
+            ) from None
 
 
 @jax.tree_util.register_dataclass
@@ -65,14 +85,17 @@ class RNGState:
 
     @staticmethod
     def from_key(key_scalar: int = 0, rng: str = DEFAULT_RNG) -> "RNGState":
-        """Counter all-zero; key[0] = key_scalar, rest zero.
+        """Counter all-zero; key *word* 0 = key_scalar, rest zero.
 
-        Mirrors ``RNGState(key_uint k)`` (base.hh:205).
+        Mirrors ``RNGState(key_uint k)`` (base.hh:205). For x64
+        generators the key word is 64-bit, stored as two uint32 limbs.
         """
         len_c, len_k, _, _ = generator_info(rng)
         counter = jnp.zeros((len_c,), dtype=jnp.uint32)
         key = jnp.zeros((len_k,), dtype=jnp.uint32).at[0].set(
             jnp.uint32(key_scalar & 0xFFFFFFFF))
+        if rng in _GENERATORS_X64:
+            key = key.at[1].set(jnp.uint32((key_scalar >> 32) & 0xFFFFFFFF))
         return RNGState(counter, key, rng)
 
     @staticmethod
@@ -97,9 +120,32 @@ class RNGState:
         return generator_info(self.rng)[1]
 
     @property
+    def is_x64(self) -> bool:
+        """True for 64-bit-counter generators (host-side, f64 streams)."""
+        return self.rng in _GENERATORS_X64
+
+    @property
+    def block_width(self) -> int:
+        """Values generated per counter block — the reference's
+        ``ctr_size`` (CTR::static_size): counter WORDS, not uint32
+        limbs. All counter-addressing math (padding, strides,
+        next_state) uses this, so x32 and x64 streams share one set of
+        submatrix/update semantics."""
+        return self.len_c // 2 if self.is_x64 else self.len_c
+
+    @property
     def generate(self) -> Callable:
-        """The raw block generator: (ctr[...,W], key) -> uint32[...,W]."""
+        """The raw block generator: (ctr[...,W], key) -> uint32[...,W].
+
+        x64 states have no traced generator (no 64-bit integer lanes on
+        TPU); use rng.x64's numpy functions or the native engine.
+        """
         _, _, fn, rounds = generator_info(self.rng)
+        if fn is None:
+            raise ValueError(
+                f"{self.rng} has no traced (JAX) block generator; the "
+                "x64 CBRNGs are host-side — use randblas_tpu.rng.x64 "
+                "or the native engine")
         return lambda ctr, key: fn(ctr, key, rounds)
 
     # -- counter arithmetic --------------------------------------------------

@@ -100,7 +100,10 @@ def _dense_block(S: DenseSkOp, rows_s: int, cols_s: int, ro_s: int,
     from .dense import DenseDistName
     blk_dtype = dtype
     if (_hiprec_route(dtype) and S.materialized is None
-            and S.dist.family == DenseDistName.Gaussian):
+            and S.dist.family == DenseDistName.Gaussian
+            and not S.seed_state.is_x64):
+        # x64 seeds are excluded: their streams are NATIVE f64
+        # (rng/x64.py), not f32-exact values promoted
         blk_dtype = jnp.float32
     if S.materialized is None and use_pallas_fill is not False:
         from .ops import fused_sketch as fs
