@@ -389,3 +389,50 @@ class TestShardedSolvers:
                                     basis=32, sym=True)
         np.testing.assert_allclose(np.asarray(th_sh), np.asarray(th),
                                    rtol=1e-4, atol=1e-5)
+
+    def test_block_kaczmarz_row_sharded_matches_single_device(self):
+        """Row-action solver on row-sharded A (VERDICT r4 item 7): the
+        sampled-row gathers ride XLA collectives; the counter-addressed
+        sampling stream is identical to the unsharded run, so the
+        iterates must match to rounding."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from randblas_tpu.linalg import block_kaczmarz
+        rng = np.random.default_rng(44)
+        m, n = 256, 24
+        a = jnp.asarray(rng.normal(size=(m, n)).astype(np.float32))
+        xt = rng.normal(size=n).astype(np.float32)
+        b = a @ jnp.asarray(xt)
+        mesh = self._mesh()
+        a_sh = jax.device_put(a, NamedSharding(mesh, P("data", None)))
+        b_sh = jax.device_put(b, NamedSharding(mesh, P("data")))
+        x_sh, _ = block_kaczmarz(a_sh, b_sh, rbt.default_state(45),
+                                 block=32, steps=40)
+        x, _ = block_kaczmarz(a, b, rbt.default_state(45), block=32,
+                              steps=40)
+        np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(x_sh), xt, rtol=5e-3,
+                                   atol=5e-3)
+
+    def test_block_gauss_seidel_col_sharded_matches_single_device(self):
+        """Column-action solver on column-sharded A: panel reads stay
+        shard-local up to the shuffle permutation; iterates match the
+        unsharded least-squares run."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from randblas_tpu.linalg import block_gauss_seidel
+        rng = np.random.default_rng(46)
+        m, n = 320, 64
+        a = jnp.asarray(rng.normal(size=(m, n)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=m).astype(np.float32))
+        mesh = self._mesh()
+        a_sh = jax.device_put(a, NamedSharding(mesh, P(None, "data")))
+        x_sh, _ = block_gauss_seidel(a_sh, b, rbt.default_state(47),
+                                     block=16, steps=60)
+        x, _ = block_gauss_seidel(a, b, rbt.default_state(47), block=16,
+                                  steps=60)
+        np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x),
+                                   rtol=1e-4, atol=1e-5)
+        xls = np.linalg.lstsq(np.asarray(a, np.float64),
+                              np.asarray(b, np.float64), rcond=None)[0]
+        err = np.linalg.norm(np.asarray(x_sh) - xls) / np.linalg.norm(xls)
+        assert err < 2e-2, err

@@ -532,3 +532,150 @@ def test_rgs_qr_on_hardware():
     assert rec < 2e-4, rec
     assert orth < 2e-3, orth
     assert np.allclose(rn, np.triu(rn))
+
+
+def test_spectral_density_on_hardware():
+    """SLQ + KPM density estimation compiled on the chip, pinned
+    against ground truth on a CLUSTERED spectrum (VERDICT r4 item 1:
+    Gauss-node eigh + Chebyshev three-term recurrences are cancellation
+    chains — exactly the class that produced round 4's chip-only
+    defects). Checks integrated cluster masses (the well-posed
+    observable) against exact counts, plus counting normalization."""
+    import jax.numpy as jnp
+    from randblas_tpu import RNGState
+    from randblas_tpu.linalg import eig_count, kpm_density, spectral_density
+
+    rng = np.random.default_rng(22)
+    n = 1024
+    counts = {-2.0: 200, 0.5: 500, 3.0: 324}
+    lam = np.concatenate([c + 0.02 * rng.standard_normal(k)
+                          for c, k in counts.items()])
+    u, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a = jnp.asarray(((u * lam) @ u.T).astype(np.float32))
+
+    grid, dens, _ = spectral_density(a, RNGState.from_key(50),
+                                     probes=16, steps=80)
+    g = np.asarray(grid, np.float64)
+    d = np.asarray(dens, np.float64)
+    assert np.all(np.isfinite(d)) and np.all(d > -1e-6)
+    total = np.trapezoid(d, g)
+    assert abs(total - n) / n < 0.05, total
+    for c, k in counts.items():
+        mask = (g >= c - 1.0) & (g <= c + 1.0)
+        mass = np.trapezoid(np.where(mask, d, 0.0), g)
+        assert abs(mass - k) / k < 0.10, (c, mass, k)
+
+    # eig_count on the middle cluster (interval endpoints in gaps)
+    cnt, _ = eig_count(a, -0.5, 1.5, RNGState.from_key(51),
+                       probes=16, steps=80)
+    assert abs(float(cnt) - 500) / 500 < 0.10, float(cnt)
+
+    gridk, densk, _ = kpm_density(a, RNGState.from_key(52), degree=256,
+                                  probes=16, npts=801,
+                                  bounds=(float(lam.min()) - 0.3,
+                                          float(lam.max()) + 0.3))
+    gk = np.asarray(gridk, np.float64)
+    dk = np.asarray(densk, np.float64)
+    assert np.all(np.isfinite(dk))
+    totalk = np.trapezoid(dk, gk)
+    assert abs(totalk - n) / n < 0.05, totalk
+    for c, k in counts.items():
+        mask = (gk >= c - 1.0) & (gk <= c + 1.0)
+        mass = np.trapezoid(np.where(mask, dk, 0.0), gk)
+        assert abs(mass - k) / k < 0.10, (c, mass, k)
+
+
+def test_frequent_directions_on_hardware():
+    """FrequentDirections on the chip: streams a decaying-spectrum
+    matrix and checks the GLPW16 data-dependent certificate —
+    0 <= ||A^T A - B^T B||_2 <= shrink_mass <= ||A||_F^2/ell — in f64
+    on the host (VERDICT r4 item 1: the Gram eigendecomposition shrink
+    is an accumulation/cancellation shape with no prior hardware
+    coverage)."""
+    import jax.numpy as jnp
+    from randblas_tpu.linalg import FrequentDirections
+
+    rng = np.random.default_rng(23)
+    m, n, ell = 2048, 256, 64
+    u = rng.standard_normal((m, n))
+    s = 2.0 ** (-np.arange(n) / 16.0)
+    a64 = u * s
+    a = jnp.asarray(a64.astype(np.float32))
+
+    fd = FrequentDirections(n, ell)
+    for i in range(0, m, 160):                 # ragged chunks
+        fd.update(a[i:i + 160])
+    b = np.asarray(fd.sketch(), np.float64)
+    mass = float(fd.shrink_mass)
+
+    gram_err = np.linalg.norm(a64.T @ a64 - b.T @ b, 2)
+    fro2 = np.linalg.norm(a64, "fro") ** 2
+    # f32 streaming + chip rounding headroom on the lower side; the
+    # certificate itself must hold and be meaningfully tighter than
+    # the worst-case bound on this decaying spectrum
+    assert gram_err <= mass * 1.02 + 1e-3 * fro2, (gram_err, mass)
+    assert mass <= fro2 / ell * 1.02, (mass, fro2 / ell)
+    assert mass < 0.6 * fro2 / ell, "certificate not tight: " + str(
+        (mass, fro2 / ell))
+
+
+def test_shard_map_fused_sketch_on_hardware():
+    """Mosaic-inside-shard_map on the real chip (VERDICT r4 item 2):
+    builds a 1-device Mesh on the TPU and drives distributed_sketch's
+    FUSED branch (parallel/distributed.py fused_call_diff inside
+    shard_map) — the flagship multi-device code path compiled on real
+    hardware, oracle-checked against the materialized operator. The CPU
+    dryrun executes the same code path semantically; this proves the
+    Mosaic compile."""
+    import jax.numpy as jnp
+    import randblas_tpu as rb
+    from randblas_tpu.parallel import distributed_sketch, make_sketch_mesh
+
+    d, m, n = 256, 4096, 512
+    mesh = make_sketch_mesh(1, 1, jax.devices()[:1])
+    S = rb.DenseSkOp(rb.DenseDist(d, m), rb.RNGState.from_key(60))
+    A = jnp.asarray(np.random.default_rng(24).normal(
+        size=(m, n)).astype(np.float32))
+    B = np.asarray(distributed_sketch(S, A, mesh, use_fused=True))
+    _check_fused_vs_bound(B, np.asarray(S.materialize()), np.asarray(A))
+    # the auto gate must also take the fused branch on this chip
+    B2 = np.asarray(distributed_sketch(S, A, mesh))
+    _check_fused_vs_bound(B2, np.asarray(S.materialize()), np.asarray(A))
+
+
+def test_distributed_cholqr_rsvd_on_hardware():
+    """Sharded CholQR + distributed RSVD compiled on the chip over a
+    1-device Mesh (VERDICT r4 item 2): pins NamedSharding-annotated
+    factor pipelines (Gram psum + triangular solves + eigh) on real
+    TPU."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from randblas_tpu import RNGState
+    from randblas_tpu.linalg.distributed import cholqr, distributed_rsvd
+    from randblas_tpu.parallel import make_sketch_mesh
+
+    rng = np.random.default_rng(25)
+    mesh = make_sketch_mesh(1, 1, jax.devices()[:1])
+    m, n, k = 4096, 384, 16
+    u, _ = np.linalg.qr(rng.standard_normal((m, k)))
+    v, _ = np.linalg.qr(rng.standard_normal((n, k)))
+    s = np.linspace(10.0, 1.0, k)
+    a64 = (u * s) @ v.T + 1e-4 * rng.standard_normal((m, n))
+    with mesh:
+        a = jax.device_put(
+            jnp.asarray(a64.astype(np.float32)),
+            NamedSharding(mesh, P("data", None)))
+        y = jax.device_put(
+            jnp.asarray((u * s).astype(np.float32)),
+            NamedSharding(mesh, P("data", None)))
+        q, r = cholqr(y)
+        uu, ss, vt = distributed_rsvd(a, k, RNGState.from_key(61),
+                                      mesh, power_iters=1)
+    qn = np.asarray(q, np.float64)
+    assert np.linalg.norm(qn.T @ qn - np.eye(k), 2) < 1e-4
+    np.testing.assert_allclose(qn @ np.asarray(r, np.float64),
+                               u * s, rtol=0, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(ss)[:k], s, rtol=2e-2)
+    rec = (np.asarray(uu, np.float64) * np.asarray(ss, np.float64)) \
+        @ np.asarray(vt, np.float64)
+    assert np.linalg.norm(rec - a64) / np.linalg.norm(a64) < 2e-2
