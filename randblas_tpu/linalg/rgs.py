@@ -99,6 +99,48 @@ def _rgs_panel_step(q_buf, sq_buf, r_buf, a_panel, sa_panel, col0):
     return q_buf, sq_buf, r_buf
 
 
+def _precise_sketch(S, a: jax.Array, scale: float) -> jax.Array:
+    """scale * S @ a at FULL f32 precision (Precision.HIGHEST GEMMs on
+    materialized operator chunks).
+
+    RGS is the one consumer whose CORRECTNESS depends on sketch
+    fidelity: the full-space basis is built from sketch-space
+    coefficients, so sketch noise at delta * ||A|| wipes out every
+    singular direction below delta — and the TPU's default sketch paths
+    (fused Pallas kernel, staged GEMM, one-hot SASO panels) all
+    contract in bf16 (delta ~ 4e-3). Caught ON CHIP by
+    test_tpu_hardware.py::test_rgs_qr_on_hardware at cond 3e7: the
+    interpret/CPU tiers ran the sketch in f32 and passed while the
+    compiled bf16 sketch produced a garbage basis (the CPU repro:
+    bf16-rounding SA alone turns orth ~1e-6 into NaN). The
+    preconditioner consumers (sketch_and_precondition, sgmres) tolerate
+    bf16 sketches by construction — their iterates touch the TRUE A —
+    so this precise path is local to RGS, not a dispatch-wide change.
+
+    Chunked over the operator's long axis so the materialized block
+    stays bounded (the fused path's whole point was never materializing
+    S; here d = 2k + 8 << m keeps even the full operator small, but
+    chunking caps the footprint at large k anyway).
+    """
+    d, m = S.shape
+    k = a.shape[1]
+    chunk = m if d * m <= (1 << 27) else max((1 << 27) // d, 1)
+    if not hasattr(S, "submat"):
+        chunk = m          # structured families without block views
+    if chunk >= m:
+        s_mat = S.materialize().astype(a.dtype)
+        sa = jnp.matmul(s_mat, a, precision=_HI,
+                        preferred_element_type=a.dtype)
+    else:
+        sa = jnp.zeros((d, k), a.dtype)
+        for c0 in range(0, m, chunk):
+            mc = min(chunk, m - c0)
+            blk = S.submat(d, mc, 0, c0).astype(a.dtype)
+            sa = sa + jnp.matmul(blk, a[c0:c0 + mc], precision=_HI,
+                                 preferred_element_type=a.dtype)
+    return jnp.asarray(scale, a.dtype) * sa
+
+
 def rgs_qr(a: jax.Array, state: RNGState, *, d: Optional[int] = None,
            block: int = 64, operator: str = "gaussian",
            final: str = "orth"
@@ -140,7 +182,7 @@ def rgs_qr(a: jax.Array, state: RNGState, *, d: Optional[int] = None,
     S = make_embedding(operator, d, m, state, dtype=a.dtype)
     # isometry scale: sketched inner products must approximate the
     # unit-scale ones, E[(cS)^T (cS)] = I
-    sa = sketch_general(S, a, alpha=isometry_scale_factor(S.dist))
+    sa = _precise_sketch(S, a, isometry_scale_factor(S.dist))
 
     q_buf = jnp.zeros((m, k), a.dtype)
     sq_buf = jnp.zeros((d, k), a.dtype)
