@@ -20,7 +20,7 @@ def main():
     proc = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/test_tpu_hardware.py",
          "-q", "--no-header"],
-        cwd=ROOT, env=env, capture_output=True, text=True, timeout=1800)
+        cwd=ROOT, env=env, capture_output=True, text=True, timeout=5400)
     tail = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
     rec = {
         "check": "tpu_hardware_kernel_correctness",
@@ -30,7 +30,11 @@ def main():
                  "threefry, unaligned submatrix, fused ColMajor, "
                  "BlockedELL, word-plane fill bit-identity, word-major "
                  "BlockedELL fast path, fused-kernel jax.grad, f64 "
-                 "hiprec, SRHT apply+adjoint — componentwise bound)",
+                 "hiprec, SRHT apply+adjoint, SASO panels/gather, COO "
+                 "densify, tensor sketch, sgmres, one-pass SVD, "
+                 "rand_geigh, xtrace/xdiag, kaczmarz/GS, rgs_qr, "
+                 "SLQ+KPM density, FrequentDirections certificate, "
+                 "shard_map fused sketch, distributed CholQR/RSVD)",
     }
     path = os.path.join(ROOT, f"TPUCHECK_r{rnd}.json")
     with open(path, "w") as f:

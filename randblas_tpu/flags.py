@@ -25,6 +25,7 @@ _FLAG_HOMES = {
     "use_fused": "randblas_tpu.skge",
     "use_hiprec_f64": "randblas_tpu.skge",
     "use_pallas_fill": "randblas_tpu.skge",
+    "use_saso_kernel": "randblas_tpu.skge",
     "auto_blocked_ell": "randblas_tpu.sparse_data.spmm",
     "force_interpret": "randblas_tpu.ops.ell_spmm",
 }
@@ -57,6 +58,7 @@ def flags(**overrides):
 
     Accepted keys: use_fused ("auto"/True/False), use_hiprec_f64
     ("auto"/True/False), use_pallas_fill (False/True/"interp"),
+    use_saso_kernel ("auto"/True/False/"interp"),
     auto_blocked_ell (bool), force_interpret (bool). Values are restored
     on exit even if the body raises.
     """

@@ -53,6 +53,13 @@ use_hiprec_f64 = "auto"
 # signed-view u01 double rounding, rng/transforms.py).
 use_pallas_fill = False
 
+# Wide-SASO apply policy: "auto" routes full wide-SASO sketches through
+# the Pallas in-VMEM one-hot kernel (ops/saso_sketch.py) on TPU at
+# qualifying shapes; True forces the kernel (interpret mode off-TPU);
+# "interp" forces interpret mode; False always uses the XLA routes
+# (one-hot panels on TPU, per-slot segment-sums elsewhere).
+use_saso_kernel = "auto"
+
 
 def _tpu_backend() -> bool:
     try:
@@ -360,9 +367,28 @@ def _sparse_left_apply(S: SparseSkOp, d: int, m: int, ro_s: int, co_s: int,
     k = S.dist.vec_nnz
     if full and S.dist.n_rows < S.dist.n_cols:
         # wide SASO: fixed nnz per data column ("regular CSC",
-        # csc_spmm_impl.hh:68-88). On TPU: one-hot MXU panels (no scatter,
-        # 17x faster than segment-sums there); elsewhere the compare-
-        # select panels are slow, so use per-t segment-sums.
+        # csc_spmm_impl.hh:68-88). On TPU: the Pallas in-VMEM one-hot
+        # kernel (ops/saso_sketch.py) when the shape qualifies (probe
+        # table: BENCH_LOCAL.md "SASO kernel", benchmarks/saso_probe.py)
+        # — else XLA one-hot MXU panels (no scatter, 17x faster than
+        # segment-sums there); elsewhere the compare-select panels are
+        # slow, so use per-t segment-sums.
+        from .ops.saso_sketch import saso_sketch, saso_sketch_supported
+        kern_ok = (use_saso_kernel is not False
+                   and saso_sketch_supported(d, m, k, b_mat.shape[1])
+                   and jnp.dtype(b_mat.dtype) == jnp.dtype(jnp.float32))
+        if use_saso_kernel == "auto":
+            # profit gate (v5e same-run probe, BENCH_LOCAL.md SASO
+            # kernel table): the kernel wins from tiny shapes up —
+            # 1.7-2.1x for m >= 4096; below that both routes are
+            # <0.1 ms and kernel fixed costs can lose, keep XLA panels
+            kern_ok = kern_ok and _tpu_backend() and m >= 4096
+        if kern_ok:
+            return saso_sketch(s.rows.reshape(m, k), s.vals.reshape(m, k),
+                               b_mat, d, alpha,
+                               interpret=(use_saso_kernel == "interp"
+                                          or (use_saso_kernel is True
+                                              and not _tpu_backend())))
         if _tpu_backend():
             return onehot_panel_apply(s.rows.reshape(m, k),
                                       s.vals.reshape(m, k), b_mat, d,

@@ -679,3 +679,35 @@ def test_distributed_cholqr_rsvd_on_hardware():
     rec = (np.asarray(uu, np.float64) * np.asarray(ss, np.float64)) \
         @ np.asarray(vt, np.float64)
     assert np.linalg.norm(rec - a64) / np.linalg.norm(a64) < 2e-2
+
+
+def test_saso_kernel_on_hardware():
+    """Pallas SASO kernel (ops/saso_sketch.py) compiled on the chip at
+    a config-3-shaped case, against the bf16 componentwise bound, plus
+    ragged d/m/n. Also pins that the auto dispatch routes the full wide
+    SASO through the kernel on TPU."""
+    import jax.numpy as jnp
+    import randblas_tpu as rb
+    from randblas_tpu.ops import saso_sketch as mod
+
+    for d, m, n, k, seed in [(1024, 16384, 512, 8, 70),
+                             (1000, 8192, 129, 8, 71)]:
+        S = rb.SparseSkOp(rb.SparseDist(d, m, vec_nnz=k),
+                          rb.RNGState.from_key(seed))
+        s = S.filled()
+        A = jnp.asarray(np.random.default_rng(seed).normal(
+            size=(m, n)).astype(np.float32))
+        B = np.asarray(mod.saso_sketch(s.rows.reshape(m, k),
+                                       s.vals.reshape(m, k), A, d))
+        _check_fused_vs_bound(B, np.asarray(S.materialize()),
+                              np.asarray(A))
+
+    calls = []
+    orig = mod.saso_sketch
+    mod.saso_sketch = lambda *a, **kw: calls.append(kw) or orig(*a, **kw)
+    try:
+        B2 = np.asarray(rb.sketch_general(S, A))
+    finally:
+        mod.saso_sketch = orig
+    assert calls and calls[0].get("interpret") is False
+    _check_fused_vs_bound(B2, np.asarray(S.materialize()), np.asarray(A))
