@@ -400,6 +400,39 @@ def _sparse_left_apply(S: SparseSkOp, d: int, m: int, ro_s: int, co_s: int,
         return row_gather_apply(s.cols.reshape(d, k),
                                 s.vals.reshape(d, k), b_mat, alpha)
 
+    # transposed full-operator fast paths (the right-sketch reduction
+    # arrives here with op_s == Trans, skge.hh's rskges analog): S^T of
+    # a tall-Short SASO is wide with fixed nnz per COLUMN (the wide
+    # routes apply, incl. the Pallas kernel), S^T of a wide-Short SASO
+    # is tall with fixed nnz per OUTPUT row (pure gather).
+    trans_full = (s.canonical
+                  and op_s == Op.Trans and ro_s == 0 and co_s == 0
+                  and d == S.dist.n_cols and m == S.dist.n_rows
+                  and S.dist.major_axis == MajorAxis.Short)
+    if trans_full and S.dist.n_rows > S.dist.n_cols:
+        # tall S: row r holds k column indices -> S^T has those rows
+        # in column r
+        from .ops.saso_sketch import saso_sketch, saso_sketch_supported
+        idx = s.cols.reshape(m, k)
+        w = s.vals.reshape(m, k)
+        kern_ok = (use_saso_kernel is not False
+                   and saso_sketch_supported(d, m, k, b_mat.shape[1])
+                   and jnp.dtype(b_mat.dtype) == jnp.dtype(jnp.float32))
+        if use_saso_kernel == "auto":
+            kern_ok = kern_ok and _tpu_backend() and m >= 4096
+        if kern_ok:
+            return saso_sketch(idx, w, b_mat, d, alpha,
+                               interpret=(use_saso_kernel == "interp"
+                                          or (use_saso_kernel is True
+                                              and not _tpu_backend())))
+        if _tpu_backend():
+            return onehot_panel_apply(idx, w, b_mat, d, alpha)
+        return fixed_nnz_left_apply(idx, w, b_mat, d, alpha)
+    if trans_full and S.dist.n_rows < S.dist.n_cols:
+        # wide S: column c holds k row indices -> S^T row c gathers them
+        return row_gather_apply(s.rows.reshape(d, k),
+                                s.vals.reshape(d, k), b_mat, alpha)
+
     rows, cols = s.rows, s.cols
     if op_s == Op.Trans:
         rows, cols = cols, rows

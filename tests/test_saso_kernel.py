@@ -112,3 +112,61 @@ def test_dispatch_submatrix_stays_on_coo_path():
     assert not called
     want = np.asarray(S.materialize())[8:40, 100:356] @ np.asarray(A)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+class TestTransFastPaths:
+    """Right-sketch reduction (op_s == Trans full operator): S^T of a
+    tall-Short SASO is wide (fixed nnz per column -> one-hot routes,
+    incl. the kernel); S^T of a wide-Short SASO is tall (pure gather).
+    Previously both fell to the general COO path."""
+
+    def test_right_sketch_tall_saso_matches_oracle(self):
+        m, d, k = 2048, 96, 8
+        S = rb.SparseSkOp(rb.SparseDist(m, d, vec_nnz=k),
+                          rb.RNGState.from_key(6))
+        A = jnp.asarray(np.random.default_rng(6).normal(
+            size=(32, m)).astype(np.float32))
+        got = np.asarray(rb.sketch_general(S, A, side="right"))
+        want = np.asarray(A) @ np.asarray(S.materialize())
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_right_sketch_tall_saso_kernel_route(self):
+        from randblas_tpu.ops import saso_sketch as mod
+        m, d, k = 1024, 64, 4
+        S = rb.SparseSkOp(rb.SparseDist(m, d, vec_nnz=k),
+                          rb.RNGState.from_key(7))
+        A = jnp.asarray(np.random.default_rng(7).normal(
+            size=(16, m)).astype(np.float32))
+        calls = []
+        orig = mod.saso_sketch
+        mod.saso_sketch = lambda *a, **kw: calls.append(1) or orig(*a, **kw)
+        try:
+            with rb.flags(use_saso_kernel="interp"):
+                got = np.asarray(rb.sketch_general(S, A, side="right"))
+        finally:
+            mod.saso_sketch = orig
+        assert calls
+        want = np.asarray(A) @ np.asarray(S.materialize())
+        np.testing.assert_allclose(got, want, rtol=0,
+                                   atol=2 ** -7 * np.abs(want).max() + 1e-4)
+
+    def test_right_sketch_wide_saso_gather(self):
+        m, d, k = 64, 512, 4   # wide S: right sketch LIFTS columns
+        S = rb.SparseSkOp(rb.SparseDist(m, d, vec_nnz=k),
+                          rb.RNGState.from_key(8))
+        A = jnp.asarray(np.random.default_rng(8).normal(
+            size=(16, m)).astype(np.float32))
+        got = np.asarray(rb.sketch_general(S, A, side="right"))
+        want = np.asarray(A) @ np.asarray(S.materialize())
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_left_trans_equals_right(self):
+        # left sketch with op_s='T' hits the same trans_full branch
+        m, d, k = 512, 48, 8
+        S = rb.SparseSkOp(rb.SparseDist(m, d, vec_nnz=k),
+                          rb.RNGState.from_key(9))
+        A = jnp.asarray(np.random.default_rng(9).normal(
+            size=(m, 24)).astype(np.float32))
+        got = np.asarray(rb.sketch_general(S, A, op_s="T"))
+        want = np.asarray(S.materialize()).T @ np.asarray(A)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
