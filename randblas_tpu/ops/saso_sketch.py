@@ -148,14 +148,20 @@ def saso_sketch(idxs_major, vals, a, d: int, alpha=1.0,
 
     idx = idxs_major.astype(jnp.int32).T              # (k, m)
     sgn = vals.astype(jnp.float32).T
-    tk = 1024 if m >= 1024 else max(128, -(-m // 128) * 128)
+    tk = 2048 if m >= 2048 else max(128, -(-m // 128) * 128)
     m_pad = -(-m // tk) * tk
     if m_pad != m:
         idx = jnp.pad(idx, ((0, 0), (0, m_pad - m)), constant_values=-1)
         sgn = jnp.pad(sgn, ((0, 0), (0, m_pad - m)))
     a = jnp.asarray(a)
     a_bf = a.astype(jnp.bfloat16) if a.dtype != jnp.bfloat16 else a
-    tn = min(-(-n // 128) * 128, 512)
+    # TN covers n whenever the (d_pad, TN) out tile fits VMEM: every A
+    # chunk is then read ONCE (n_j > 1 re-reads all of A per j — the
+    # probe measured that re-read as the kernel's whole margin at
+    # config 3)
+    tn = min(-(-n // 128) * 128, 2048)
+    while d_pad * tn * 4 > (16 << 20):
+        tn //= 2
     n_pad = -(-n // tn) * tn
     if m_pad != m or n_pad != n:
         a_bf = jnp.pad(a_bf, ((0, m_pad - m), (0, n_pad - n)))

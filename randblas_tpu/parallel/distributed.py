@@ -384,6 +384,13 @@ def distributed_sparse_sketch(
                               constant_values=-1)
             vals_mk = jnp.pad(vals_mk, ((0, m_pad_g - m), (0, 0)))
         on_tpu = _tpu_platform()
+        from ..ops.saso_sketch import saso_sketch, saso_sketch_supported
+        from ..skge import use_saso_kernel
+        n_cols_a = A.shape[1]
+        use_kernel = (on_tpu and use_saso_kernel is not False
+                      and saso_sketch_supported(d_per, m_per, k, n_cols_a)
+                      and jnp.dtype(A.dtype) == jnp.dtype(jnp.float32)
+                      and (use_saso_kernel != "auto" or m_per >= 4096))
 
         def build():
             def shard_fn(a_blk, rows_blk, vals_blk, al):
@@ -393,10 +400,15 @@ def distributed_sparse_sketch(
                 in_rng = (r_loc >= 0) & (r_loc < d_per)
                 if on_tpu:
                     # -1 never matches the row iota: out-of-window entries
-                    # vanish inside the one-hot panels
+                    # vanish inside the one-hot panels (XLA route) /
+                    # match no hi block (Pallas kernel route)
                     idx = jnp.where(in_rng, r_loc, -1)
-                    part = onehot_panel_apply(idx, vals_blk, a_blk, d_per,
-                                              al)
+                    if use_kernel:
+                        part = al * saso_sketch(idx, vals_blk, a_blk,
+                                                d_per)
+                    else:
+                        part = onehot_panel_apply(idx, vals_blk, a_blk,
+                                                  d_per, al)
                 else:
                     idx = jnp.where(in_rng, r_loc, 0)
                     w = jnp.where(in_rng, vals_blk,
@@ -416,7 +428,7 @@ def distributed_sparse_sketch(
             )
 
         key = ("sparse_canon", mesh, d, m, k, d_per, m_per, str(A.dtype),
-               str(vals_mk.dtype), on_tpu)
+               str(vals_mk.dtype), on_tpu, use_kernel)
         out = _cached(key, build)(A, rows_mk, vals_mk,
                                   jnp.asarray(alpha, A.dtype))
         return out[:d] if d_pad_g != d else out

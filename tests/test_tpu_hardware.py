@@ -711,3 +711,11 @@ def test_saso_kernel_on_hardware():
         mod.saso_sketch = orig
     assert calls and calls[0].get("interpret") is False
     _check_fused_vs_bound(B2, np.asarray(S.materialize()), np.asarray(A))
+
+    # the kernel inside shard_map on a real-TPU Mesh (the sparse sibling
+    # of test_shard_map_fused_sketch_on_hardware)
+    from randblas_tpu.parallel import distributed_sparse_sketch, \
+        make_sketch_mesh
+    mesh = make_sketch_mesh(1, 1, jax.devices()[:1])
+    B3 = np.asarray(distributed_sparse_sketch(S, A, mesh))
+    _check_fused_vs_bound(B3, np.asarray(S.materialize()), np.asarray(A))
