@@ -362,6 +362,23 @@ def bench_fd():
           f"({m/t/1e6:.2f} Mrows/s, {m*n*4/t/1e9:.0f} GB/s ingest; "
           f"{m//ell - 1} shrink SVDs of (512, {n}))")
 
+    # one-dispatch ingest of a device-resident matrix (round 5): same
+    # math, no per-chunk host round trips
+    a_full = jnp.concatenate(blocks, axis=0)
+    a_full.block_until_ready()
+
+    def run_ingest():
+        fd = FrequentDirections(n, ell)
+        fd.ingest(a_full)
+        return np.asarray(fd.sketch())
+
+    run_ingest()
+    t0 = time.perf_counter()
+    run_ingest()
+    t = time.perf_counter() - t0
+    print(f"frequent_directions.ingest same stream: {t*1e3:.0f} ms "
+          f"({m/t/1e6:.2f} Mrows/s, {m*n*4/t/1e9:.0f} GB/s)")
+
 
 def bench_density():
     # DOS of an implicit operator: the shape where densities matter

@@ -259,6 +259,52 @@ class FrequentDirections:
             self._fill += take
             off += take
 
+    def ingest(self, a: jax.Array) -> None:
+        """Absorb ALL rows of a device-resident (M, n) matrix in ONE
+        jitted dispatch chain (a ``lax.scan`` over ell-row chunks).
+
+        Bit-identical to ``update(a)`` — same chunk boundaries as an
+        ell-at-a-time update loop, so the shrink sequence is the same
+        — but without one host round trip per chunk. Measured on the
+        tunneled v5e at 65536x1024 / ell=256: the host-driven update
+        loop costs 2.81 s (256 dispatch round trips at ~11 ms, the
+        device work per shrink is sub-ms); ingest collapses that to a
+        single dispatch. Use ``update`` when rows genuinely arrive
+        over time; use ``ingest`` when the matrix (or a large slab of
+        the stream) is already on device.
+        """
+        a = jnp.atleast_2d(a).astype(self.dtype)
+        require(a.shape[1] == self.n, "matrix must have n columns")
+        rows = a.shape[0]
+        ell = self.ell
+        # lead-in: top the buffer up to the fill == ell invariant the
+        # scan maintains (handles a partially-filled buffer and the
+        # empty start)
+        lead = min(rows, max(0, 2 * ell - self._fill))
+        if lead:
+            self.update(a[:lead])
+        rest = rows - lead
+        if rest and self._fill == 2 * ell:
+            # exactly what update() would do at the next arriving row
+            self._shrink()
+        nfull = rest // ell
+        if nfull:
+            chunks = a[lead:lead + nfull * ell].reshape(nfull, ell,
+                                                        self.n)
+
+            def step(carry, chunk):
+                buf, mass = carry
+                buf = jax.lax.dynamic_update_slice(buf, chunk, (ell, 0))
+                buf, delta = _fd_shrink_jit(buf, ell)
+                return (buf, mass + delta), None
+
+            (self._buf, self._shrink_mass), _ = jax.lax.scan(
+                step, (self._buf, self._shrink_mass), chunks)
+            self._fill = ell
+        tail = rest - nfull * ell
+        if tail:
+            self.update(a[rows - tail:])
+
     def sketch(self) -> jax.Array:
         """The (ell, n) sketch B. Shrinks first if more than ell rows
         are live, so the returned B always satisfies the FD guarantee

@@ -245,3 +245,66 @@ class TestFrequentDirections:
         fd = FrequentDirections(16, 4)
         with pytest.raises(ValueError):
             fd.update(jnp.ones((3, 15), jnp.float32))
+
+
+class TestFDIngest:
+    """ingest(a) = one jitted scan; must be BIT-identical to the
+    host-driven update(a) loop (same chunk boundaries -> same shrink
+    sequence), from any starting phase."""
+
+    def test_matches_update_bitwise(self):
+        import jax.numpy as jnp
+        from randblas_tpu.linalg import FrequentDirections
+        rng = np.random.default_rng(0)
+        n, ell = 96, 16
+        a = jnp.asarray(rng.standard_normal((7 * ell + 5, n))
+                        .astype(np.float32))
+        fd_u = FrequentDirections(n, ell)
+        fd_u.update(a)
+        fd_i = FrequentDirections(n, ell)
+        fd_i.ingest(a)
+        assert np.array_equal(np.asarray(fd_u._buf), np.asarray(fd_i._buf))
+        assert float(fd_u.shrink_mass) == float(fd_i.shrink_mass)
+        assert fd_u._fill == fd_i._fill
+
+    def test_matches_update_from_partial_fill(self):
+        import jax.numpy as jnp
+        from randblas_tpu.linalg import FrequentDirections
+        rng = np.random.default_rng(1)
+        n, ell = 64, 8
+        pre = jnp.asarray(rng.standard_normal((11, n)).astype(np.float32))
+        a = jnp.asarray(rng.standard_normal((5 * ell + 3, n))
+                        .astype(np.float32))
+        fd_u = FrequentDirections(n, ell)
+        fd_u.update(pre)
+        fd_u.update(a)
+        fd_i = FrequentDirections(n, ell)
+        fd_i.update(pre)
+        fd_i.ingest(a)
+        assert np.array_equal(np.asarray(fd_u._buf), np.asarray(fd_i._buf))
+        assert float(fd_u.shrink_mass) == float(fd_i.shrink_mass)
+
+    def test_small_ingest_no_shrink(self):
+        import jax.numpy as jnp
+        from randblas_tpu.linalg import FrequentDirections
+        rng = np.random.default_rng(2)
+        n, ell = 32, 8
+        a = jnp.asarray(rng.standard_normal((9, n)).astype(np.float32))
+        fd = FrequentDirections(n, ell)
+        fd.ingest(a)
+        assert fd._fill == 9 and float(fd.shrink_mass) == 0.0
+        fd2 = FrequentDirections(n, ell)
+        fd2.update(a)
+        assert np.array_equal(np.asarray(fd._buf), np.asarray(fd2._buf))
+
+    def test_certificate_after_ingest(self):
+        import jax.numpy as jnp
+        from randblas_tpu.linalg import FrequentDirections
+        rng = np.random.default_rng(3)
+        m, n, ell = 600, 48, 12
+        a64 = rng.standard_normal((m, n)) * 2.0 ** (-np.arange(n) / 8.0)
+        fd = FrequentDirections(n, ell, dtype=jnp.float64)
+        fd.ingest(jnp.asarray(a64))
+        b = np.asarray(fd.sketch())
+        err = np.linalg.norm(a64.T @ a64 - b.T @ b, 2)
+        assert err <= float(fd.shrink_mass) * (1 + 1e-10) + 1e-9
