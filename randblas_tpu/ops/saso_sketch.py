@@ -107,14 +107,18 @@ def _call(idx, sgn, a, *, d_pad, tk, tn, alpha, interpret):
         grid=(n_j, n_k),
         interpret=interpret,
         in_specs=[
-            pl.BlockSpec((k, tk), lambda j, kk: (0, kk),
+            # index-map zeros derived from grid indices: a literal 0
+            # traces as i64 under jax_enable_x64 and Mosaic rejects the
+            # mixed (i64, i32) index tuple ("failed to legalize
+            # func.return") — memory/axon-tpu-quirks.md
+            pl.BlockSpec((k, tk), lambda j, kk: (j - j, kk),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, tk), lambda j, kk: (0, kk),
+            pl.BlockSpec((k, tk), lambda j, kk: (j - j, kk),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tk, tn), lambda j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((d_pad, tn), lambda j, kk: (0, j),
+        out_specs=pl.BlockSpec((d_pad, tn), lambda j, kk: (kk - kk, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d_pad, n_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
