@@ -45,6 +45,12 @@ class DenseDistName(enum.Enum):
 _TRANSFORM = {DenseDistName.Gaussian: "boxmul",
               DenseDistName.Uniform: "uneg11"}
 
+# x64 (f64-stream) fill engine policy: "auto" uses the native OpenMP C++
+# engine when built (bitwise-identical to rng/x64.py for Uniform, <= 1
+# ulp for Gaussian — PARITY.md "known divergences"); False forces the
+# single-threaded vectorized-numpy path (bit-stable vs the KAT replay).
+use_native_x64 = "auto"
+
 
 @dataclasses.dataclass(frozen=True)
 class DenseDist:
@@ -175,11 +181,11 @@ def _fill_submat_x64(dist, state, n_rows, n_cols, ro_s, co_s, dtype,
     The reference's fill engine templated on a 64-bit-counter CBRNG
     produces native double streams (random_gen.hh:121-173,
     dense_skops.hh:97-170); this is its parity path. Generation happens
-    on the HOST (numpy, with the native C++ engine as the fast/OpenMP
-    route when built) because TPUs have no 64-bit integer lanes — the
-    reference's fill is host code too. The ColMajor-natural case fills
-    the transposed parent row-major and flips, exactly the reference's
-    omatcopy fallback (dense_skops.hh:523-530).
+    on the HOST (the OpenMP C++ engine when built and ``use_native_x64``
+    allows, else vectorized numpy) because TPUs have no 64-bit integer
+    lanes — the reference's fill is host code too. The ColMajor-natural
+    case fills the transposed parent row-major and flips, exactly the
+    reference's omatcopy fallback (dense_skops.hh:523-530).
     """
     import numpy as np
     from .rng import x64 as rng64
@@ -188,14 +194,23 @@ def _fill_submat_x64(dist, state, n_rows, n_cols, ro_s, co_s, dtype,
             "x64 (f64-stream) operators generate on the host and cannot "
             "be filled under jit with a traced seed state; materialize "
             "outside the traced region and pass the array in")
+
+    def rowmajor64(ncp, nr, nc, ptr):
+        from . import native as native_mod
+        if use_native_x64 is not False and native_mod.available():
+            return native_mod.fill_rowmajor64(
+                ncp, nr, nc, ptr,
+                rng64.limbs_to_words(np.asarray(state.counter)),
+                rng64.limbs_to_words(np.asarray(state.key)),
+                transform == "boxmul", state.rng)
+        return rng64.fill_rowmajor64(ncp, nr, nc, ptr, state, transform)
+
     if natural == Layout.ColMajor:
         ptr = ro_s + co_s * ma_len
-        vals = rng64.fill_rowmajor64(ma_len, n_cols, n_rows, ptr, state,
-                                     transform).T
+        vals = rowmajor64(ma_len, n_cols, n_rows, ptr).T
     else:
         ptr = ro_s * ma_len + co_s
-        vals = rng64.fill_rowmajor64(ma_len, n_rows, n_cols, ptr, state,
-                                     transform)
+        vals = rowmajor64(ma_len, n_rows, n_cols, ptr)
     if dist.family == DenseDistName.Uniform:
         vals = vals * np.float64(math.sqrt(3.0))
     if (jnp.dtype(dtype) == jnp.float64

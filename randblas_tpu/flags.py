@@ -28,6 +28,7 @@ _FLAG_HOMES = {
     "use_saso_kernel": "randblas_tpu.skge",
     "auto_blocked_ell": "randblas_tpu.sparse_data.spmm",
     "force_interpret": "randblas_tpu.ops.ell_spmm",
+    "use_native_x64": "randblas_tpu.dense",
 }
 
 
@@ -59,7 +60,8 @@ def flags(**overrides):
     Accepted keys: use_fused ("auto"/True/False), use_hiprec_f64
     ("auto"/True/False), use_pallas_fill (False/True/"interp"),
     use_saso_kernel ("auto"/True/False/"interp"),
-    auto_blocked_ell (bool), force_interpret (bool). Values are restored
+    auto_blocked_ell (bool), force_interpret (bool),
+    use_native_x64 ("auto"/False). Values are restored
     on exit even if the body raises.
     """
     saved = {name: get_flag(name) for name in overrides}

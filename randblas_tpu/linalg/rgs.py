@@ -99,6 +99,11 @@ def _rgs_panel_step(q_buf, sq_buf, r_buf, a_panel, sa_panel, col0):
     return q_buf, sq_buf, r_buf
 
 
+# dense-materialization footprint cap for _precise_sketch (elements);
+# module-level so tests can shrink it to drive the large-m branches
+_FOOTPRINT_CAP = 1 << 27
+
+
 def _precise_sketch(S, a: jax.Array, scale: float) -> jax.Array:
     """scale * S @ a at FULL f32 precision (Precision.HIGHEST GEMMs on
     materialized operator chunks).
@@ -117,16 +122,35 @@ def _precise_sketch(S, a: jax.Array, scale: float) -> jax.Array:
     bf16 sketches by construction — their iterates touch the TRUE A —
     so this precise path is local to RGS, not a dispatch-wide change.
 
-    Chunked over the operator's long axis so the materialized block
-    stays bounded (the fused path's whole point was never materializing
-    S; here d = 2k + 8 << m keeps even the full operator small, but
-    chunking caps the footprint at large k anyway).
+    Structured families stay structured: SRHT applies its Hadamard
+    stages at HIGHEST precision (never materialized), and a SASO beyond
+    the 2^27-element dense-footprint cap routes through the exact
+    segment-sum apply (pure f32 adds of +-1-weighted rows — no GEMM, no
+    materialization). Dense operators chunk over the long axis so the
+    materialized block stays bounded (here d = 2k + 8 << m keeps even
+    the full operator small, but chunking caps the footprint at large
+    k anyway).
     """
+    from ..sparse import SparseSkOp
+    from ..trig import TrigSkOp
+
     d, m = S.shape
     k = a.shape[1]
-    chunk = m if d * m <= (1 << 27) else max((1 << 27) // d, 1)
-    if not hasattr(S, "submat"):
-        chunk = m          # structured families without block views
+    if isinstance(S, TrigSkOp):
+        return jnp.asarray(scale, a.dtype) * S.lmult(a, precision=_HI)
+    if isinstance(S, SparseSkOp):
+        if d * m > _FOOTPRINT_CAP:
+            from ..ops.coo_apply import fixed_nnz_left_apply
+            s = S.filled()
+            nnz = S.dist.vec_nnz
+            sa = fixed_nnz_left_apply(s.rows.reshape(m, nnz),
+                                      s.vals.reshape(m, nnz), a, d)
+            return jnp.asarray(scale, a.dtype) * sa
+        s_mat = S.materialize().astype(a.dtype)
+        sa = jnp.matmul(s_mat, a, precision=_HI,
+                        preferred_element_type=a.dtype)
+        return jnp.asarray(scale, a.dtype) * sa
+    chunk = m if d * m <= _FOOTPRINT_CAP else max(_FOOTPRINT_CAP // d, 1)
     if chunk >= m:
         s_mat = S.materialize().astype(a.dtype)
         sa = jnp.matmul(s_mat, a, precision=_HI,

@@ -51,6 +51,17 @@ from jax.experimental.pallas import tpu as pltpu
 from ..base import require
 
 _LO = 128  # rows per hi-block (one f32 sublane tile of lanes)
+_LO_SHIFT = _LO.bit_length() - 1  # idx >> _LO_SHIFT == idx // _LO for idx >= 0
+
+
+def _pick_tn(d_pad: int, n: int) -> int:
+    """Output-tile width: cover n when the (d_pad, TN) f32 out tile fits
+    the VMEM budget, else shrink in 128-aligned steps (Mosaic requires
+    the lane axis of every block to be a multiple of 128)."""
+    tn = min(-(-n // 128) * 128, 2048)
+    while d_pad * tn * 4 > (16 << 20) and tn > 128:
+        tn = max(128, ((tn // 2) + 127) // 128 * 128)
+    return tn
 
 
 def _kernel(idx_ref, sgn_ref, a_ref, o_ref, *, k, n_rh, tk, alpha):
@@ -63,7 +74,7 @@ def _kernel(idx_ref, sgn_ref, a_ref, o_ref, *, k, n_rh, tk, alpha):
     """
     idx = idx_ref[:]                                  # (k, TK) int32
     lo = jnp.bitwise_and(idx, jnp.int32(_LO - 1))
-    hi = jnp.right_shift(idx, jnp.int32(7))           # -1 -> -1 (no match)
+    hi = jnp.right_shift(idx, jnp.int32(_LO_SHIFT))   # -1 -> -1 (no match)
     iota = jax.lax.broadcasted_iota(jnp.int32, (_LO, tk), 0)
     eq = [(iota == lo[s:s + 1, :]).astype(jnp.float32)
           for s in range(k)]                          # k x (LO, TK)
@@ -163,9 +174,7 @@ def saso_sketch(idxs_major, vals, a, d: int, alpha=1.0,
     # chunk is then read ONCE (n_j > 1 re-reads all of A per j — the
     # probe measured that re-read as the kernel's whole margin at
     # config 3)
-    tn = min(-(-n // 128) * 128, 2048)
-    while d_pad * tn * 4 > (16 << 20):
-        tn //= 2
+    tn = _pick_tn(d_pad, n)
     n_pad = -(-n // tn) * tn
     if m_pad != m or n_pad != n:
         a_bf = jnp.pad(a_bf, ((0, m_pad - m), (0, n_pad - n)))

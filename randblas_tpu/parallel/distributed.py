@@ -384,13 +384,14 @@ def distributed_sparse_sketch(
                               constant_values=-1)
             vals_mk = jnp.pad(vals_mk, ((0, m_pad_g - m), (0, 0)))
         on_tpu = _tpu_platform()
-        from ..ops.saso_sketch import saso_sketch, saso_sketch_supported
-        from ..skge import use_saso_kernel
+        from ..ops.saso_sketch import saso_sketch
+        from ..skge import _saso_kernel_route
         n_cols_a = A.shape[1]
-        use_kernel = (on_tpu and use_saso_kernel is not False
-                      and saso_sketch_supported(d_per, m_per, k, n_cols_a)
-                      and jnp.dtype(A.dtype) == jnp.dtype(jnp.float32)
-                      and (use_saso_kernel != "auto" or m_per >= 4096))
+        # the shared skge gate: honors "interp" (interpret mode) and a
+        # forced True off-TPU (interpret), so CPU-mesh tests can drive
+        # the kernel shard body
+        use_kernel, kern_interp = _saso_kernel_route(
+            d_per, m_per, k, n_cols_a, A.dtype, on_tpu=on_tpu)
 
         def build():
             def shard_fn(a_blk, rows_blk, vals_blk, al):
@@ -398,17 +399,17 @@ def distributed_sparse_sketch(
                 ro = mi.astype(jnp.int32) * jnp.int32(d_per)
                 r_loc = rows_blk - ro
                 in_rng = (r_loc >= 0) & (r_loc < d_per)
-                if on_tpu:
+                if use_kernel:
                     # -1 never matches the row iota: out-of-window entries
-                    # vanish inside the one-hot panels (XLA route) /
-                    # match no hi block (Pallas kernel route)
+                    # match no hi block inside the Pallas kernel
                     idx = jnp.where(in_rng, r_loc, -1)
-                    if use_kernel:
-                        part = al * saso_sketch(idx, vals_blk, a_blk,
-                                                d_per)
-                    else:
-                        part = onehot_panel_apply(idx, vals_blk, a_blk,
-                                                  d_per, al)
+                    part = al * saso_sketch(idx, vals_blk, a_blk, d_per,
+                                            interpret=kern_interp)
+                elif on_tpu:
+                    # ... or vanish inside the XLA one-hot panels
+                    idx = jnp.where(in_rng, r_loc, -1)
+                    part = onehot_panel_apply(idx, vals_blk, a_blk,
+                                              d_per, al)
                 else:
                     idx = jnp.where(in_rng, r_loc, 0)
                     w = jnp.where(in_rng, vals_blk,

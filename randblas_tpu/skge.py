@@ -69,6 +69,29 @@ def _tpu_backend() -> bool:
         return False
 
 
+def _saso_kernel_route(d: int, m: int, k: int, n: int, dtype,
+                       on_tpu: bool | None = None):
+    """The ONE SASO-kernel dispatch gate, shared by the wide-full and
+    trans-full skge paths and parallel.distributed. Returns
+    ``(use_kernel, interpret)`` under the current ``use_saso_kernel``
+    policy: "auto" takes the kernel on TPU at profitable shapes (v5e
+    same-run probe, BENCH_LOCAL.md "SASO kernel" table: 1.2-1.5x for
+    m >= 4096; below that both routes are <0.1 ms and kernel fixed
+    costs can lose); True forces it (interpret mode off-TPU); "interp"
+    forces interpret mode; False disables it."""
+    from .ops.saso_sketch import saso_sketch_supported
+    if on_tpu is None:
+        on_tpu = _tpu_backend()
+    ok = (use_saso_kernel is not False
+          and saso_sketch_supported(d, m, k, n)
+          and jnp.dtype(dtype) == jnp.dtype(jnp.float32))
+    if use_saso_kernel == "auto":
+        ok = ok and on_tpu and m >= 4096
+    interpret = (use_saso_kernel == "interp"
+                 or (use_saso_kernel is True and not on_tpu))
+    return ok, interpret
+
+
 def _as_op(op) -> Op:
     if isinstance(op, Op):
         return op
@@ -373,22 +396,12 @@ def _sparse_left_apply(S: SparseSkOp, d: int, m: int, ro_s: int, co_s: int,
         # — else XLA one-hot MXU panels (no scatter, 17x faster than
         # segment-sums there); elsewhere the compare-select panels are
         # slow, so use per-t segment-sums.
-        from .ops.saso_sketch import saso_sketch, saso_sketch_supported
-        kern_ok = (use_saso_kernel is not False
-                   and saso_sketch_supported(d, m, k, b_mat.shape[1])
-                   and jnp.dtype(b_mat.dtype) == jnp.dtype(jnp.float32))
-        if use_saso_kernel == "auto":
-            # profit gate (v5e same-run probe, BENCH_LOCAL.md SASO
-            # kernel table): the kernel wins from tiny shapes up —
-            # 1.7-2.1x for m >= 4096; below that both routes are
-            # <0.1 ms and kernel fixed costs can lose, keep XLA panels
-            kern_ok = kern_ok and _tpu_backend() and m >= 4096
+        from .ops.saso_sketch import saso_sketch
+        kern_ok, kern_interp = _saso_kernel_route(d, m, k, b_mat.shape[1],
+                                                  b_mat.dtype)
         if kern_ok:
             return saso_sketch(s.rows.reshape(m, k), s.vals.reshape(m, k),
-                               b_mat, d, alpha,
-                               interpret=(use_saso_kernel == "interp"
-                                          or (use_saso_kernel is True
-                                              and not _tpu_backend())))
+                               b_mat, d, alpha, interpret=kern_interp)
         if _tpu_backend():
             return onehot_panel_apply(s.rows.reshape(m, k),
                                       s.vals.reshape(m, k), b_mat, d,
@@ -412,19 +425,14 @@ def _sparse_left_apply(S: SparseSkOp, d: int, m: int, ro_s: int, co_s: int,
     if trans_full and S.dist.n_rows > S.dist.n_cols:
         # tall S: row r holds k column indices -> S^T has those rows
         # in column r
-        from .ops.saso_sketch import saso_sketch, saso_sketch_supported
+        from .ops.saso_sketch import saso_sketch
         idx = s.cols.reshape(m, k)
         w = s.vals.reshape(m, k)
-        kern_ok = (use_saso_kernel is not False
-                   and saso_sketch_supported(d, m, k, b_mat.shape[1])
-                   and jnp.dtype(b_mat.dtype) == jnp.dtype(jnp.float32))
-        if use_saso_kernel == "auto":
-            kern_ok = kern_ok and _tpu_backend() and m >= 4096
+        kern_ok, kern_interp = _saso_kernel_route(d, m, k, b_mat.shape[1],
+                                                  b_mat.dtype)
         if kern_ok:
             return saso_sketch(idx, w, b_mat, d, alpha,
-                               interpret=(use_saso_kernel == "interp"
-                                          or (use_saso_kernel is True
-                                              and not _tpu_backend())))
+                               interpret=kern_interp)
         if _tpu_backend():
             return onehot_panel_apply(idx, w, b_mat, d, alpha)
         return fixed_nnz_left_apply(idx, w, b_mat, d, alpha)

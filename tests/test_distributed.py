@@ -431,3 +431,21 @@ def test_distributed_alpha_traced_and_cache_stable():
     distributed_sketch(S, A, mesh, alpha=3.25)
     distributed_sketch(S, A, mesh, alpha=7.5)
     assert len(dmod._FN_CACHE) - n0 <= 1   # one entry, reused across alphas
+
+
+def test_distributed_sparse_kernel_shard_body_interpret():
+    """use_saso_kernel=True off-TPU drives the Pallas kernel SHARD BODY
+    (interpret mode) inside shard_map — the distributed analog of the
+    forced-kernel skge route, sharing skge._saso_kernel_route so the
+    'interp'/forced policies cannot drift (advisor r5)."""
+    from randblas_tpu.flags import flags
+    Ss = SparseSkOp(SparseDist(D, M, vec_nnz=4), RNGState.from_key(3))
+    A = jnp.asarray(
+        np.random.default_rng(1).normal(size=(M, N)).astype(np.float32))
+    mesh = make_sketch_mesh(2, 4)
+    with flags(use_saso_kernel=True):
+        got = np.asarray(distributed_sparse_sketch(Ss, A, mesh))
+    want = np.asarray(sketch_general(Ss, A))
+    # kernel contracts in bf16 (vs the f32 XLA oracle)
+    np.testing.assert_allclose(got, want, rtol=0,
+                               atol=2 ** -7 * np.abs(want).max() + 1e-4)

@@ -124,3 +124,44 @@ class TestContract:
 
         q, r = run(a)
         _checks(a, q, r, orth_tol=1e-5, rec_tol=1e-5)
+
+
+class TestPreciseSketchStructured:
+    """_precise_sketch keeps structured families structured (advisor r5):
+    SRHT via HIGHEST-precision Hadamard stages, SASO beyond the dense
+    footprint cap via the exact segment-sum apply — neither materializes
+    the (d, m) operator."""
+
+    def test_saso_beyond_cap_matches_dense_branch(self, monkeypatch):
+        import randblas_tpu.linalg.rgs as rgs_mod
+        from randblas_tpu.linalg.embed import make_embedding
+        m, n, d = 512, 17, 40
+        S = make_embedding("saso", d, m, RNGState.from_key(5))
+        a = jnp.asarray(np.random.default_rng(0).normal(
+            size=(m, n)).astype(np.float32))
+        want = np.asarray(rgs_mod._precise_sketch(S, a, 0.5))
+        monkeypatch.setattr(rgs_mod, "_FOOTPRINT_CAP", 100)
+        got = np.asarray(rgs_mod._precise_sketch(S, a, 0.5))
+        # segment-sum adds of +-1-weighted rows vs HIGHEST GEMM: both
+        # f32 products, but the summation ORDER differs, so allow a few
+        # k*eps rounding steps (measured max ~3e-6 abs / 8e-5 rel)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+    def test_srht_structured_apply(self):
+        import randblas_tpu.linalg.rgs as rgs_mod
+        from randblas_tpu.linalg.embed import make_embedding
+        m, n, d = 96, 9, 24
+        S = make_embedding("srht", d, m, RNGState.from_key(8))
+        a = jnp.asarray(np.random.default_rng(1).normal(
+            size=(m, n)).astype(np.float32))
+        got = np.asarray(rgs_mod._precise_sketch(S, a, 0.25))
+        want = 0.25 * (np.asarray(S.materialize(), np.float64)
+                       @ np.asarray(a, np.float64))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_rgs_qr_saso_runs_the_capped_branch(self, monkeypatch):
+        import randblas_tpu.linalg.rgs as rgs_mod
+        monkeypatch.setattr(rgs_mod, "_FOOTPRINT_CAP", 10)
+        a = _tall(256, 48, cond=1e3, seed=4)
+        q, r, _ = rgs_qr(a, RNGState.from_key(6), operator="saso")
+        _checks(a, q, r, orth_tol=1e-5, rec_tol=1e-5)

@@ -170,3 +170,23 @@ class TestTransFastPaths:
         got = np.asarray(rb.sketch_general(S, A, op_s="T"))
         want = np.asarray(S.materialize()).T @ np.asarray(A)
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_pick_tn_always_lane_aligned():
+    """Regression: the VMEM-driven TN shrink must stay a multiple of 128
+    (Mosaic block-shape rule) — a plain halve turned 1152 into 576 but
+    2304x1920 into 960 with d_pad*tn still over budget history; sweep
+    the whole gate-admissible space."""
+    from randblas_tpu.ops.saso_sketch import _pick_tn
+    for d_pad in (128, 512, 1024, 2304, 4096):
+        for n in (1, 100, 512, 1100, 1153, 1900, 2048, 5000):
+            tn = _pick_tn(d_pad, n)
+            assert tn % 128 == 0 and tn >= 128, (d_pad, n, tn)
+            assert d_pad * tn * 4 <= (16 << 20) or tn == 128, (d_pad, n)
+
+
+def test_kernel_shrunk_tn_matches_oracle():
+    """d_pad=2176 with n=1900 drives the TN-shrink path that used to
+    produce a misaligned tile (2176*1920*4 > 16 MB -> old tn 960; the
+    aligned shrink gives 1024). Wide operator so rows reshape (m, k)."""
+    _case(2176, 2304, 1900, 4, seed=11)

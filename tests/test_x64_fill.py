@@ -218,3 +218,24 @@ def test_x64_fill_under_jit_raises():
 
     with pytest.raises(ValueError, match="host"):
         jax.jit(f)(S)
+
+
+@pytest.mark.parametrize("family,exact", [
+    (DenseDistName.Uniform, True), (DenseDistName.Gaussian, False)])
+def test_fill_dispatches_native_engine(family, exact):
+    """The dense fill path really reaches the OpenMP engine when built
+    (advisor r5): 'auto' vs the forced-numpy flag agree exactly for
+    Uniform, <= 1 ulp for Box-Muller (vectorized sin/cos)."""
+    from randblas_tpu import native
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    from randblas_tpu.flags import flags
+    d = DenseDist(12, 33, family=family)
+    st = RNGState.from_key(7, "threefry4x64")
+    with flags(use_native_x64=False):
+        a = np.asarray(fill_dense_submat(d, st, 12, 33, 0, 0, jnp.float64))
+    b = np.asarray(fill_dense_submat(d, st, 12, 33, 0, 0, jnp.float64))
+    if exact:
+        np.testing.assert_array_equal(a, b)
+    else:
+        np.testing.assert_allclose(a, b, rtol=0, atol=4e-16)
