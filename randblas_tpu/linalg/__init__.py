@@ -2,7 +2,8 @@
 examples/ tier, as a library)."""
 
 from .leverage import exact_leverage_scores, leverage_scores
-from .distributed import (cholqr, distributed_krylov_rangefinder,
+from .distributed import (cholqr, distributed_fd,
+                          distributed_krylov_rangefinder,
                           distributed_qb, distributed_rangefinder,
                           distributed_rsvd)
 from .amm import amm, sample_lsq
@@ -26,7 +27,7 @@ from .rsvd import rsvd, rsvd_adaptive
 from .spectral import (extremal_eigs, power_method, required_power_iters,
                        sketched_eigs, spectral_norm)
 from .streaming import FrequentDirections, StreamingSketch, \
-    single_pass_svd
+    fd_pass, single_pass_svd
 from .tls import sketched_tls, tls_via_svd
 from .trace import (diag_hutchinson, exact_trace, hutchinson, hutchpp,
                     rademacher_probes, xdiag, xtrace)
@@ -34,8 +35,9 @@ from .trace import (diag_hutchinson, exact_trace, hutchinson, hutchpp,
 __all__ = ["amm",
            "adaptive_rangefinder",
            "cgls", "cholqr", "column_id", "cur",
-           "distributed_krylov_rangefinder", "distributed_qb",
-           "distributed_rangefinder", "distributed_rsvd",
+           "distributed_fd", "distributed_krylov_rangefinder",
+           "distributed_qb",
+           "distributed_rangefinder", "distributed_rsvd", "fd_pass",
            "exact_leverage_scores",
            "exact_trace", "hutchinson", "krylov_rangefinder",
            "make_embedding", "min_norm_lsq",

@@ -195,6 +195,48 @@ def distributed_rsvd(a: jax.Array, k: int, state: RNGState, mesh: Mesh, *,
     return u, s[:k], vt[:k]
 
 
+def distributed_fd(a: jax.Array, ell: int, mesh: Mesh, *,
+                   dtype=jnp.float32):
+    """Frequent Directions of a row-sharded matrix, by mergeability
+    (GLPW16 thm 1.2): every 'data' shard runs the deterministic local
+    FD pass over its OWN rows (one lax.scan inside shard_map — zero
+    collectives, the covariance sketch's analog of
+    distributed_sketch_cols' zero-comm layout), then the per-shard
+    (ell, n) sketches are merged by one more FD pass over the stacked
+    (P * ell, n) rows with the per-shard certificates summed.
+
+    Returns a :class:`~randblas_tpu.linalg.streaming.FrequentDirections`
+    holding the merged sketch: ``||A^T A - B^T B||_2 <= shrink_mass``
+    holds deterministically for the FULL matrix (padding rows are zero
+    and carry no Gram mass). The merged certificate is at most ~2x a
+    single-stream pass's (each row is shrunk against at most two
+    buffers); row partitioning across shards changes B but never the
+    guarantee."""
+    from .streaming import FrequentDirections, fd_pass
+    m, n = a.shape
+    require(a.ndim == 2, "distributed_fd takes a 2-D array")
+    require(1 <= ell <= n, "need 1 <= ell <= n")
+    ndev = mesh.shape["data"]
+    m_pad = -(-m // ndev) * ndev
+    ad = a.astype(dtype)
+    if m_pad != m:
+        ad = jnp.pad(ad, ((0, m_pad - m), (0, 0)))
+    ad = jax.lax.with_sharding_constraint(
+        ad, NamedSharding(mesh, P("data", None)))
+
+    def body(blk):
+        b, mass = fd_pass(blk, ell)
+        return b, mass.reshape(1)
+
+    sketches, masses = jax.shard_map(
+        body, mesh=mesh, in_specs=P("data", None),
+        out_specs=(P("data", None), P("data")))(ad)
+    fd = FrequentDirections(n, ell, dtype=dtype)
+    fd._shrink_mass = jnp.sum(masses).astype(dtype)
+    fd.ingest(sketches)
+    return fd
+
+
 def _absorb_gram(r, rel2, limit_cols: int):
     """Mesh-native rank-cutoff orthonormalization: eigh of the psum'd
     k x k Gram of the (already basis-projected) residual block ``r``,

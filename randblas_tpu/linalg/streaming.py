@@ -313,6 +313,59 @@ class FrequentDirections:
             self._shrink()
         return self._buf[:self.ell, :]
 
+    def merge(self, other: "FrequentDirections") -> None:
+        """Absorb another FD sketch built from DISJOINT rows — FD is a
+        mergeable summary (GLPW16 thm 1.2 / Agarwal et al. 2012): if
+        self summarizes A1 and other summarizes A2, after the merge
+        self satisfies the FD guarantee for [A1; A2] with certificate
+        self.shrink_mass = mass1 + mass2 + (masses of the merge's own
+        shrinks). Implementation: other's shrunk rows stream into this
+        buffer like any data block; the certificates add. ``other`` is
+        shrunk to its live sketch as a side effect (``other.sketch()``);
+        ``other.ell`` need not equal ``self.ell`` — the error budgets
+        simply add whatever each side accumulated."""
+        require(isinstance(other, FrequentDirections),
+                "merge takes another FrequentDirections")
+        require(other.n == self.n, "merge needs matching column counts")
+        self.update(other.sketch().astype(self.dtype))
+        self._shrink_mass = (self._shrink_mass
+                             + other._shrink_mass.astype(self.dtype))
+
+
+def fd_pass(a: jax.Array, ell: int):
+    """Pure-function Frequent Directions over ALL rows of ``a`` (M, n):
+    returns ``(B (ell, n), shrink_mass scalar)`` — the same shrink
+    sequence as ``FrequentDirections(n, ell).ingest(a)`` followed by
+    ``sketch()`` (ell-row chunks, shrink per full buffer; a ragged tail
+    rides a zero-padded final chunk, which changes nothing — zero rows
+    carry no Gram mass).
+
+    This is the FD kernel distributed consumers map over shards
+    (linalg.distributed.distributed_fd): no Python-object state, fully
+    jittable, safe inside shard_map/scan."""
+    require(ell >= 1, "ell must be >= 1")
+    m, n = a.shape
+    nchunks = max(1, -(-m // ell))
+    pad = nchunks * ell - m
+    ap = jnp.pad(a, ((0, pad), (0, 0))) if pad else a
+    chunks = ap.reshape(nchunks, ell, n)
+    buf = jnp.zeros((2 * ell, n), a.dtype).at[:ell, :].set(chunks[0])
+    # data-derived zero: under shard_map the scan carry must keep the
+    # same varying-mesh-axes type as the shrink deltas it accumulates
+    # (a literal jnp.zeros is axis-UNvarying and the carry types clash)
+    mass = (ap[0, 0] * 0).astype(a.dtype)
+    if nchunks == 1:
+        return buf[:ell, :], mass
+
+    def step(carry, chunk):
+        b, ms = carry
+        b = jax.lax.dynamic_update_slice(b, chunk, (ell, 0))
+        b, delta = _fd_shrink_jit(b, ell)
+        return (b, ms + delta), None
+
+    (buf, mass), _ = jax.lax.scan(step, (buf, mass), chunks[1:])
+    return buf[:ell, :], mass
+
 
 def single_pass_svd(a, rank: int, state: RNGState, *,
                     oversample: int = 8, corange_factor: float = 2.0,

@@ -308,3 +308,97 @@ class TestFDIngest:
         b = np.asarray(fd.sketch())
         err = np.linalg.norm(a64.T @ a64 - b.T @ b, 2)
         assert err <= float(fd.shrink_mass) * (1 + 1e-10) + 1e-9
+
+
+class TestFDMergeability:
+    """FD is a mergeable summary (GLPW16 thm 1.2): merge() and the
+    shard-mapped distributed_fd keep the deterministic guarantee —
+    total shrink mass stays <= ||A||_F^2 / ell under ANY merge tree."""
+
+    def _check(self, a, fd, slack=1e-3):
+        b = np.asarray(fd.sketch(), np.float64)
+        a64 = np.asarray(a, np.float64)
+        gram = a64.T @ a64
+        err = np.linalg.norm(gram - b.T @ b, 2)
+        mass = float(fd.shrink_mass)
+        scale = np.linalg.norm(gram, 2)
+        assert err <= mass * 1.01 + slack * scale, (err, mass)
+        assert mass <= np.linalg.norm(a64, "fro") ** 2 / fd.ell * 1.01
+
+    def test_fd_pass_matches_class(self):
+        from randblas_tpu.linalg import FrequentDirections, fd_pass
+        rng = np.random.default_rng(4)
+        n, ell = 48, 8
+        for m in (3, ell, 5 * ell + 3, 2 * ell):
+            a = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+            b, mass = fd_pass(a, ell)
+            fd = FrequentDirections(n, ell)
+            fd.ingest(a)
+            bs = fd.sketch()
+            np.testing.assert_allclose(np.asarray(b), np.asarray(bs),
+                                       rtol=3e-4, atol=3e-5)
+            assert abs(float(mass) - float(fd.shrink_mass)) <= \
+                3e-5 * max(1.0, float(fd.shrink_mass))
+
+    def test_merge_guarantee(self):
+        from randblas_tpu.linalg import FrequentDirections
+        rng = np.random.default_rng(5)
+        a = rng.standard_normal((600, 40)).astype(np.float32)
+        fd1 = FrequentDirections(40, 10)
+        fd2 = FrequentDirections(40, 10)
+        fd1.update(jnp.asarray(a[:380]))
+        fd2.update(jnp.asarray(a[380:]))
+        fd1.merge(fd2)
+        self._check(a, fd1)
+
+    def test_merge_tree_and_mixed_ell(self):
+        from randblas_tpu.linalg import FrequentDirections
+        rng = np.random.default_rng(6)
+        a = rng.standard_normal((512, 32)).astype(np.float32)
+        parts = [FrequentDirections(32, 8) for _ in range(4)]
+        # the mixed-budget merge: one summarizer ran with a larger ell
+        parts[2] = FrequentDirections(32, 16)
+        for i, fd in enumerate(parts):
+            fd.update(jnp.asarray(a[128 * i:128 * (i + 1)]))
+        parts[0].merge(parts[1])
+        parts[2].merge(parts[3])
+        parts[0].merge(parts[2])
+        b = np.asarray(parts[0].sketch(), np.float64)
+        a64 = a.astype(np.float64)
+        err = np.linalg.norm(a64.T @ a64 - b.T @ b, 2)
+        mass = float(parts[0].shrink_mass)
+        assert err <= mass * 1.01 + 1e-3 * np.linalg.norm(a64.T @ a64, 2)
+
+    def test_merge_validates(self):
+        from randblas_tpu.linalg import FrequentDirections
+        fd = FrequentDirections(16, 4)
+        with pytest.raises(ValueError):
+            fd.merge(FrequentDirections(17, 4))
+        with pytest.raises(ValueError):
+            fd.merge("not a sketch")
+
+    def test_distributed_fd_guarantee_and_padding(self):
+        from randblas_tpu.linalg import distributed_fd
+        from randblas_tpu.parallel import make_sketch_mesh
+        rng = np.random.default_rng(7)
+        a = rng.standard_normal((333, 40)).astype(np.float32)  # ragged m
+        for model, data in ((2, 4), (1, 8)):
+            fd = distributed_fd(jnp.asarray(a), 10,
+                                make_sketch_mesh(model, data))
+            self._check(a, fd)
+
+    def test_distributed_fd_low_rank_exact(self):
+        # rank < ell: zero information discarded on every shard AND in
+        # the merge -> near-zero certificate end to end
+        from randblas_tpu.linalg import distributed_fd
+        from randblas_tpu.parallel import make_sketch_mesh
+        rng = np.random.default_rng(8)
+        a = (rng.standard_normal((400, 6)).astype(np.float32)
+             @ rng.standard_normal((6, 48)).astype(np.float32))
+        fd = distributed_fd(jnp.asarray(a), 16, make_sketch_mesh(2, 4))
+        a64 = a.astype(np.float64)
+        gram_norm = np.linalg.norm(a64.T @ a64, 2)
+        assert float(fd.shrink_mass) < 1e-4 * gram_norm
+        b = np.asarray(fd.sketch(), np.float64)
+        rel = np.linalg.norm(a64.T @ a64 - b.T @ b, 2) / gram_norm
+        assert rel < 1e-3

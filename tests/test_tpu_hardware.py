@@ -619,6 +619,33 @@ def test_frequent_directions_on_hardware():
         (mass, fro2 / ell))
 
 
+def test_distributed_fd_on_hardware():
+    """distributed_fd's shard-local FD scan (lax.scan of Gram-eigh
+    shrinks INSIDE shard_map) compiled on a real-TPU Mesh, plus the
+    host-side merge: the GLPW16 certificate must hold end to end for
+    the full matrix — the mergeable-summary sibling of
+    test_frequent_directions_on_hardware."""
+    import jax.numpy as jnp
+    from randblas_tpu.linalg import distributed_fd
+    from randblas_tpu.parallel import make_sketch_mesh
+
+    rng = np.random.default_rng(29)
+    m, n, ell = 2048 + 37, 256, 64            # ragged m: padding path
+    u = rng.standard_normal((m, n))
+    s = 2.0 ** (-np.arange(n) / 16.0)
+    a64 = u * s
+    a = jnp.asarray(a64.astype(np.float32))
+    mesh = make_sketch_mesh(1, 1, jax.devices()[:1])
+
+    fd = distributed_fd(a, ell, mesh)
+    b = np.asarray(fd.sketch(), np.float64)
+    mass = float(fd.shrink_mass)
+    gram_err = np.linalg.norm(a64.T @ a64 - b.T @ b, 2)
+    fro2 = np.linalg.norm(a64, "fro") ** 2
+    assert gram_err <= mass * 1.02 + 1e-3 * fro2, (gram_err, mass)
+    assert mass <= fro2 / ell * 1.02, (mass, fro2 / ell)
+
+
 def test_shard_map_fused_sketch_on_hardware():
     """Mosaic-inside-shard_map on the real chip (VERDICT r4 item 2):
     builds a 1-device Mesh on the TPU and drives distributed_sketch's
