@@ -43,29 +43,8 @@ import jax                                                     # noqa: E402
 import jax.numpy as jnp                                        # noqa: E402
 
 from randblas_tpu import RNGState                              # noqa: E402
-from randblas_tpu.tensor import _countsketch, tensor_sketch    # noqa: E402
-
-
-def hash_sign(d, m, state):
-    """(hash, sign) of the CountSketch component tensor_sketch builds
-    for a (d, m) factor — recovered from its dense form (small here;
-    the structured side never materializes anything)."""
-    mat = np.asarray(_countsketch(d, m, state).materialize())
-    h = np.abs(mat).argmax(axis=0)
-    return jnp.asarray(h), jnp.asarray(mat[h, np.arange(m)])
-
-
-def sketch_unfolding(x_unf_t, d, dims, state):
-    """S @ X_(mode)^T for the explicit unfolding transpose (prod(dims),
-    I): combined hash (h1*0 + h1 + h2) % d and sign s1*s2 over the
-    Kronecker row index i1 * dims[1] + i2, one segment-sum pass."""
-    (m1, m2) = dims
-    c1 = _countsketch(d, m1, state)
-    h1, s1 = hash_sign(d, m1, state)
-    h2, s2 = hash_sign(d, m2, c1.next_state)
-    h = ((h1[:, None] + h2[None, :]) % d).reshape(-1)
-    s = (s1[:, None] * s2[None, :]).reshape(-1)
-    return jax.ops.segment_sum(s[:, None] * x_unf_t, h, num_segments=d)
+from randblas_tpu.tensor import (tensor_sketch,                # noqa: E402
+                                 tensor_sketch_explicit)
 
 
 def khatri_rao(b, c):
@@ -80,9 +59,9 @@ def solve_mode(x_unf, kr_factors, d, state, ridge=1e-8):
     """One sketched factor update: lstsq of (S Z) A^T = S X_(mode)^T
     through the R x R normal equations. Returns (factor, next_state)."""
     sz, nxt = tensor_sketch(kr_factors, d, state)           # (d, R)
-    sxt = sketch_unfolding(x_unf.T, d,
-                           (kr_factors[0].shape[0],
-                            kr_factors[1].shape[0]), state)  # (d, I)
+    sxt, _ = tensor_sketch_explicit(
+        x_unf.T, (kr_factors[0].shape[0], kr_factors[1].shape[0]),
+        d, state)                                           # (d, I)
     g = sz.T @ sz
     g = g + ridge * jnp.trace(g) * jnp.eye(g.shape[0], dtype=g.dtype)
     w = sz.T @ sxt                                          # (R, I)

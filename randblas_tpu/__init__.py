@@ -26,7 +26,7 @@ from .sparse import (
 )
 from .trig import TrigDist, TrigSkOp, srht_operator
 from .tensor import (polynomial_kernel_features, tensor_sketch,
-                     tensor_sketch_vectors)
+                     tensor_sketch_explicit, tensor_sketch_vectors)
 from .ops.hadamard import hadamard_matrix, hadamard_transform
 from .skge import sketch_general, sketch
 from .skve import sketch_vector
@@ -50,7 +50,8 @@ __all__ = [
     "fill_dense", "fill_dense_submat", "isometry_scale_factor",
     "SparseDist", "SparseSkOp", "fill_sparse", "repeated_fisher_yates",
     "TrigDist", "TrigSkOp", "srht_operator",
-    "polynomial_kernel_features", "tensor_sketch", "tensor_sketch_vectors",
+    "polynomial_kernel_features", "tensor_sketch",
+    "tensor_sketch_explicit", "tensor_sketch_vectors",
     "hadamard_matrix", "hadamard_transform",
     "sketch_general", "sketch", "sketch_vector", "sketch_symmetric",
     "require_symmetric", "sketch_sparse",

@@ -89,6 +89,63 @@ def tensor_sketch(factors: Sequence, d: int, state: RNGState, *,
     return out, st
 
 
+def _hash_sign(d: int, m: int, state: RNGState):
+    """(hash (m,), sign (m,)) of the CountSketch component ``_countsketch``
+    builds: the filled COO triplets are minor(= column)-vector-major with
+    vec_nnz = 1, so ``rows``/``vals`` in column order ARE the pair —
+    holds for both the d <= m (Short) and d > m (Long) draws."""
+    s = _countsketch(d, m, state).filled()
+    return s.rows, s.vals
+
+
+def tensor_sketch_explicit(x, mode_dims: Sequence[int], d: int,
+                           state: RNGState, *, dtype=jnp.float32
+                           ) -> Tuple[jax.Array, RNGState]:
+    """S @ x for an EXPLICIT x of shape (prod(mode_dims), n), where S is
+    the SAME TensorSketch operator ``tensor_sketch(factors, d, state)``
+    applies implicitly to Khatri-Rao-structured input.
+
+    Use this for the unstructured side of a sketched system — e.g.
+    randomized CP-ALS (CPRAND, Battaglino-Ballard-Kolda 2018) solves
+    ``min || (S Z) A^T - S X_(mode)^T ||`` with Z Khatri-Rao (so
+    ``tensor_sketch``) and X_(mode)^T a plain unfolding (so this): the
+    two sides MUST see the same operator, which the shared
+    ``(mode_dims, d, state)`` guarantees.
+
+    The combined CountSketch is applied directly: hash of Kronecker row
+    (i_1..i_p) is ``sum_k h_k(i_k) mod d`` (row-major mode order, first
+    factor major — matching jnp.kron and tensor_sketch's convolution),
+    sign is the product, and the apply is ONE segment-sum pass over x's
+    rows. Returns ``(out (d, n), next_state)`` with ``next_state``
+    identical to ``tensor_sketch``'s (the same chained states).
+    """
+    mode_dims = tuple(int(m) for m in mode_dims)
+    require(len(mode_dims) >= 1, "tensor_sketch_explicit needs >= 1 mode")
+    require(all(m >= 1 for m in mode_dims), "mode dims must be positive")
+    require(d >= 1, "sketch size d must be >= 1")
+    total = 1
+    for m in mode_dims:
+        total *= m
+    require(x.ndim == 2 and x.shape[0] == total,
+            "x must be 2-D with prod(mode_dims) rows")
+    st = state
+    h = None
+    sgn = None
+    for m in mode_dims:
+        C = _countsketch(d, m, st).filled()
+        hk, sk = C.rows, C.vals
+        st = C.next_state
+        if h is None:
+            h, sgn = hk, sk.astype(dtype)
+        else:
+            h = (h[:, None] + hk[None, :]).reshape(-1)
+            sgn = (sgn[:, None] * sk[None, :].astype(dtype)).reshape(-1)
+    h = h % d
+    out = jax.ops.segment_sum(sgn[:, None] * x.astype(dtype), h,
+                              num_segments=d)
+    return out, st
+
+
 def tensor_sketch_vectors(vectors: Sequence, d: int, state: RNGState, *,
                           dtype=jnp.float32) -> Tuple[jax.Array, RNGState]:
     """tensor_sketch for 1-D factors: sketch of the single Kronecker

@@ -10,6 +10,7 @@ import numpy as np
 from randblas_tpu.rng.state import RNGState
 from randblas_tpu.tensor import _countsketch
 from randblas_tpu.tensor import (polynomial_kernel_features, tensor_sketch,
+                                 tensor_sketch_explicit,
                                  tensor_sketch_vectors)
 
 
@@ -167,3 +168,70 @@ def test_jit_and_validation():
         tensor_sketch([], 8, RNGState.from_key(0))
     with pytest.raises(ValueError):
         tensor_sketch([a1, a2[:, :2]], 8, RNGState.from_key(0))
+
+
+class TestExplicitApply:
+    """tensor_sketch_explicit must apply the SAME operator as
+    tensor_sketch: one combined-hash segment-sum over explicit rows."""
+
+    def _kr(self, mats):
+        out = mats[0]
+        for m in mats[1:]:
+            out = np.einsum("ik,jk->ijk", out, m).reshape(-1, out.shape[1])
+        return out
+
+    def test_matches_structured_apply(self):
+        d, dims, n = 64, (9, 7), 4
+        rng = np.random.default_rng(20)
+        mats = [jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+                for m in dims]
+        st = RNGState.from_key(21)
+        want, nxt_s = tensor_sketch(mats, d, st)
+        big = jnp.asarray(self._kr([np.asarray(m) for m in mats]))
+        got, nxt_e = tensor_sketch_explicit(big, dims, d, st)
+        # FFT convolution vs direct segment-sum of the same operator
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+        assert nxt_s.to_dict() == nxt_e.to_dict()
+
+    def test_three_modes_odd_d(self):
+        d, dims, n = 13, (4, 3, 5), 2
+        rng = np.random.default_rng(22)
+        mats = [jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+                for m in dims]
+        st = RNGState.from_key(23)
+        want, _ = tensor_sketch(mats, d, st)
+        big = jnp.asarray(self._kr([np.asarray(m) for m in mats]))
+        got, _ = tensor_sketch_explicit(big, dims, d, st)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_single_mode_is_exact_countsketch(self):
+        d, m, n = 16, 40, 3
+        rng = np.random.default_rng(24)
+        x = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+        st = RNGState.from_key(25)
+        got, _ = tensor_sketch_explicit(x, (m,), d, st)
+        want = np.asarray(_countsketch(d, m, st).materialize()) @ \
+            np.asarray(x)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6,
+                                   atol=1e-6)
+
+    def test_jit(self):
+        d, dims = 32, (6, 5)
+        rng = np.random.default_rng(26)
+        x = jnp.asarray(rng.standard_normal((30, 4)).astype(np.float32))
+        st = RNGState.from_key(27)
+        eager, _ = tensor_sketch_explicit(x, dims, d, st)
+        fn = jax.jit(lambda xx, ss: tensor_sketch_explicit(
+            xx, dims, d, ss)[0])
+        np.testing.assert_allclose(np.asarray(fn(x, st)),
+                                   np.asarray(eager), rtol=1e-5,
+                                   atol=1e-5)
+
+    def test_validates(self):
+        st = RNGState.from_key(0)
+        with pytest.raises(ValueError):
+            tensor_sketch_explicit(jnp.zeros((10, 2)), (3, 4), 8, st)
+        with pytest.raises(ValueError):
+            tensor_sketch_explicit(jnp.zeros((12, 2)), (), 8, st)
