@@ -449,3 +449,29 @@ def test_distributed_sparse_kernel_shard_body_interpret():
     # kernel contracts in bf16 (vs the f32 XLA oracle)
     np.testing.assert_allclose(got, want, rtol=0,
                                atol=2 ** -7 * np.abs(want).max() + 1e-4)
+
+
+def test_tensor_sketch_column_sharded_zero_comm():
+    """TensorSketch over column-sharded factors: n is the Khatri-Rao
+    batch axis, so sharding the factor COLUMNS P('data') keeps every
+    stage (CountSketch apply, rfft, spectral product, irfft) shard-
+    local — values must be bitwise what the unsharded call produces,
+    on any mesh shape (the tensor-family analog of
+    distributed_sketch_cols' zero-collective layout)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from randblas_tpu import tensor_sketch
+
+    rng = np.random.default_rng(9)
+    dims, d, n = (48, 32), 64, 16
+    mats = [jnp.asarray(rng.normal(size=(m, n)).astype(np.float32))
+            for m in dims]
+    st = RNGState.from_key(11)
+    want, nxt = tensor_sketch(mats, d, st)
+
+    for model, data in ((2, 4), (1, 8)):
+        mesh = make_sketch_mesh(model, data)
+        sharded = [jax.device_put(a, NamedSharding(mesh, P(None, "data")))
+                   for a in mats]
+        got, nxt2 = tensor_sketch(sharded, d, st)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        assert nxt2.to_dict() == nxt.to_dict()
