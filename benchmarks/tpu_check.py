@@ -34,6 +34,7 @@ def main():
                  "densify, tensor sketch, sgmres, one-pass SVD, "
                  "rand_geigh, xtrace/xdiag, kaczmarz/GS, rgs_qr, "
                  "SLQ+KPM density, FrequentDirections certificate, "
+                 "distributed FD (shard_map scan merge), "
                  "shard_map fused sketch, distributed CholQR/RSVD)",
     }
     path = os.path.join(ROOT, f"TPUCHECK_r{rnd}.json")
