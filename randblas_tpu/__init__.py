@@ -25,7 +25,8 @@ from .sparse import (
     repeated_fisher_yates,
 )
 from .trig import TrigDist, TrigSkOp, srht_operator
-from .tensor import (polynomial_kernel_features, tensor_sketch,
+from .tensor import (kfjlt_sketch, kfjlt_sketch_explicit,
+                     polynomial_kernel_features, tensor_sketch,
                      tensor_sketch_explicit, tensor_sketch_vectors)
 from .ops.hadamard import hadamard_matrix, hadamard_transform
 from .skge import sketch_general, sketch
@@ -50,6 +51,7 @@ __all__ = [
     "fill_dense", "fill_dense_submat", "isometry_scale_factor",
     "SparseDist", "SparseSkOp", "fill_sparse", "repeated_fisher_yates",
     "TrigDist", "TrigSkOp", "srht_operator",
+    "kfjlt_sketch", "kfjlt_sketch_explicit",
     "polynomial_kernel_features", "tensor_sketch",
     "tensor_sketch_explicit", "tensor_sketch_vectors",
     "hadamard_matrix", "hadamard_transform",

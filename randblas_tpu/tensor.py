@@ -38,6 +38,7 @@ from .base import MajorAxis, require
 from .rng.state import RNGState
 from .skge import sketch_general
 from .sparse import SparseDist, SparseSkOp
+from .util import _uniform_stream_bits, sample_indices_iid_uniform
 
 
 def _countsketch(d: int, m: int, state: RNGState) -> SparseSkOp:
@@ -153,6 +154,109 @@ def tensor_sketch_vectors(vectors: Sequence, d: int, state: RNGState, *,
     cols = [v[:, None] for v in vectors]
     out, nxt = tensor_sketch(cols, d, state, dtype=dtype)
     return out[:, 0], nxt
+
+
+def _kfjlt_sample(mode_dims, d: int, state: RNGState, dtype):
+    """Per-mode (signs, padded dim, sampled row indices) for a KFJLT,
+    chained signs-then-samples per mode (the same stream discipline as
+    trig.py/TensorSketch, so next_state = f(dist) holds)."""
+    from .ops.hadamard import next_pow2
+    st = state
+    parts = []
+    for m in mode_dims:
+        bits, st = _uniform_stream_bits(st, m)
+        sgn = jnp.where((bits & jnp.uint32(1)).astype(jnp.bool_),
+                        -jnp.ones((m,), dtype), jnp.ones((m,), dtype))
+        m_pad = next_pow2(m)
+        idx, st = sample_indices_iid_uniform(m_pad, d, st)
+        parts.append((sgn, m_pad, idx))
+    return parts, st
+
+
+def kfjlt_scale(mode_dims, d: int) -> float:
+    """c with E[(c S)^T (c S)] = I for the UNNORMALIZED per-mode
+    Hadamards: per mode, E over a uniform row j of (H D)[j]^T (H D)[j]
+    = (1/m_pad) D H^T H D = I, so the uniform sampling already absorbs
+    the 1/prod(m_pad) Hadamard normalization (exactly as in SRHT) and
+    only the 1/d row-averaging factor remains."""
+    import math as _math
+    return 1.0 / _math.sqrt(d)
+
+
+def kfjlt_sketch(factors: Sequence, d: int, state: RNGState, *,
+                 dtype=jnp.float32) -> Tuple[jax.Array, RNGState]:
+    """Kronecker FJLT (Jin-Kolda-Ward 2020) of the Khatri-Rao product of
+    ``factors``: S = c R (H D_1 (x) ... (x) H D_p), with per-mode
+    counter-addressed Rademacher D_i, per-mode Walsh-Hadamard H (the
+    SRHT machinery, ops/hadamard.py), and R sampling d Kronecker rows
+    iid — each coordinate drawn independently per mode, which IS the
+    uniform draw over the padded product domain.
+
+    A sampled row of the transformed Kronecker product factorizes into
+    the elementwise product of per-mode transformed rows, so the apply
+    is p Hadamard transforms + p row gathers + one product — the
+    prod(m_i)-row domain is never formed. Compared to ``tensor_sketch``
+    the embedding constant has no 3^p growth (TensorSketch's
+    second-moment constant), at the cost of O(m_i log m_i) per-mode
+    transforms instead of O(nnz); prefer KFJLT for small d budgets /
+    many modes, TensorSketch for very sparse factors.
+
+    Returns ``(out (d, n), next_state)``; isometry scale is INCLUDED
+    (E[S^T S] = I, see kfjlt_scale).
+    """
+    require(len(factors) >= 1, "kfjlt_sketch needs at least one factor")
+    n = factors[0].shape[1]
+    for f in factors:
+        require(f.ndim == 2 and f.shape[1] == n,
+                "factors must be 2-D with a shared column count")
+    require(d >= 1, "sketch size d must be >= 1")
+    from .ops.hadamard import hadamard_transform
+    dims = tuple(f.shape[0] for f in factors)
+    parts, nxt = _kfjlt_sample(dims, d, state, dtype)
+    out = None
+    for f, (sgn, m_pad, idx) in zip(factors, parts):
+        x = sgn[:, None] * f.astype(dtype)
+        if m_pad != x.shape[0]:
+            x = jnp.pad(x, ((0, m_pad - x.shape[0]), (0, 0)))
+        y = hadamard_transform(x)[idx, :]                    # (d, n)
+        out = y if out is None else out * y
+    return jnp.asarray(kfjlt_scale(dims, d), dtype) * out, nxt
+
+
+def kfjlt_sketch_explicit(x, mode_dims: Sequence[int], d: int,
+                          state: RNGState, *, dtype=jnp.float32
+                          ) -> Tuple[jax.Array, RNGState]:
+    """The SAME KFJLT operator applied to EXPLICIT x of shape
+    (prod(mode_dims), n) (row index i_1 * m_2 * ... + ... row-major,
+    matching kfjlt_sketch/jnp.kron): reshape x's rows onto the mode
+    lattice, run each mode's signed Hadamard along its own axis, then
+    gather the d sampled multi-indices. The unstructured-side companion
+    of kfjlt_sketch (CPRAND-style solves need both)."""
+    mode_dims = tuple(int(m) for m in mode_dims)
+    require(len(mode_dims) >= 1, "kfjlt_sketch_explicit needs >= 1 mode")
+    total = 1
+    for m in mode_dims:
+        total *= m
+    require(x.ndim == 2 and x.shape[0] == total,
+            "x must be 2-D with prod(mode_dims) rows")
+    require(d >= 1, "sketch size d must be >= 1")
+    from .ops.hadamard import hadamard_transform
+    parts, nxt = _kfjlt_sample(mode_dims, d, state, dtype)
+    n = x.shape[1]
+    z = x.astype(dtype).reshape(*mode_dims, n)
+    p = len(mode_dims)
+    for ax, (sgn, m_pad, _idx) in enumerate(parts):
+        z = jnp.moveaxis(z, ax, 0)
+        lead = z.shape[0]
+        rest = z.shape[1:]
+        flat = sgn[:, None] * z.reshape(lead, -1)
+        if m_pad != lead:
+            flat = jnp.pad(flat, ((0, m_pad - lead), (0, 0)))
+        z = jnp.moveaxis(hadamard_transform(flat).reshape(m_pad, *rest),
+                         0, ax)
+    gather = tuple(idx for (_s, _m, idx) in parts) + (slice(None),)
+    out = z[gather]                                          # (d, n)
+    return jnp.asarray(kfjlt_scale(mode_dims, d), dtype) * out, nxt
 
 
 def polynomial_kernel_features(x, degree: int, d: int, state: RNGState, *,

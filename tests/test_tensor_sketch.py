@@ -235,3 +235,104 @@ class TestExplicitApply:
             tensor_sketch_explicit(jnp.zeros((10, 2)), (3, 4), 8, st)
         with pytest.raises(ValueError):
             tensor_sketch_explicit(jnp.zeros((12, 2)), (), 8, st)
+
+
+class TestKFJLT:
+    """Kronecker FJLT (kfjlt_sketch / kfjlt_sketch_explicit): the
+    low-variance sibling of TensorSketch — oracle against the
+    materialized sampled-Kronecker operator, structured == explicit,
+    stream contracts, embedding quality."""
+
+    def _kr(self, mats):
+        out = mats[0]
+        for m in mats[1:]:
+            out = np.einsum("ik,jk->ijk", out, m).reshape(-1, out.shape[1])
+        return out
+
+    def _materialize(self, mode_dims, d, state):
+        """Dense (d, prod m_pad-restricted-to-m) oracle built from the
+        SAME streams: per mode H D rows at the sampled indices,
+        kron-multiplied, scaled."""
+        from randblas_tpu.ops.hadamard import hadamard_matrix, next_pow2
+        from randblas_tpu.tensor import _kfjlt_sample, kfjlt_scale
+        import jax.numpy as jnp
+        parts, _ = _kfjlt_sample(mode_dims, d, state, jnp.float32)
+        rows = None
+        for m, (sgn, m_pad, idx) in zip(mode_dims, parts):
+            h = np.asarray(hadamard_matrix(m_pad))
+            blk = h[np.asarray(idx), :m] * np.asarray(sgn)[None, :]
+            rows = blk if rows is None else \
+                (rows[:, :, None] * blk[:, None, :]).reshape(d, -1)
+        return kfjlt_scale(mode_dims, d) * rows
+
+    def test_matches_materialized_two_modes(self):
+        from randblas_tpu.tensor import kfjlt_sketch
+        d, dims, n = 32, (12, 10), 4          # non-pow2: padding path
+        rng = np.random.default_rng(30)
+        mats = [jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+                for m in dims]
+        st = RNGState.from_key(31)
+        got, _ = kfjlt_sketch(mats, d, st)
+        want = self._materialize(dims, d, st) @ self._kr(
+            [np.asarray(m) for m in mats])
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4,
+                                   atol=2e-5)
+
+    def test_explicit_matches_structured_three_modes(self):
+        from randblas_tpu.tensor import kfjlt_sketch, kfjlt_sketch_explicit
+        d, dims, n = 16, (5, 8, 3), 2
+        rng = np.random.default_rng(32)
+        mats = [jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+                for m in dims]
+        st = RNGState.from_key(33)
+        want, nxt_s = kfjlt_sketch(mats, d, st)
+        big = jnp.asarray(self._kr([np.asarray(m) for m in mats]))
+        got, nxt_e = kfjlt_sketch_explicit(big, dims, d, st)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
+        assert nxt_s.to_dict() == nxt_e.to_dict()
+
+    def test_next_state_counter_arithmetic(self):
+        from randblas_tpu.tensor import _kfjlt_sample
+        st = RNGState.from_key(7)
+        dims, d = (10, 20), 32
+        _, nxt = _kfjlt_sample(dims, d, st, jnp.float32)
+        len_c = st.len_c
+        blocks = sum((-(-m // len_c)) + (-(-d // len_c)) for m in dims)
+        np.testing.assert_array_equal(np.asarray(nxt.counter),
+                                      np.asarray(st.incr(blocks).counter))
+
+    def test_isometry_in_expectation(self):
+        """E |S x|^2 = |x|^2 over draws; KFJLT's constant has no 3^p
+        blowup, so 48 draws at d = 64 concentrate tightly."""
+        from randblas_tpu.tensor import kfjlt_sketch
+        dims, n = (16, 12), 1
+        rng = np.random.default_rng(34)
+        mats = [jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+                for m in dims]
+        target = float((self._kr([np.asarray(m) for m in mats]) ** 2).sum())
+        vals = []
+        for seed in range(48):
+            sx, _ = kfjlt_sketch(mats, 64, RNGState.from_key(seed))
+            vals.append(float((np.asarray(sx) ** 2).sum()))
+        assert abs(np.mean(vals) - target) / target < 0.2
+
+    def test_jit(self):
+        from randblas_tpu.tensor import kfjlt_sketch
+        dims, d, n = (8, 8), 16, 3
+        rng = np.random.default_rng(35)
+        mats = [jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+                for m in dims]
+        st = RNGState.from_key(36)
+        eager, _ = kfjlt_sketch(mats, d, st)
+        fn = jax.jit(lambda ms, ss: kfjlt_sketch(ms, d, ss)[0])
+        np.testing.assert_allclose(np.asarray(fn(mats, st)),
+                                   np.asarray(eager), rtol=1e-5, atol=1e-5)
+
+    def test_validates(self):
+        from randblas_tpu.tensor import kfjlt_sketch, kfjlt_sketch_explicit
+        st = RNGState.from_key(0)
+        with pytest.raises(ValueError):
+            kfjlt_sketch([], 8, st)
+        with pytest.raises(ValueError):
+            kfjlt_sketch_explicit(jnp.zeros((10, 2)), (3, 4), 8, st)
