@@ -39,12 +39,19 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+if "--tpu" not in sys.argv:
+    # fit demo over many small distinct shapes: remote tunnel compiles
+    # dominate on the TPU, so default to the host (pass --tpu to override)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 import jax                                                     # noqa: E402
 import jax.numpy as jnp                                        # noqa: E402
 
 from randblas_tpu import RNGState                              # noqa: E402
-from randblas_tpu.tensor import (tensor_sketch,                # noqa: E402
-                                 tensor_sketch_explicit)
+from randblas_tpu.tensor import (kfjlt_sketch,                 # noqa: E402
+                                 kfjlt_sketch_explicit,
+                                 tensor_sketch, tensor_sketch_explicit)
 
 
 def khatri_rao(b, c):
@@ -55,13 +62,18 @@ def khatri_rao(b, c):
     return (b[:, None, :] * c[None, :, :]).reshape(j * k, r)
 
 
-def solve_mode(x_unf, kr_factors, d, state, ridge=1e-8):
+def solve_mode(x_unf, kr_factors, d, state, ridge=1e-8, sketch="ts"):
     """One sketched factor update: lstsq of (S Z) A^T = S X_(mode)^T
-    through the R x R normal equations. Returns (factor, next_state)."""
-    sz, nxt = tensor_sketch(kr_factors, d, state)           # (d, R)
-    sxt, _ = tensor_sketch_explicit(
-        x_unf.T, (kr_factors[0].shape[0], kr_factors[1].shape[0]),
-        d, state)                                           # (d, I)
+    through the R x R normal equations. Returns (factor, next_state).
+    sketch='ts' uses TensorSketch; 'kfjlt' the Kronecker FJLT (the
+    CPRAND-MIX choice — no 3^p variance constant, so much smaller d
+    suffices at the cost of per-mode Hadamard mixing)."""
+    dims = (kr_factors[0].shape[0], kr_factors[1].shape[0])
+    struct, explicit = ((tensor_sketch, tensor_sketch_explicit)
+                        if sketch == "ts"
+                        else (kfjlt_sketch, kfjlt_sketch_explicit))
+    sz, nxt = struct(kr_factors, d, state)                  # (d, R)
+    sxt, _ = explicit(x_unf.T, dims, d, state)              # (d, I)
     g = sz.T @ sz
     g = g + ridge * jnp.trace(g) * jnp.eye(g.shape[0], dtype=g.dtype)
     w = sz.T @ sxt                                          # (R, I)
@@ -87,8 +99,9 @@ def fit(x, a, b, c):
         np.asarray(x))
 
 
-def cp_als(x, rank, sweeps, d=None, state=None):
-    """d=None: exact ALS. d set: TensorSketch-compressed ALS."""
+def cp_als(x, rank, sweeps, d=None, state=None, sketch="ts"):
+    """d=None: exact ALS. d set: sketch-compressed ALS ('ts' or
+    'kfjlt')."""
     i_, j_, k_ = x.shape
     x1 = x.reshape(i_, j_ * k_)                       # col j*K + k
     x2 = jnp.transpose(x, (1, 0, 2)).reshape(j_, i_ * k_)  # col i*K + k
@@ -103,9 +116,9 @@ def cp_als(x, rank, sweeps, d=None, state=None):
             b = exact_mode(x2, [a, c])
             c = exact_mode(x3, [a, b])
         else:
-            a, state = solve_mode(x1, [b, c], d, state)
-            b, state = solve_mode(x2, [a, c], d, state)
-            c, state = solve_mode(x3, [a, b], d, state)
+            a, state = solve_mode(x1, [b, c], d, state, sketch=sketch)
+            b, state = solve_mode(x2, [a, c], d, state, sketch=sketch)
+            c, state = solve_mode(x3, [a, b], d, state, sketch=sketch)
         # rebalance: unit-norm a, b; c absorbs their weights so the
         # reconstruction a o b o c is unchanged
         a, la = normalize(a)
@@ -136,15 +149,30 @@ def main():
     t_sk = time.time() - t0
     f_sk = fit(x, a, b, c)
 
+    t0 = time.time()
+    a, b, c = cp_als(xj, rank, sweeps=10, d=128,
+                     state=RNGState.from_key(7), sketch="kfjlt")
+    t_kf = time.time() - t0
+    f_kf = fit(x, a, b, c)
+
+    a, b, c = cp_als(xj, rank, sweeps=10, d=128,
+                     state=RNGState.from_key(7), sketch="ts")
+    f_ts128 = fit(x, a, b, c)
+
     print(f"exact CP-ALS     : fit {f_exact:.4f}  ({t_exact:.2f}s, "
           f"Z is {j_ * k_} x {rank})")
     print(f"sketched (d=4096): fit {f_sk:.4f}  ({t_sk:.2f}s, "
           f"SZ is 4096 x {rank}, Z never formed)")
+    print(f"KFJLT    (d= 128): fit {f_kf:.4f}  ({t_kf:.2f}s — no 3^p "
+          f"constant, 32x smaller d; TensorSketch at d=128 "
+          f"plateaus at {f_ts128:.4f})")
     print("(at this toy size the exact solve is cheap; the sketched "
           "path's per-solve cost is O(nnz(X) + d R^2) vs O(J K R^2), "
           "which wins once J*K >> d)")
     assert f_sk > 0.95 * f_exact, "sketched ALS lost the fit"
-    print("ok: TensorSketch ALS matches the exact fit at d << J*K")
+    assert f_kf > 0.95 * f_exact, "KFJLT ALS lost the fit at d=128"
+    print("ok: TensorSketch ALS matches the exact fit at d << J*K; "
+          "KFJLT matches it at d = 128 where TensorSketch plateaus")
 
 
 if __name__ == "__main__":

@@ -184,7 +184,8 @@ def kfjlt_scale(mode_dims, d: int) -> float:
 
 
 def kfjlt_sketch(factors: Sequence, d: int, state: RNGState, *,
-                 dtype=jnp.float32) -> Tuple[jax.Array, RNGState]:
+                 dtype=jnp.float32, precision=None
+                 ) -> Tuple[jax.Array, RNGState]:
     """Kronecker FJLT (Jin-Kolda-Ward 2020) of the Khatri-Rao product of
     ``factors``: S = c R (H D_1 (x) ... (x) H D_p), with per-mode
     counter-addressed Rademacher D_i, per-mode Walsh-Hadamard H (the
@@ -202,7 +203,10 @@ def kfjlt_sketch(factors: Sequence, d: int, state: RNGState, *,
     many modes, TensorSketch for very sparse factors.
 
     Returns ``(out (d, n), next_state)``; isometry scale is INCLUDED
-    (E[S^T S] = I, see kfjlt_scale).
+    (E[S^T S] = I, see kfjlt_scale). ``precision`` forwards to the
+    per-mode Hadamard stage contractions (None = backend default, i.e.
+    bf16-on-MXU on TPU; pass 'highest' when the sketch is the ONLY
+    view of the data kept downstream).
     """
     require(len(factors) >= 1, "kfjlt_sketch needs at least one factor")
     n = factors[0].shape[1]
@@ -218,14 +222,14 @@ def kfjlt_sketch(factors: Sequence, d: int, state: RNGState, *,
         x = sgn[:, None] * f.astype(dtype)
         if m_pad != x.shape[0]:
             x = jnp.pad(x, ((0, m_pad - x.shape[0]), (0, 0)))
-        y = hadamard_transform(x)[idx, :]                    # (d, n)
+        y = hadamard_transform(x, precision=precision)[idx, :]   # (d, n)
         out = y if out is None else out * y
     return jnp.asarray(kfjlt_scale(dims, d), dtype) * out, nxt
 
 
 def kfjlt_sketch_explicit(x, mode_dims: Sequence[int], d: int,
-                          state: RNGState, *, dtype=jnp.float32
-                          ) -> Tuple[jax.Array, RNGState]:
+                          state: RNGState, *, dtype=jnp.float32,
+                          precision=None) -> Tuple[jax.Array, RNGState]:
     """The SAME KFJLT operator applied to EXPLICIT x of shape
     (prod(mode_dims), n) (row index i_1 * m_2 * ... + ... row-major,
     matching kfjlt_sketch/jnp.kron): reshape x's rows onto the mode
@@ -252,8 +256,9 @@ def kfjlt_sketch_explicit(x, mode_dims: Sequence[int], d: int,
         flat = sgn[:, None] * z.reshape(lead, -1)
         if m_pad != lead:
             flat = jnp.pad(flat, ((0, m_pad - lead), (0, 0)))
-        z = jnp.moveaxis(hadamard_transform(flat).reshape(m_pad, *rest),
-                         0, ax)
+        z = jnp.moveaxis(
+            hadamard_transform(flat, precision=precision).reshape(
+                m_pad, *rest), 0, ax)
     gather = tuple(idx for (_s, _m, idx) in parts) + (slice(None),)
     out = z[gather]                                          # (d, n)
     return jnp.asarray(kfjlt_scale(mode_dims, d), dtype) * out, nxt

@@ -475,3 +475,28 @@ def test_tensor_sketch_column_sharded_zero_comm():
         got, nxt2 = tensor_sketch(sharded, d, st)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
         assert nxt2.to_dict() == nxt.to_dict()
+
+def test_kfjlt_column_sharded_zero_comm():
+    """KFJLT over column-sharded factors: every stage (per-mode sign
+    scale, pad, Hadamard matmuls along rows, sampled-row gather,
+    elementwise product) acts independently per column, so factors
+    sharded P(None, 'data') produce bitwise the unsharded result with
+    zero collectives — the KFJLT analog of the TensorSketch test
+    above."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from randblas_tpu import kfjlt_sketch
+
+    rng = np.random.default_rng(10)
+    dims, d, n = (48, 20), 64, 16
+    mats = [jnp.asarray(rng.normal(size=(m, n)).astype(np.float32))
+            for m in dims]
+    st = RNGState.from_key(12)
+    want, nxt = kfjlt_sketch(mats, d, st)
+
+    for model, data in ((2, 4), (1, 8)):
+        mesh = make_sketch_mesh(model, data)
+        sharded = [jax.device_put(a, NamedSharding(mesh, P(None, "data")))
+                   for a in mats]
+        got, nxt2 = kfjlt_sketch(sharded, d, st)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        assert nxt2.to_dict() == nxt.to_dict()

@@ -746,3 +746,124 @@ def test_saso_kernel_on_hardware():
     mesh = make_sketch_mesh(1, 1, jax.devices()[:1])
     B3 = np.asarray(distributed_sparse_sketch(S, A, mesh))
     _check_fused_vs_bound(B3, np.asarray(S.materialize()), np.asarray(A))
+
+
+def test_kfjlt_on_hardware():
+    """KFJLT (tensor.py::kfjlt_sketch) on the chip vs the f64
+    materialized sampled-Kronecker oracle built from the SAME streams.
+    Two assertions (the SRHT posture, which supplies the per-mode
+    Hadamards): precision='highest' must sit at f32-eps-level relative
+    accuracy; the production default (bf16-on-MXU stages) at a relative
+    Frobenius bound. Also pins structured == explicit ON HARDWARE
+    (distinct compiled paths: per-factor transforms vs the mode-lattice
+    sweep + multi-index gather)."""
+    import jax.numpy as jnp
+    from randblas_tpu import RNGState
+    from randblas_tpu.ops.hadamard import hadamard_matrix
+    from randblas_tpu.tensor import (_kfjlt_sample, kfjlt_scale,
+                                     kfjlt_sketch, kfjlt_sketch_explicit)
+
+    d, dims, n = 256, (96, 80), 16      # non-pow2 modes: padding path
+    rng = np.random.default_rng(16)
+    mats = [jnp.asarray(rng.normal(size=(m, n)).astype(np.float32))
+            for m in dims]
+    st = RNGState.from_key(34)
+
+    parts, _ = _kfjlt_sample(dims, d, st, jnp.float32)
+    rows = None
+    for m, (sgn, m_pad, idx) in zip(dims, parts):
+        h = np.asarray(hadamard_matrix(m_pad)).astype(np.float64)
+        blk = h[np.asarray(idx), :m] * np.asarray(sgn,
+                                                  np.float64)[None, :]
+        rows = blk if rows is None else \
+            (rows[:, :, None] * blk[:, None, :]).reshape(d, -1)
+    kr = np.einsum("ik,jk->ijk", np.asarray(mats[0], np.float64),
+                   np.asarray(mats[1], np.float64)).reshape(-1, n)
+    want = kfjlt_scale(dims, d) * (rows @ kr)
+    wn = np.linalg.norm(want)
+
+    hi = np.asarray(jax.jit(lambda ms: kfjlt_sketch(
+        ms, d, st, precision="highest")[0])(mats))
+    assert np.linalg.norm(hi - want) / wn < 1e-5
+
+    lo = np.asarray(jax.jit(lambda ms: kfjlt_sketch(ms, d, st)[0])(mats))
+    assert np.linalg.norm(lo - want) / wn < 3e-2
+
+    big = jnp.asarray(kr.astype(np.float32))
+    ex = np.asarray(jax.jit(lambda x: kfjlt_sketch_explicit(
+        x, dims, d, st, precision="highest")[0])(big))
+    assert np.linalg.norm(ex - want) / wn < 1e-5
+
+
+def test_tt_round_on_hardware():
+    """TT tier (linalg/tt.py) on the chip: tt_from_dense +
+    tt_add + tt_round are QR/SVD/einsum cancellation chains — the
+    exact class that produced round 4's three chip-only defects — so
+    pin them against f64 host oracles. Three assertions: exact-rank
+    recovery from dense, the add-then-round-back certificate, and
+    quasi-optimal truncation vs the f64 TT-SVD baseline."""
+    import jax.numpy as jnp
+    from randblas_tpu import RNGState
+    from randblas_tpu.linalg import (tt_add, tt_from_dense, tt_gaussian,
+                                     tt_round, tt_scale)
+
+    x, _ = tt_gaussian((8, 9, 7, 6), (3, 4, 2), RNGState.from_key(1))
+    dense = np.asarray(x.full(), np.float64)
+    tt2, _ = tt_from_dense(jnp.asarray(dense.astype(np.float32)),
+                           (3, 4, 2), RNGState.from_key(2))
+    rel = np.linalg.norm(np.asarray(tt2.full(), np.float64) - dense) \
+        / np.linalg.norm(dense)
+    assert rel < 1e-2, rel            # bf16 MXU stages on the chip
+
+    s = tt_add(x, tt_scale(x, 2.0))
+    r, _ = tt_round(s, (3, 4, 2), RNGState.from_key(3))
+    rel = np.linalg.norm(np.asarray(r.full(), np.float64) - 3 * dense) \
+        / (3 * np.linalg.norm(dense))
+    assert rel < 1e-2, rel
+
+    # decaying spectrum: truncation error within a small factor of the
+    # f64 deterministic TT-SVD (the quasi-optimality certificate)
+    rng = np.random.default_rng(8)
+    y = np.zeros((9, 10, 11), np.float64)
+    for t in range(8):
+        a, b, c = (rng.standard_normal(sz) for sz in (9, 10, 11))
+        y += (0.5 ** t) * np.einsum("i,j,k->ijk", a, b, c)
+    ty, _ = tt_from_dense(jnp.asarray(y.astype(np.float32)), 8,
+                          RNGState.from_key(12), power_iters=2)
+    ry, _ = tt_round(ty, 3, RNGState.from_key(13), oversample=4)
+    got = np.linalg.norm(np.asarray(ry.full(), np.float64) - y)
+
+    import sys as _sys
+    _sys.path.insert(0, "tests")
+    from test_tt import tt_svd_oracle
+    base = np.linalg.norm(tt_svd_oracle(y, 3) - y)
+    assert got < 3 * base + 5e-2 * np.linalg.norm(y), (got, base)
+
+
+def test_tucker_on_hardware():
+    """Randomized ST-HOSVD (linalg/tucker.py) on the chip vs the f64
+    deterministic ST-HOSVD oracle on a decaying-spectrum tensor
+    (rangefinder + safe_svd truncation chains at bf16 MXU stage
+    precision)."""
+    import jax.numpy as jnp
+    from randblas_tpu import RNGState
+    from randblas_tpu.linalg import tucker_from_dense, tucker_full
+
+    rng = np.random.default_rng(2)
+    y = np.zeros((12, 13, 14), np.float64)
+    for t in range(10):
+        a, b, c = (rng.standard_normal(sz) for sz in (12, 13, 14))
+        y += (0.5 ** t) * np.einsum("i,j,k->ijk", a, b, c)
+    cc, ff, _ = tucker_from_dense(jnp.asarray(y.astype(np.float32)), 4,
+                                  RNGState.from_key(2), power_iters=2)
+    got = np.linalg.norm(
+        np.asarray(tucker_full(cc, ff), np.float64) - y)
+
+    import sys as _sys
+    _sys.path.insert(0, "tests")
+    from test_tucker import st_hosvd_oracle
+    base = np.linalg.norm(st_hosvd_oracle(y, 4) - y)
+    assert got < 2 * base + 5e-2 * np.linalg.norm(y), (got, base)
+    for u in ff:
+        g = np.asarray(jnp.matmul(u.T, u))
+        np.testing.assert_allclose(g, np.eye(g.shape[0]), atol=2e-2)
