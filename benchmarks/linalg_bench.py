@@ -447,6 +447,79 @@ def bench_rgs():
     print(f"cholqr2 {m}x{k} (same run): {t*1e3:.1f} ms")
 
 
+def bench_tt():
+    # TT rounding at a production shape: a rank-256 5-mode TT (the
+    # doubled output of a rank-128 tt_add) rounded back to 128. The
+    # hot work is the right interface chain (batched einsums) and the
+    # per-mode (r n, r) panel QRs.
+    from randblas_tpu.linalg import tt_add, tt_gaussian, tt_round
+    shape, r_in, r_out = (64,) * 5, 128, 128
+    x, _ = tt_gaussian(shape, r_in, RNGState.from_key(20))
+    s = tt_add(x, x)                     # ranks 256
+
+    def body(i, carry, *cores):
+        from randblas_tpu.linalg import TTTensor
+        cs = list(cores)
+        cs[0] = cs[0] + carry * 0.0
+        r, _ = tt_round(TTTensor(cs), r_out, RNGState.from_key(21),
+                        oversample=8)
+        return carry + r.cores[0][0, 0, 0] * 1e-20 + jnp.float32(i) * 0.0
+
+    t = time_loop(body, *s.cores, iters_small=1, iters_large=3,
+                  repeats=2)
+    print(f"tt_round (64,)x5 ranks 256->{r_out}: {t*1e3:.1f} ms")
+
+    def body_fd(i, carry, dense):
+        from randblas_tpu.linalg import tt_from_dense
+        tt, _ = tt_from_dense(dense + carry * 0.0, 64,
+                              RNGState.from_key(22), power_iters=1)
+        return carry + tt.cores[0][0, 0, 0] * 1e-20 + jnp.float32(i) * 0.0
+
+    dense = jnp.asarray(np.random.default_rng(23).standard_normal(
+        (64, 64, 64, 64)).astype(np.float32))
+    t = time_loop(body_fd, dense, iters_small=1, iters_large=3,
+                  repeats=2)
+    print(f"tt_from_dense 64^4 ranks 64: {t*1e3:.1f} ms")
+
+    def body_tk(i, carry, d_op):
+        from randblas_tpu.linalg import tucker_from_dense
+        c, f, _ = tucker_from_dense(d_op + carry * 0.0, 32,
+                                    RNGState.from_key(26),
+                                    power_iters=1)
+        return carry + c[0, 0, 0, 0] * 1e-20 + jnp.float32(i) * 0.0
+
+    t = time_loop(body_tk, dense, iters_small=1, iters_large=3,
+                  repeats=2)
+    print(f"tucker_from_dense 64^4 ranks 32 (same run): {t*1e3:.1f} ms")
+
+
+def bench_kfjlt():
+    # Khatri-Rao embedding of two 65536-row factors into d=1024: per-
+    # mode Hadamard (the SRHT stages) + row gathers + one product.
+    from randblas_tpu.tensor import kfjlt_sketch, tensor_sketch
+    m, n, d = 65536, 64, 1024
+    rng = np.random.default_rng(24)
+    mats = [jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+            for _ in range(2)]
+
+    def body(i, carry, a1, a2):
+        out, _ = kfjlt_sketch([a1 + carry * 0.0, a2], d,
+                              RNGState.from_key(25))
+        return carry + out[0, 0] * 1e-20 + jnp.float32(i) * 0.0
+
+    t = time_loop(body, *mats, iters_small=1, iters_large=4, repeats=2)
+    print(f"kfjlt_sketch 2x({m}x{n}) -> d={d}: {t*1e3:.1f} ms")
+
+    def body_ts(i, carry, a1, a2):
+        out, _ = tensor_sketch([a1 + carry * 0.0, a2], d,
+                               RNGState.from_key(25))
+        return carry + out[0, 0] * 1e-20 + jnp.float32(i) * 0.0
+
+    t = time_loop(body_ts, *mats, iters_small=1, iters_large=4,
+                  repeats=2)
+    print(f"tensor_sketch same shape (same run): {t*1e3:.1f} ms")
+
+
 BENCHES = {
     "rsvd": bench_rsvd,
     "nystrom": bench_nystrom_pcg,
@@ -465,6 +538,8 @@ BENCHES = {
     "fd": bench_fd,
     "density": bench_density,
     "rgs": bench_rgs,
+    "tt": bench_tt,
+    "kfjlt": bench_kfjlt,
 }
 
 

@@ -1,0 +1,199 @@
+"""Tensor-train tier (linalg/tt.py): container algebra vs dense
+oracles, randomized TT-SVD recovery, Randomize-then-Orthogonalize
+rounding vs the deterministic TT-SVD baseline, stream contracts."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from randblas_tpu import RNGState
+from randblas_tpu.linalg import (TTTensor, tt_add, tt_dot, tt_from_dense,
+                                 tt_gaussian, tt_norm, tt_round, tt_scale)
+
+
+def tt_svd_oracle(x, ranks):
+    """Deterministic TT-SVD (Oseledets 2011) in f64 numpy: the
+    quasi-optimality baseline for the randomized paths."""
+    x = np.asarray(x, np.float64)
+    shape = x.shape
+    p = len(shape)
+    ranks = (ranks,) * (p - 1) if isinstance(ranks, int) else tuple(ranks)
+    cores = []
+    carry = x.reshape(1, -1)
+    r_prev = 1
+    for k in range(p - 1):
+        mat = carry.reshape(r_prev * shape[k], -1)
+        u, s, vt = np.linalg.svd(mat, full_matrices=False)
+        r = min(ranks[k], len(s))
+        cores.append(u[:, :r].reshape(r_prev, shape[k], r))
+        carry = s[:r, None] * vt[:r, :]
+        r_prev = r
+    cores.append(carry.reshape(r_prev, shape[-1], 1))
+    out = cores[0]
+    for g in cores[1:]:
+        out = np.einsum("a...b,bic->a...ic", out, g)
+    return out[0, ..., 0]
+
+
+class TestContainer:
+    def test_full_matches_explicit_contraction(self):
+        x, _ = tt_gaussian((4, 5, 6), (2, 3), RNGState.from_key(0))
+        g1, g2, g3 = [np.asarray(g) for g in x.cores]
+        want = np.einsum("aib,bjc,ckd->ijk", g1, g2, g3)
+        np.testing.assert_allclose(np.asarray(x.full()), want, rtol=1e-6)
+
+    def test_dot_norm_add_scale_vs_dense(self):
+        x, _ = tt_gaussian((5, 4, 3, 6), (2, 3, 2), RNGState.from_key(1))
+        y, _ = tt_gaussian((5, 4, 3, 6), 2, RNGState.from_key(2))
+        xd, yd = np.asarray(x.full(), np.float64), np.asarray(
+            y.full(), np.float64)
+        np.testing.assert_allclose(float(tt_dot(x, y)), np.vdot(xd, yd),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(float(tt_norm(x)), np.linalg.norm(xd),
+                                   rtol=1e-5)
+        s = tt_add(x, tt_scale(y, -2.5))
+        assert s.ranks == tuple(a + b for a, b in zip(
+            (1, 2, 3, 2, 1), (1, 2, 2, 2, 1))) or s.ranks == \
+            (1, 4, 5, 4, 1)
+        np.testing.assert_allclose(np.asarray(s.full()), xd - 2.5 * yd,
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_pytree_jit(self):
+        x, _ = tt_gaussian((4, 4, 4), 2, RNGState.from_key(3))
+        f = jax.jit(lambda t: tt_norm(tt_scale(t, 2.0)))
+        np.testing.assert_allclose(float(f(x)), 2 * float(tt_norm(x)),
+                                   rtol=1e-6)
+
+    def test_validates(self):
+        with pytest.raises(ValueError):
+            TTTensor([jnp.zeros((2, 3, 1))])          # r_0 != 1
+        with pytest.raises(ValueError):
+            TTTensor([jnp.zeros((1, 3, 2)), jnp.zeros((3, 3, 1))])
+        with pytest.raises(ValueError):
+            tt_gaussian((4, 4), (2, 2), RNGState.from_key(0))  # len
+        with pytest.raises(ValueError):
+            tt_add(*[tt_gaussian((3, 3), 1, RNGState.from_key(i))[0]
+                     for i in range(2)] if False else (
+                tt_gaussian((3, 3), 1, RNGState.from_key(0))[0],
+                tt_gaussian((3, 4), 1, RNGState.from_key(1))[0]))
+
+
+class TestStreams:
+    def test_gaussian_next_state_is_f_of_dist(self):
+        """next_state must equal the seed-chained advance over the
+        per-core DenseDists — independent of values/devices."""
+        from randblas_tpu.dense import DenseDist, compute_next_state
+        st = RNGState.from_key(7)
+        shape, ranks = (6, 5, 4), (3, 2)
+        _, nxt = tt_gaussian(shape, ranks, st)
+        rr = (1, 3, 2, 1)
+        cur = st
+        for k, n in enumerate(shape):
+            cur = compute_next_state(
+                DenseDist(rr[k], n * rr[k + 1]), cur)
+        assert nxt.to_dict() == cur.to_dict()
+
+    def test_deterministic_replay(self):
+        a, n1 = tt_gaussian((4, 5), 2, RNGState.from_key(9))
+        b, n2 = tt_gaussian((4, 5), 2, RNGState.from_key(9))
+        for ga, gb in zip(a.cores, b.cores):
+            np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+        assert n1.to_dict() == n2.to_dict()
+
+    def test_round_next_state_matches_gaussian_advance(self):
+        x, _ = tt_gaussian((5, 6, 4), (4, 3), RNGState.from_key(10))
+        s = tt_add(x, x)
+        st = RNGState.from_key(11)
+        _, nxt = tt_round(s, (4, 3), st, oversample=2)
+        # the only stream consumer is the Gaussian sketch TT at the
+        # clipped ell ranks
+        ell = (min(4 + 2, 8), min(3 + 2, 6))
+        _, want = tt_gaussian((5, 6, 4), ell, st)
+        assert nxt.to_dict() == want.to_dict()
+
+
+class TestFromDense:
+    def test_exact_rank_recovery(self):
+        x, _ = tt_gaussian((8, 9, 7, 6), (3, 4, 2), RNGState.from_key(1))
+        dense = x.full()
+        tt2, _ = tt_from_dense(dense, (3, 4, 2), RNGState.from_key(2))
+        rel = float(jnp.linalg.norm(tt2.full() - dense)
+                    / jnp.linalg.norm(dense))
+        assert rel < 1e-4, rel
+        assert tt2.ranks == (1, 3, 4, 2, 1)
+
+    def test_quasi_optimal_truncation(self):
+        """On a tensor with decaying TT spectrum, the randomized
+        truncation must land within 2x of the deterministic TT-SVD
+        error (HMT-type quasi-optimality, power_iters=2)."""
+        rng = np.random.default_rng(4)
+        # decaying sum of separable terms
+        x = np.zeros((10, 11, 12), np.float64)
+        for t in range(10):
+            a, b, c = (rng.standard_normal(s) for s in (10, 11, 12))
+            x += (0.4 ** t) * np.einsum("i,j,k->ijk", a, b, c)
+        xj = jnp.asarray(x.astype(np.float32))
+        tt, _ = tt_from_dense(xj, 4, RNGState.from_key(5), power_iters=2)
+        got = np.linalg.norm(np.asarray(tt.full(), np.float64) - x)
+        base = np.linalg.norm(tt_svd_oracle(x, 4) - x)
+        assert got < 2 * base + 1e-6, (got, base)
+
+    def test_rank_clipping_and_matrix_case(self):
+        a = jnp.asarray(np.random.default_rng(6).standard_normal(
+            (7, 9)).astype(np.float32))
+        tt, _ = tt_from_dense(a, 50, RNGState.from_key(6))
+        assert tt.ranks == (1, 7, 1)       # clipped to min dim
+        rel = float(jnp.linalg.norm(tt.full() - a) / jnp.linalg.norm(a))
+        assert rel < 1e-4                  # full-rank = exact
+
+
+class TestRound:
+    def test_add_round_trip(self):
+        """x + 2x rounds back to x's ranks with value 3x (the classic
+        rounding correctness certificate: the sum's TRUE ranks are
+        x's, so truncation is exact up to sketch conditioning)."""
+        x, _ = tt_gaussian((8, 9, 7, 6), (3, 4, 2), RNGState.from_key(1))
+        s = tt_add(x, tt_scale(x, 2.0))
+        assert s.ranks == (1, 6, 8, 4, 1)
+        r, _ = tt_round(s, (3, 4, 2), RNGState.from_key(3))
+        assert r.ranks == (1, 3, 4, 2, 1)
+        dense = np.asarray(x.full(), np.float64)
+        rel = np.linalg.norm(np.asarray(r.full(), np.float64) - 3 * dense
+                             ) / (3 * np.linalg.norm(dense))
+        assert rel < 1e-4, rel
+
+    def test_quasi_optimal_vs_tt_svd(self):
+        """Rounding a decaying-spectrum TT to lower rank lands within
+        3x of the deterministic TT-SVD truncation error (SISC 2023
+        thm 3.1 posture, oversample=4)."""
+        rng = np.random.default_rng(8)
+        x = np.zeros((9, 10, 11), np.float64)
+        for t in range(8):
+            a, b, c = (rng.standard_normal(s) for s in (9, 10, 11))
+            x += (0.5 ** t) * np.einsum("i,j,k->ijk", a, b, c)
+        # exact-ish TT of x first (feasible ranks), then round down
+        tt, _ = tt_from_dense(jnp.asarray(x.astype(np.float32)), 8,
+                              RNGState.from_key(12), power_iters=2)
+        r, _ = tt_round(tt, 3, RNGState.from_key(13), oversample=4)
+        got = np.linalg.norm(np.asarray(r.full(), np.float64) - x)
+        base = np.linalg.norm(tt_svd_oracle(x, 3) - x)
+        assert got < 3 * base + 1e-6, (got, base)
+
+    def test_jit(self):
+        x, _ = tt_gaussian((6, 7, 5), (4, 3), RNGState.from_key(14))
+        s = tt_add(x, x)
+        st = RNGState.from_key(15)
+        eager, _ = tt_round(s, (4, 3), st)
+        f = jax.jit(lambda t, ss: tt_round(t, (4, 3), ss)[0])
+        j = f(s, st)
+        rel = float(jnp.linalg.norm(j.full() - eager.full())
+                    / jnp.linalg.norm(eager.full()))
+        assert rel < 1e-4, rel
+
+    def test_single_mode_noop(self):
+        x, _ = tt_gaussian((5,), (), RNGState.from_key(16))
+        r, nxt = tt_round(x, (), RNGState.from_key(17))
+        np.testing.assert_array_equal(np.asarray(r.full()),
+                                      np.asarray(x.full()))
