@@ -448,12 +448,14 @@ def bench_rgs():
 
 
 def bench_tt():
-    # TT rounding at a production shape: a rank-256 5-mode TT (the
-    # doubled output of a rank-128 tt_add) rounded back to 128. The
-    # hot work is the right interface chain (batched einsums) and the
-    # per-mode (r n, r) panel QRs.
+    # TT rounding: a rank-128 4-mode TT (the doubled output of a
+    # rank-64 tt_add) rounded back to 64. The hot work is the right
+    # interface chain (batched einsums) and the per-mode (r n, r)
+    # panel QRs. (A 5-mode rank-256 variant stalls the remote Mosaic/
+    # XLA compile >30 min on this toolchain — the graph of chained
+    # (16k, 264) QRs + SVDs explodes; 4 modes compiles in ~5 s.)
     from randblas_tpu.linalg import tt_add, tt_gaussian, tt_round
-    shape, r_in, r_out = (64,) * 5, 128, 128
+    shape, r_in, r_out = (64,) * 4, 64, 64
     x, _ = tt_gaussian(shape, r_in, RNGState.from_key(20))
     s = tt_add(x, x)                     # ranks 256
 
@@ -465,9 +467,10 @@ def bench_tt():
                         oversample=8)
         return carry + r.cores[0][0, 0, 0] * 1e-20 + jnp.float32(i) * 0.0
 
-    t = time_loop(body, *s.cores, iters_small=1, iters_large=3,
+    t = time_loop(body, *s.cores, iters_small=1, iters_large=8,
                   repeats=2)
-    print(f"tt_round (64,)x5 ranks 256->{r_out}: {t*1e3:.1f} ms")
+    print(f"tt_round {shape} ranks {2 * r_in}->{r_out}: "
+          f"{t*1e3:.3f} ms")
 
     def body_fd(i, carry, dense):
         from randblas_tpu.linalg import tt_from_dense
@@ -507,17 +510,17 @@ def bench_kfjlt():
                               RNGState.from_key(25))
         return carry + out[0, 0] * 1e-20 + jnp.float32(i) * 0.0
 
-    t = time_loop(body, *mats, iters_small=1, iters_large=4, repeats=2)
-    print(f"kfjlt_sketch 2x({m}x{n}) -> d={d}: {t*1e3:.1f} ms")
+    t = time_loop(body, *mats, iters_small=1, iters_large=8, repeats=2)
+    print(f"kfjlt_sketch 2x({m}x{n}) -> d={d}: {t*1e3:.3f} ms")
 
     def body_ts(i, carry, a1, a2):
         out, _ = tensor_sketch([a1 + carry * 0.0, a2], d,
                                RNGState.from_key(25))
         return carry + out[0, 0] * 1e-20 + jnp.float32(i) * 0.0
 
-    t = time_loop(body_ts, *mats, iters_small=1, iters_large=4,
+    t = time_loop(body_ts, *mats, iters_small=1, iters_large=8,
                   repeats=2)
-    print(f"tensor_sketch same shape (same run): {t*1e3:.1f} ms")
+    print(f"tensor_sketch same shape (same run): {t*1e3:.3f} ms")
 
 
 BENCHES = {

@@ -35,7 +35,9 @@ def main():
                  "rand_geigh, xtrace/xdiag, kaczmarz/GS, rgs_qr, "
                  "SLQ+KPM density, FrequentDirections certificate, "
                  "distributed FD (shard_map scan merge), "
-                 "shard_map fused sketch, distributed CholQR/RSVD)",
+                 "shard_map fused sketch, distributed CholQR/RSVD, "
+                 "Pallas SASO kernel, KFJLT, TT round/from_dense, "
+                 "Tucker ST-HOSVD)",
     }
     path = os.path.join(ROOT, f"TPUCHECK_r{rnd}.json")
     with open(path, "w") as f:

@@ -30,8 +30,9 @@ from .streaming import FrequentDirections, StreamingSketch, \
     fd_pass, single_pass_svd
 from .tls import sketched_tls, tls_via_svd
 from .tucker import tucker_from_dense, tucker_full
-from .tt import (TTTensor, tt_add, tt_dot, tt_from_dense, tt_gaussian,
-                 tt_norm, tt_round, tt_round_deterministic, tt_scale)
+from .tt import (TTMatrix, TTTensor, tt_add, tt_dot, tt_from_dense,
+                 tt_gaussian, tt_matrix_gaussian, tt_matvec, tt_norm,
+                 tt_round, tt_round_deterministic, tt_scale)
 from .trace import (diag_hutchinson, exact_trace, hutchinson, hutchpp,
                     rademacher_probes, xdiag, xtrace)
 
@@ -51,7 +52,8 @@ __all__ = ["amm",
            "nystrom_apply", "nystrom_pcg", "slq",
            "qb_decompose", "qb_to_svd", "rademacher_probes", "rand_eigh", "rand_geigh",
            "rangefinder", "ridge_lsq", "rpcholesky", "rpcholesky_pcg",
-           "TTTensor", "tt_add", "tt_dot", "tt_from_dense", "tt_gaussian",
+           "TTMatrix", "TTTensor", "tt_add", "tt_dot", "tt_from_dense",
+           "tt_gaussian", "tt_matrix_gaussian", "tt_matvec",
            "tt_norm", "tt_round", "tt_round_deterministic", "tt_scale",
            "tucker_from_dense", "tucker_full",
            "rsvd", "rsvd_adaptive", "sample_lsq",

@@ -345,3 +345,125 @@ def tt_round(x: TTTensor, ranks, state: RNGState, *,
                            preferred_element_type=x.dtype)
     cores.append(carry)
     return tt_round_deterministic(TTTensor(cores), rr[1:p]), nxt
+
+
+@jax.tree_util.register_pytree_node_class
+class TTMatrix:
+    """A linear operator in TT-matrix (MPO) format: ``cores[k]`` has
+    shape (R_k, n_out_k, n_in_k, R_{k+1}), R_0 = R_p = 1, acting on
+    TT (or vectorized dense) tensors with mode sizes n_in. The
+    matrix it represents is the mode-wise Kronecker-structured
+    ``full()`` below, with row index row-major over out modes and
+    column index row-major over in modes (matching TTTensor.full()
+    + reshape(-1))."""
+
+    def __init__(self, cores: Sequence[jax.Array]):
+        cores = list(cores)
+        require(len(cores) >= 1, "TTMatrix needs at least one core")
+        for g in cores:
+            require(g.ndim == 4,
+                    "TT-matrix cores must be 4-D (R_in, n_out, n_in, "
+                    "R_out)")
+        require(cores[0].shape[0] == 1 and cores[-1].shape[-1] == 1,
+                "boundary TT-matrix ranks must be 1")
+        for a, b in zip(cores[:-1], cores[1:]):
+            require(a.shape[-1] == b.shape[0],
+                    "adjacent TT-matrix cores must agree on the shared "
+                    "rank")
+        self.cores = cores
+
+    @property
+    def out_shape(self) -> Tuple[int, ...]:
+        return tuple(g.shape[1] for g in self.cores)
+
+    @property
+    def in_shape(self) -> Tuple[int, ...]:
+        return tuple(g.shape[2] for g in self.cores)
+
+    @property
+    def ranks(self) -> Tuple[int, ...]:
+        return tuple(g.shape[0] for g in self.cores) + (1,)
+
+    @property
+    def ndim(self) -> int:
+        return len(self.cores)
+
+    @property
+    def dtype(self):
+        return self.cores[0].dtype
+
+    def full(self) -> jax.Array:
+        """Contract to the dense (prod n_out, prod n_in) matrix
+        (test/oracle use)."""
+        out = self.cores[0]                  # (1, o_1, i_1, R_1)
+        for g in self.cores[1:]:
+            out = jnp.einsum("a...b,boic->a...oic", out, g)
+        out = out[0, ..., 0]                 # (o_1, i_1, o_2, i_2, ...)
+        p = len(self.cores)
+        perm = tuple(range(0, 2 * p, 2)) + tuple(range(1, 2 * p, 2))
+        m = 1
+        for n in self.out_shape:
+            m *= n
+        return jnp.transpose(out, perm).reshape(m, -1)
+
+    def __repr__(self):
+        return (f"TTMatrix(out={self.out_shape}, in={self.in_shape}, "
+                f"ranks={self.ranks}, dtype={self.dtype})")
+
+    def tree_flatten(self):
+        return tuple(self.cores), len(self.cores)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.cores = list(children)
+        return obj
+
+
+def tt_matrix_gaussian(out_shape: Sequence[int], in_shape: Sequence[int],
+                       ranks, state: RNGState, *, dtype=jnp.float32
+                       ) -> Tuple[TTMatrix, RNGState]:
+    """Random TT-matrix with iid N(0,1) cores from the counter-addressed
+    dense engine (core k = one DenseDist(R_k, o_k * i_k * R_{k+1})
+    sample, seed-chained); next_state = f(shapes, ranks)."""
+    out_shape = tuple(int(n) for n in out_shape)
+    in_shape = tuple(int(n) for n in in_shape)
+    require(len(out_shape) == len(in_shape) and len(out_shape) >= 1,
+            "out_shape and in_shape must have the same length >= 1")
+    rr = _as_ranks(ranks, len(out_shape))
+    cores = []
+    st = state
+    for k, (o, i) in enumerate(zip(out_shape, in_shape)):
+        r0, r1 = rr[k], rr[k + 1]
+        flat, st = fill_dense(DenseDist(r0, o * i * r1), st, dtype=dtype)
+        cores.append(flat.reshape(r0, o, i, r1))
+    return TTMatrix(cores), st
+
+
+def tt_matvec(a: TTMatrix, x: TTTensor, *, ranks=None,
+              state: RNGState = None, oversample: int = 4):
+    """y = A @ x with A in TT-matrix format and x in TT format: the
+    exact product has per-interface ranks R_k * r_k (each product core
+    is one batched einsum), the rank-growth event every TT algorithm
+    must control. With ``ranks`` given the product is immediately
+    truncated — through :func:`tt_round` when ``state`` is provided
+    (returns ``(y, next_state)``), else through
+    :func:`tt_round_deterministic` (returns ``y``) — so the
+    full-rank intermediate exists only core-by-core."""
+    require(a.in_shape == x.shape,
+            "TT-matrix in_shape must equal the TT vector's shape")
+    cores = []
+    for g, v in zip(a.cores, x.cores):
+        # g (R0, o, i, R1) ; v (r0, i, r1) -> (R0 r0, o, R1 r1)
+        c = jnp.einsum("aoib,cid->acobd", g, v,
+                       preferred_element_type=x.dtype)
+        s = c.shape
+        cores.append(c.reshape(s[0] * s[1], s[2], s[3] * s[4]))
+    y = TTTensor(cores)
+    if ranks is None:
+        require(state is None,
+                "state without ranks: nothing to round")
+        return y
+    if state is not None:
+        return tt_round(y, ranks, state, oversample=oversample)
+    return tt_round_deterministic(y, ranks)

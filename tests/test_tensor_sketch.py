@@ -336,3 +336,18 @@ class TestKFJLT:
             kfjlt_sketch([], 8, st)
         with pytest.raises(ValueError):
             kfjlt_sketch_explicit(jnp.zeros((10, 2)), (3, 4), 8, st)
+
+    @pytest.mark.slow
+    def test_subspace_distortion(self):
+        """Singular values of S U near 1 for a random orthonormal U of
+        the product domain — the KFJLT analog of the SRHT/dense/SASO
+        distortion tests (test_distortion.cc:49-116); scale is built
+        in, so no external isometry factor."""
+        from randblas_tpu.tensor import kfjlt_sketch_explicit
+        dims, n, d = (64, 32), 8, 512
+        rng = np.random.default_rng(40)
+        u, _ = np.linalg.qr(rng.normal(size=(dims[0] * dims[1], n)))
+        su, _ = kfjlt_sketch_explicit(
+            jnp.asarray(u, jnp.float32), dims, d, RNGState.from_key(41))
+        sv = np.linalg.svd(np.asarray(su), compute_uv=False)
+        assert sv.max() < 1.5 and sv.min() > 0.5, sv

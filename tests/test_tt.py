@@ -197,3 +197,70 @@ class TestRound:
         r, nxt = tt_round(x, (), RNGState.from_key(17))
         np.testing.assert_array_equal(np.asarray(r.full()),
                                       np.asarray(x.full()))
+
+
+class TestTTMatrix:
+    """TT-matrix (MPO) container + tt_matvec: dense-matrix oracle,
+    rank growth and its rounding, stream contracts."""
+
+    def _mk(self, key_a=0, key_x=1):
+        from randblas_tpu.linalg import tt_gaussian, tt_matrix_gaussian
+        a, _ = tt_matrix_gaussian((4, 5, 3), (6, 2, 7), (2, 3),
+                                  RNGState.from_key(key_a))
+        x, _ = tt_gaussian((6, 2, 7), (2, 2), RNGState.from_key(key_x))
+        return a, x
+
+    def test_full_and_matvec_vs_dense(self):
+        from randblas_tpu.linalg import tt_matvec
+        a, x = self._mk()
+        y = tt_matvec(a, x)
+        assert y.shape == (4, 5, 3)
+        assert y.ranks == (1, 4, 6, 1)        # ranks multiply
+        want = np.asarray(a.full(), np.float64) @ np.asarray(
+            x.full(), np.float64).reshape(-1)
+        got = np.asarray(y.full(), np.float64).reshape(-1)
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert rel < 1e-5, rel
+
+    def test_rounded_matvec(self):
+        from randblas_tpu.linalg import tt_matvec
+        a, x = self._mk()
+        want = np.asarray(a.full(), np.float64) @ np.asarray(
+            x.full(), np.float64).reshape(-1)
+        # randomized (returns next_state) and deterministic rounding at
+        # the product's true ranks are both exact
+        yr, nxt = tt_matvec(a, x, ranks=(4, 6),
+                            state=RNGState.from_key(2))
+        assert nxt.to_dict() != RNGState.from_key(2).to_dict()
+        yd = tt_matvec(a, x, ranks=(4, 6))
+        for y in (yr, yd):
+            got = np.asarray(y.full(), np.float64).reshape(-1)
+            rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+            assert rel < 1e-5, rel
+        # interface-2 rank clips to n_3 = 3 structurally
+        assert yd.ranks == (1, 4, 3, 1)
+
+    def test_jit(self):
+        from randblas_tpu.linalg import tt_matvec
+        a, x = self._mk()
+        eager = tt_matvec(a, x, ranks=(4, 6))
+        f = jax.jit(lambda aa, xx: tt_matvec(aa, xx, ranks=(4, 6)))
+        j = f(a, x)
+        rel = float(jnp.linalg.norm(j.full() - eager.full())
+                    / jnp.linalg.norm(eager.full()))
+        assert rel < 1e-4, rel
+
+    def test_validates(self):
+        from randblas_tpu.linalg import (TTMatrix, tt_gaussian,
+                                         tt_matrix_gaussian, tt_matvec)
+        with pytest.raises(ValueError):
+            TTMatrix([jnp.zeros((2, 3, 3, 1))])
+        with pytest.raises(ValueError):
+            tt_matrix_gaussian((4, 4), (4,), 2, RNGState.from_key(0))
+        a, _ = tt_matrix_gaussian((4,), (5,), (), RNGState.from_key(0))
+        x, _ = tt_gaussian((6,), (), RNGState.from_key(1))
+        with pytest.raises(ValueError):
+            tt_matvec(a, x)                   # in_shape mismatch
+        x2, _ = tt_gaussian((5,), (), RNGState.from_key(1))
+        with pytest.raises(ValueError):
+            tt_matvec(a, x2, state=RNGState.from_key(2))  # no ranks
