@@ -30,9 +30,10 @@ from .streaming import FrequentDirections, StreamingSketch, \
     fd_pass, single_pass_svd
 from .tls import sketched_tls, tls_via_svd
 from .tucker import tucker_from_dense, tucker_full
-from .tt import (TTMatrix, TTTensor, tt_add, tt_dot, tt_from_dense,
-                 tt_gaussian, tt_matrix_gaussian, tt_matvec, tt_norm,
-                 tt_round, tt_round_deterministic, tt_scale)
+from .tt import (TTMatrix, TTStream, TTTensor, tt_add, tt_dot,
+                 tt_from_dense, tt_gaussian, tt_matrix_gaussian,
+                 tt_matvec, tt_norm, tt_round, tt_round_deterministic,
+                 tt_scale, tt_single_pass)
 from .trace import (diag_hutchinson, exact_trace, hutchinson, hutchpp,
                     rademacher_probes, xdiag, xtrace)
 
@@ -52,7 +53,8 @@ __all__ = ["amm",
            "nystrom_apply", "nystrom_pcg", "slq",
            "qb_decompose", "qb_to_svd", "rademacher_probes", "rand_eigh", "rand_geigh",
            "rangefinder", "ridge_lsq", "rpcholesky", "rpcholesky_pcg",
-           "TTMatrix", "TTTensor", "tt_add", "tt_dot", "tt_from_dense",
+           "TTMatrix", "TTStream", "TTTensor", "tt_add", "tt_dot",
+           "tt_from_dense", "tt_single_pass",
            "tt_gaussian", "tt_matrix_gaussian", "tt_matvec",
            "tt_norm", "tt_round", "tt_round_deterministic", "tt_scale",
            "tucker_from_dense", "tucker_full",

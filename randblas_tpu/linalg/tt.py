@@ -467,3 +467,140 @@ def tt_matvec(a: TTMatrix, x: TTTensor, *, ranks=None,
     if state is not None:
         return tt_round(y, ranks, state, oversample=oversample)
     return tt_round_deterministic(y, ranks)
+
+
+def _stta_ranks(shape, ranks):
+    """Clip target ranks to each interface's feasible size."""
+    p = len(shape)
+    rr = list(_as_ranks(ranks, p))
+    for k in range(1, p):
+        lead = 1
+        for n in shape[:k]:
+            lead *= n
+        tail = 1
+        for n in shape[k:]:
+            tail *= n
+        rr[k] = min(rr[k], lead, tail)
+    return rr
+
+
+def _stta_sketch(x, r_tt: TTTensor, l_tt: TTTensor, dtype):
+    """The STTA sketch family Psi_k = Theta_{k-1} x Omega_k
+    (l_{k-1}, n_k, r_k), k = 1..p — LINEAR in x (sketches of additive
+    updates add). One left sweep with L's heads plus short right
+    chains with R's tails; every contraction a batched matmul."""
+    p = x.ndim
+
+    def right_chain(t, k):
+        if k == p:
+            return t[..., None]               # r_p = 1
+        for j in range(p, k, -1):
+            g = r_tt.cores[j - 1]             # (r_{j-1}, n_j, r_j)
+            if j == p:
+                t = jnp.einsum("...i,aib->...ab", t, g,
+                               preferred_element_type=dtype)[..., 0]
+            else:
+                t = jnp.einsum("...ib,aib->...a", t, g,
+                               preferred_element_type=dtype)
+        return t
+
+    psis = []
+    f = x.astype(dtype)[None]                 # (l_0 = 1, n_1, ..., n_p)
+    for k in range(1, p + 1):
+        psis.append(right_chain(f, k))        # (l_{k-1}, n_k, r_k)
+        if k < p:
+            f = jnp.einsum("lj...,ljm->m...", f, l_tt.cores[k - 1],
+                           preferred_element_type=dtype)
+    return psis
+
+
+def _stta_recover(psis, r_tt: TTTensor, dtype) -> TTTensor:
+    """x-free core recovery G_k = Phi_{k-1}^+ Psi_k, with
+    Phi_{k-1} = Psi_k contracted against R's core k (so the Phi family
+    never needs separate storage) through the TPU-safe clipped-QR
+    least squares."""
+    from .qb import qr_clipped_lstsq
+    cores = [psis[0]]                         # l_0 = 1: core as-is
+    for k in range(2, len(psis) + 1):
+        psi = psis[k - 1]
+        phi = jnp.einsum("ljb,ajb->la", psi, r_tt.cores[k - 1],
+                         preferred_element_type=dtype)
+        l_prev, n_k, r_k = psi.shape
+        g = qr_clipped_lstsq(phi, psi.reshape(l_prev, n_k * r_k))
+        cores.append(g.reshape(-1, n_k, r_k))
+    return TTTensor(cores)
+
+
+def tt_single_pass(x: jax.Array, ranks, state: RNGState, *,
+                   oversample: int = 4, dtype=jnp.float32
+                   ) -> Tuple[TTTensor, RNGState]:
+    """Streaming two-sided TT approximation (STTA, Kressner-
+    Vandereycken-Voorhaar 2022): a TT approximation of x from sketches
+    that are LINEAR in x — the TT analog of linalg/streaming.py's
+    TYUC17 ``single_pass_svd``.
+
+    Draw two independent Gaussian TTs (:func:`tt_gaussian`): R at the
+    target ranks r_k (its tails are the right sketches Omega_k) and L
+    at r_k + ``oversample`` (its heads are the left sketches
+    Theta_k). The only access to x is through the sketch tensors
+
+        Psi_k = Theta_{k-1} x Omega_k    (l_{k-1}, n_k, r_k)
+        Phi_k = Theta_k     x Omega_k    (l_k, r_k)
+
+    and cores are recovered x-free as G_k = Phi_{k-1}^+ Psi_k (the
+    oversampled rows make the solve well-posed, KVV22 thm 3.2). For
+    tensors that ARRIVE as additive updates, accumulate with
+    :class:`TTStream` instead — same sketches, deferred recovery.
+
+    Unlike :func:`tt_from_dense` (two-sided passes + power iteration)
+    the result is single-pass quasi-optimal with a larger constant —
+    prefer it only when revisiting x is the cost that matters.
+    Returns ``(tt, next_state)``; next_state = f(shape, ranks)."""
+    shape = tuple(int(n) for n in x.shape)
+    require(len(shape) >= 1, "tt_single_pass needs ndim >= 1")
+    rr = _stta_ranks(shape, ranks)
+    r_tt, st = tt_gaussian(shape, rr[1:-1], state, dtype=dtype)
+    l_tt, st = tt_gaussian(shape, [r + oversample for r in rr[1:-1]],
+                           st, dtype=dtype)
+    psis = _stta_sketch(x, r_tt, l_tt, dtype)
+    return _stta_recover(psis, r_tt, dtype), st
+
+
+class TTStream:
+    """Streaming TT accumulator over ADDITIVE updates (x = sum of
+    deltas arriving in any order/chunking): keeps only the linear STTA
+    sketch family Psi_k — sum(r l n r) numbers — never x. The TT
+    sibling of linalg/streaming.py's :class:`StreamingSketch`, with
+    the same contract: ``update`` per arrival, ``recover`` at any
+    point (recovery does not consume the stream). Deterministic in the
+    RNGState; ``next_state`` on the instance chains like every
+    operator."""
+
+    def __init__(self, shape, ranks, state: RNGState, *,
+                 oversample: int = 4, dtype=jnp.float32):
+        self.shape = tuple(int(n) for n in shape)
+        require(len(self.shape) >= 1, "TTStream needs ndim >= 1")
+        rr = _stta_ranks(self.shape, ranks)
+        self._dtype = dtype
+        self._r_tt, st = tt_gaussian(self.shape, rr[1:-1], state,
+                                     dtype=dtype)
+        self._l_tt, st = tt_gaussian(
+            self.shape, [r + oversample for r in rr[1:-1]], st,
+            dtype=dtype)
+        self.next_state = st
+        self._psis = None
+
+    def update(self, delta: jax.Array) -> "TTStream":
+        require(tuple(delta.shape) == self.shape,
+                "update shape must match the stream's shape")
+        psis = _stta_sketch(delta, self._r_tt, self._l_tt, self._dtype)
+        if self._psis is None:
+            self._psis = psis
+        else:
+            self._psis = [a + b for a, b in zip(self._psis, psis)]
+        return self
+
+    def recover(self) -> TTTensor:
+        require(self._psis is not None,
+                "recover() before any update()")
+        return _stta_recover(self._psis, self._r_tt, self._dtype)

@@ -264,3 +264,86 @@ class TestTTMatrix:
         x2, _ = tt_gaussian((5,), (), RNGState.from_key(1))
         with pytest.raises(ValueError):
             tt_matvec(a, x2, state=RNGState.from_key(2))  # no ranks
+
+
+class TestSinglePass:
+    """STTA (tt_single_pass / TTStream): single-pass TT from linear
+    sketches — exact-rank recovery, additive-stream equivalence,
+    truncation quality, stream contracts."""
+
+    def test_exact_rank_recovery(self):
+        from randblas_tpu.linalg import tt_single_pass
+        x, _ = tt_gaussian((8, 9, 7, 6), (3, 4, 2), RNGState.from_key(1))
+        dense = x.full()
+        tt, _ = tt_single_pass(dense, (3, 4, 2), RNGState.from_key(2),
+                               oversample=6)
+        rel = float(jnp.linalg.norm(tt.full() - dense)
+                    / jnp.linalg.norm(dense))
+        assert rel < 1e-4, rel
+        assert tt.ranks == (1, 3, 4, 2, 1)
+
+    def test_stream_equals_one_call(self):
+        """Additive chunks through TTStream recover (up to f32
+        reassociation in the sketch sums) what the one-call form
+        computes from the assembled tensor — the linearity contract."""
+        from randblas_tpu.linalg import TTStream, tt_single_pass
+        x, _ = tt_gaussian((8, 9, 7, 6), (3, 4, 2), RNGState.from_key(1))
+        dense = np.asarray(x.full())
+        want, nxt_w = tt_single_pass(jnp.asarray(dense), (3, 4, 2),
+                                     RNGState.from_key(2), oversample=6)
+        stream = TTStream((8, 9, 7, 6), (3, 4, 2), RNGState.from_key(2),
+                          oversample=6)
+        assert stream.next_state.to_dict() == nxt_w.to_dict()
+        for lo, hi in ((0, 3), (3, 6), (6, 8)):
+            delta = np.zeros_like(dense)
+            delta[lo:hi] = dense[lo:hi]
+            stream.update(jnp.asarray(delta))
+        rec = stream.recover()
+        np.testing.assert_allclose(np.asarray(rec.full()),
+                                   np.asarray(want.full()),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_truncation_quality(self):
+        """Single-pass truncation lands within a modest factor of the
+        TT-SVD baseline (KVV22 quasi-optimality; larger constant than
+        the two-pass tt_from_dense)."""
+        rng = np.random.default_rng(8)
+        y = np.zeros((9, 10, 11), np.float64)
+        for t in range(8):
+            a, b, c = (rng.standard_normal(s) for s in (9, 10, 11))
+            y += (0.5 ** t) * np.einsum("i,j,k->ijk", a, b, c)
+        from randblas_tpu.linalg import tt_single_pass
+        errs = []
+        for seed in range(3):
+            tty, _ = tt_single_pass(jnp.asarray(y.astype(np.float32)),
+                                    3, RNGState.from_key(20 + seed),
+                                    oversample=8)
+            errs.append(np.linalg.norm(
+                np.asarray(tty.full(), np.float64) - y))
+        base = np.linalg.norm(tt_svd_oracle(y, 3) - y)
+        assert min(errs) < 8 * base, (errs, base)
+
+    def test_next_state_and_validation(self):
+        from randblas_tpu.linalg import TTStream, tt_single_pass
+        x = jnp.zeros((4, 5, 6))
+        st = RNGState.from_key(30)
+        _, n1 = tt_single_pass(x, 2, st)
+        _, n2 = tt_single_pass(jnp.ones((4, 5, 6)), 2, st)
+        assert n1.to_dict() == n2.to_dict()      # f(shape, ranks) only
+        s = TTStream((4, 5), 2, st)
+        with pytest.raises(ValueError):
+            s.update(jnp.zeros((4, 6)))
+        with pytest.raises(ValueError):
+            s.recover()
+
+    def test_jit(self):
+        from randblas_tpu.linalg import tt_single_pass
+        x, _ = tt_gaussian((6, 7, 5), (2, 3), RNGState.from_key(31))
+        dense = x.full()
+        st = RNGState.from_key(32)
+        eager, _ = tt_single_pass(dense, (2, 3), st)
+        f = jax.jit(lambda d, s: tt_single_pass(d, (2, 3), s)[0])
+        j = f(dense, st)
+        rel = float(jnp.linalg.norm(j.full() - eager.full())
+                    / jnp.linalg.norm(eager.full()))
+        assert rel < 1e-3, rel
