@@ -523,6 +523,25 @@ def bench_kfjlt():
     print(f"tensor_sketch same shape (same run): {t*1e3:.3f} ms")
 
 
+def bench_ihs():
+    # same shape as bench_ridge so the two solver-accurate LS routes
+    # are directly comparable: one SASO sketch + 24 heavy-ball steps
+    # (deterministic 0.5^24 contraction) vs sketch-QR + CGLS
+    m, n = 131072, 2048
+    rng = np.random.default_rng(26)
+    a = jnp.asarray(rng.normal(size=(m, n)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=m).astype(np.float32))
+    from randblas_tpu.linalg import ihs_lsq
+
+    def body(i, carry, a_op, b_op):
+        x, _ = ihs_lsq(a_op, b_op + carry * 0.0, RNGState.from_key(27),
+                       iters=24)
+        return carry + x[0] * 1e-20 + jnp.float32(i) * 0.0
+
+    t = time_loop(body, a, b, iters_small=1, iters_large=3, repeats=2)
+    print(f"ihs_lsq {m}x{n} d=4n, 24 iters: {t*1e3:.1f} ms/solve")
+
+
 BENCHES = {
     "rsvd": bench_rsvd,
     "nystrom": bench_nystrom_pcg,
@@ -543,6 +562,7 @@ BENCHES = {
     "rgs": bench_rgs,
     "tt": bench_tt,
     "kfjlt": bench_kfjlt,
+    "ihs": bench_ihs,
 }
 
 

@@ -10,7 +10,7 @@ from .amm import amm, sample_lsq
 from .eigh import rand_eigh, rand_geigh
 from .embed import make_embedding
 from .features import random_fourier_features
-from .lstsq import (cgls, min_norm_lsq, ridge_lsq,
+from .lstsq import (cgls, ihs_lsq, min_norm_lsq, ridge_lsq,
                     sketch_and_precondition, sketch_and_solve_lsq)
 from .density import eig_count, kpm_density, spectral_density
 from .kaczmarz import block_gauss_seidel, block_kaczmarz
@@ -45,7 +45,7 @@ __all__ = ["amm",
            "distributed_rangefinder", "distributed_rsvd", "fd_pass",
            "exact_leverage_scores",
            "exact_trace", "hutchinson", "krylov_rangefinder",
-           "make_embedding", "min_norm_lsq",
+           "ihs_lsq", "make_embedding", "min_norm_lsq",
            "random_fourier_features",
            "range_error_estimate", "rsvd_krylov", "sketch_qrcp",
            "hutchpp", "lanczos_fn_apply", "leverage_scores", "logdet",

@@ -494,3 +494,94 @@ def ridge_lsq(a, b, mu: float, state: RNGState, *,
                        maxiter=maxiter)
     x = solve_r(y)
     return (x[:, 0] if b.ndim == 1 else x), iters, nxt
+
+
+def ihs_lsq(a, b, state: RNGState, *, d: Optional[int] = None,
+            iters: int = 24, operator: str = "saso", vec_nnz: int = 8,
+            dtype=None, mesh=None) -> Tuple[jax.Array, RNGState]:
+    """Iterative Hessian sketch least squares with heavy-ball momentum
+    (Pilanci-Wainwright 2016; accelerated form Lacotte-Pilanci 2020).
+
+    Solves ``min ||A x - b||`` by damped Newton steps whose Hessian is
+    ONE sketched Gram, with Polyak momentum::
+
+        u_t     = ((S A)^T (S A))^{-1} A^T (A x_t - b)
+        x_{t+1} = x_t - alpha u_t + beta (x_t - x_{t-1})
+
+    With an unbiased embedding (isometry-scaled), the preconditioned
+    Hessian's spectrum sits in the Marchenko-Pastur bulk
+    ``[(1+r)^-2, (1-r)^-2]``, ``r = sqrt(n/d)``, so the optimal
+    heavy-ball parameters are closed-form: ``alpha = (1 - n/d)^2``,
+    ``beta = n/d``, giving a DETERMINISTIC asymptotic contraction of
+    ``sqrt(n/d)`` per step — ``1/2`` at the default ``d = 4 n``
+    (MEASURED on all three families at (600, 40): plain unit-step IHS
+    with a fresh sketch per iteration, the paper's original scheme,
+    contracts at only ~0.75/step at this ``d`` because
+    ``I - (W^T W)^{-1}`` has eigenvalues outside the unit disc; the
+    fixed-sketch momentum form is both faster AND does d/n-times less
+    sketching). Unlike :func:`sketch_and_solve_lsq` the SOLUTION error
+    — not just the residual — reaches working precision (~cond(A) eps).
+
+    Against :func:`sketch_and_precondition` (same access pattern: one
+    sketch + iterations touching A): IHS needs no inner Krylov state —
+    each step is two thin HIGHEST-precision products with ``A`` plus two
+    (n, n) triangular solves inside one ``lax.scan``, which is why the
+    paper's constrained/streamed variants reuse it. CGLS converges
+    cond-independently too, so for the plain dense problem either works;
+    IHS's step is the one that generalizes when the subproblem carries
+    constraints.
+
+    ``a`` is tall (m, n) dense or sparse (COO/CSR/CSC); ``b`` is (m,) or
+    (m, k); ``operator`` is 'saso' | 'gaussian' | 'srht'. ``d`` defaults
+    to ``4 n``; ``iters`` to 24 (0.5^24 ~ 6e-8 < f32 eps). With
+    ``mesh``, the sketch and the scan's tall products run m-sharded over
+    the mesh's 'data' axis (see _sketch_pair). No reference analog (the
+    C++ library stops at sketch-and-solve; this is the natural member
+    above it). Returns ``(x, next_state)``.
+    """
+    m, n = a.shape
+    require(m >= n, "ihs_lsq expects a tall system (m >= n)")
+    require(iters >= 1, "ihs_lsq needs at least one iteration")
+    d = 4 * n if d is None else d
+    d = min(d, m)
+    require(d > n, "sketch size d must exceed n (d ~ 4n recommended)")
+
+    from ..dense import isometry_scale_factor
+    from .qb import _apply_precise, _mm_precise
+
+    # the sketched Hessian must be an UNBIASED Gram estimate
+    # (E[(c S)^T (c S)] = I) for the Marchenko-Pastur spectrum bounds
+    # behind (alpha, beta) to hold: the library's operators are raw
+    # reference-style streams, so apply the family's isometry scale.
+    sa, _, st = _sketch_pair(a, None, d, state, operator, vec_nnz,
+                             dtype, mesh=mesh)
+    c = isometry_scale_factor(
+        make_embedding(operator, d, m, state, vec_nnz=vec_nnz).dist)
+    r = jnp.linalg.qr(c * sa, mode="r")
+
+    xi = n / d
+    alpha = (1.0 - xi) ** 2
+    beta = xi
+
+    bb = (b[:, None] if b.ndim == 1 else b).astype(r.dtype)
+
+    def grad(x):
+        # A^T (A x - b) at certificate precision: the update is
+        # H_S^{-1} grad, so bf16 noise in the gradient lands directly in
+        # the iterate and floors the achievable solution error; these
+        # are thin (k-column) products, HIGHEST is bandwidth-free.
+        res = _apply_precise(a, x) - bb
+        if _is_sparse(a):
+            return _apply_t(a, res)                     # exact gathers
+        return _mm_precise(a.T, res)
+
+    def step(carry, _):
+        x, xp = carry
+        g = grad(x)
+        u = jax.scipy.linalg.solve_triangular(r.T, g, lower=True)
+        u = jax.scipy.linalg.solve_triangular(r, u, lower=False)
+        return (x - alpha * u + beta * (x - xp), x), None
+
+    x0 = jnp.zeros((n, bb.shape[1]), r.dtype)
+    (x, _), _ = jax.lax.scan(step, (x0, x0), None, length=iters)
+    return (x[:, 0] if b.ndim == 1 else x), st

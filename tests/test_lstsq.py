@@ -384,3 +384,68 @@ class TestDivergenceGuard:
                                     tol=1e-10, maxiter=300)
         rm = float(jnp.linalg.norm(aw @ xm - bw) / jnp.linalg.norm(bw))
         assert rm < 1e-4
+
+
+class TestIHS:
+    """Iterative Hessian sketch (PW16, heavy-ball form LP20): ONE
+    fixed isometry-scaled sketch + momentum; the solution error must
+    contract at ~sqrt(n/d) per step, reaching solver accuracy (not just
+    residual accuracy)."""
+
+    @pytest.mark.parametrize("operator", ["saso", "gaussian", "srht"])
+    def test_solver_accurate(self, operator):
+        a, b, _ = _tall_problem(cond=1e2)
+        x_ref, *_ = jnp.linalg.lstsq(a, b)
+        x, _ = rla.ihs_lsq(a, b, RNGState.from_key(3), iters=24,
+                           operator=operator)
+        err = float(jnp.linalg.norm(x - x_ref) / jnp.linalg.norm(x_ref))
+        assert err < 1e-4, err
+
+    def test_error_contracts_at_momentum_rate(self):
+        # heavy-ball rate sqrt(n/d) = 1/2 at d = 4n: 8 extra iterations
+        # must buy ~0.5^8 = 4e-3; assert a 10x-slack 0.05
+        a, b, _ = _tall_problem(cond=1e2)
+        x_ref, *_ = jnp.linalg.lstsq(a, b)
+
+        def err(t):
+            x, _ = rla.ihs_lsq(a, b, RNGState.from_key(5), iters=t)
+            return float(jnp.linalg.norm(x - x_ref)
+                         / jnp.linalg.norm(x_ref))
+
+        e4, e12 = err(4), err(12)
+        assert e12 < e4 * 0.05, (e4, e12)
+
+    def test_next_state_is_chained(self):
+        a, b, _ = _tall_problem()
+        st = RNGState.from_key(7)
+        _, nxt = rla.ihs_lsq(a, b, st, iters=3, operator="gaussian")
+        # ONE fixed embedding: the state advances exactly once
+        from randblas_tpu.linalg.embed import make_embedding
+        s = make_embedding("gaussian", 4 * a.shape[1], a.shape[0],
+                           st).next_state
+        assert np.array_equal(np.asarray(nxt.counter),
+                              np.asarray(s.counter))
+
+    def test_reproducible_and_block_rhs(self):
+        a, b, _ = _tall_problem(k_rhs=3)
+        x1, _ = rla.ihs_lsq(a, b, RNGState.from_key(9), iters=6)
+        x2, _ = rla.ihs_lsq(a, b, RNGState.from_key(9), iters=6)
+        assert x1.shape == (a.shape[1], 3)
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+    def test_sparse_data(self):
+        a, b, _ = _tall_problem(cond=50.0)
+        ad = np.array(a)
+        ad[np.abs(ad) < np.quantile(np.abs(ad), 0.6)] = 0.0
+        coo = COOMatrix.from_dense(jnp.asarray(ad))
+        x_ref, *_ = jnp.linalg.lstsq(jnp.asarray(ad), b)
+        x, _ = rla.ihs_lsq(coo, b, RNGState.from_key(11), iters=24)
+        err = float(jnp.linalg.norm(x - x_ref) / jnp.linalg.norm(x_ref))
+        assert err < 1e-4, err
+
+    def test_validates(self):
+        a, b, _ = _tall_problem()
+        with pytest.raises(Exception):
+            rla.ihs_lsq(a.T, b, RNGState.from_key(0))
+        with pytest.raises(Exception):
+            rla.ihs_lsq(a, b, RNGState.from_key(0), iters=0)

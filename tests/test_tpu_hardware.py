@@ -867,3 +867,32 @@ def test_tucker_on_hardware():
     for u in ff:
         g = np.asarray(jnp.matmul(u.T, u))
         np.testing.assert_allclose(g, np.eye(g.shape[0]), atol=2e-2)
+
+
+def test_ihs_lsq_on_hardware():
+    """Iterative Hessian sketch on the chip: pins the heavy-ball scan
+    (two triangular solves + two HIGHEST-precision thin products per
+    step) on compiled arithmetic under the suite's x64 mode. The
+    gradient precision policy is load-bearing — a default-bf16 gradient
+    floors the solution error at ~1e-3, an order above the assertion —
+    so this catches any precision regression in qb._mm_precise routing,
+    the class of chip-only defect that bit rgs_qr in round 5."""
+    import jax.numpy as jnp
+    from randblas_tpu import RNGState
+    from randblas_tpu.linalg import ihs_lsq
+
+    rng = np.random.default_rng(22)
+    m, n = 8192, 256
+    u, _ = np.linalg.qr(rng.standard_normal((m, n)))
+    v, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    s = 1e2 ** (-np.arange(n) / (n - 1))
+    a = jnp.asarray(((u * s) @ v.T).astype(np.float32))
+    xt = rng.standard_normal(n).astype(np.float32)
+    b = a @ jnp.asarray(xt) + 1e-4 * jnp.asarray(
+        rng.standard_normal(m).astype(np.float32))
+
+    xls = np.linalg.lstsq(np.asarray(a, np.float64),
+                          np.asarray(b, np.float64), rcond=None)[0]
+    x, _ = ihs_lsq(a, b, RNGState.from_key(42), iters=24)
+    err = np.linalg.norm(np.asarray(x) - xls) / np.linalg.norm(xls)
+    assert err < 1e-4, err
