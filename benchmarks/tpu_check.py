@@ -37,7 +37,7 @@ def main():
                  "distributed FD (shard_map scan merge), "
                  "shard_map fused sketch, distributed CholQR/RSVD, "
                  "Pallas SASO kernel, KFJLT, TT round/from_dense, "
-                 "Tucker ST-HOSVD)",
+                 "Tucker ST-HOSVD, ihs_lsq heavy-ball)",
     }
     path = os.path.join(ROOT, f"TPUCHECK_r{rnd}.json")
     with open(path, "w") as f:
