@@ -26,7 +26,7 @@ import numpy as np                                               # noqa: E402
 
 from randblas_tpu import RNGState                                # noqa: E402
 from randblas_tpu.linalg import (                                # noqa: E402
-    cgls, sketch_and_precondition,
+    cgls, ihs_lsq, sketch_and_precondition,
 )
 
 
@@ -72,6 +72,18 @@ def main():
     x_plain, iters_plain, _ = plain(A, b)
     jax.block_until_ready(x_plain)
 
+    # iterative Hessian sketch with heavy-ball momentum: the Krylov-free
+    # alternative — one sketch, a FIXED number of damped Newton steps at
+    # the deterministic sqrt(n/d) rate (no convergence monitoring)
+    ihs = jax.jit(lambda A, b: ihs_lsq(A, b, RNGState.from_key(1),
+                                       iters=40)[0])
+    x_ihs = ihs(A, b)
+    jax.block_until_ready(x_ihs)
+    t0 = time.perf_counter()
+    x_ihs = ihs(A, b)
+    jax.block_until_ready(x_ihs)
+    t_ihs = time.perf_counter() - t0
+
     res = float(jnp.linalg.norm(A @ x - b))
     res_plain = float(jnp.linalg.norm(A @ x_plain - b))
     res_true = float(jnp.linalg.norm(A @ x_true - b))
@@ -80,6 +92,9 @@ def main():
           f"residual {res:.3e}  ({t_pre*1e3:.1f} ms/solve)")
     print(f"plain CGLS:            {int(iters_plain):4d} iters, "
           f"residual {res_plain:.3e}")
+    res_ihs = float(jnp.linalg.norm(A @ x_ihs - b))
+    print(f"IHS heavy-ball:          40 steps, "
+          f"residual {res_ihs:.3e}  ({t_ihs*1e3:.1f} ms/solve)")
     print(f"ground-truth residual: {res_true:.3e}")
 
 
